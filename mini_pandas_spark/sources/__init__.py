@@ -1,0 +1,23 @@
+"""Source/sink connectors: parquet (primary), csv, json.
+
+The reference engine (/root/reference/data_frame.py) has no I/O at all —
+frames are built from dicts (``DataFrame.from_dict``, data_frame.py:391-406).
+This package supplies the scan/sink surface a real engine needs, as thin
+wrappers over Spark's native readers so pushdown/pruning are preserved.
+"""
+
+from .tables import BROADCAST_DIMS, TABLE_NAMES, load_table, load_tables
+from .io import read_csv, read_json, read_parquet, write_csv, write_json, write_parquet
+
+__all__ = [
+    "BROADCAST_DIMS",
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+    "write_csv",
+    "write_json",
+]
