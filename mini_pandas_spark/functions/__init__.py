@@ -1,0 +1,75 @@
+"""Column-level helper functions shared by operators.
+
+Everything here returns native Column expressions (JVM-side, codegen'd) —
+no Python UDFs in the hot path (SURVEY.md §2.4).
+
+Determinism contract: the driver compares Spark results against DuckDB by
+value hash, so floating-point aggregates must be bit-identical across both
+engines.  Sums of parquet doubles are order-dependent in the last bits, so
+money aggregates go through DECIMAL(18,2) (exact, associative) and cast
+back to double — both engines then produce the same IEEE value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+MONEY = DecimalType(18, 2)
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-independent exact sum of a 2-decimal money column, as double.
+
+    DuckDB oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double")
+
+
+def money_avg(col: Column | str, count: Column | None = None) -> Column:
+    """Exact-sum-based average (sum as decimal, one double division).
+
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = count if count is not None else F.count(F.lit(1))
+    return F.sum(c.cast(MONEY)).cast("double") / n
+
+
+def decimal_sum(expr: Column, scale: int = 4) -> Column:
+    """Exact sum of an expression with ≤``scale`` decimal digits, as double."""
+    return F.sum(expr.cast(DecimalType(28, scale))).cast("double")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; matches DuckDB
+    regexp_split_to_array(trim(x), '\\s+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-separated tokens, as bigint (matches DuckDB
+    len(regexp_split_to_array(...)) which returns BIGINT)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product of two array<float> columns in
+    double precision (order matters for float determinism — both this and
+    the DuckDB oracle accumulate in array order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))

@@ -1,0 +1,283 @@
+"""Core relational operators over the star schema.
+
+These are the SURVEY.md §2.3 rows 1-6 extensions (the reference implements
+none of them — SURVEY.md §2.2 lists aggregation, sort, join family, set ops
+and windows as absent; the only join attempt, data_frame.py:357-370, is
+non-functional).  Everything is declarative DataFrame API: Catalyst handles
+pushdown/pruning/reordering, AQE handles skew and runtime coalescing.
+
+Scale notes per operator are in the docstrings; the common discipline:
+- dimension tables (region/nation/supplier) are broadcast explicitly;
+- aggregates are expressed as groupBy().agg() so map-side partial
+  aggregation happens before the shuffle;
+- top-k uses orderBy+limit (Spark runs TakeOrderedAndProject — no full
+  sort of the 100 TB fact table) or per-group window row_number;
+- money sums go through DECIMAL(18,2) for cross-engine determinism
+  (see functions.money_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import decimal_sum, money_avg, money_sum
+from ..sources import load_table
+
+
+def flagship_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship query (reference tests.py:133-144:
+    ``df[(price+5.0>10.0) & (sales>3) & ~taxed]["SKU"]``) recast onto the
+    star schema: filter + project on part.
+
+    Scale: single scan+filter+project stage; predicate on p_size reaches
+    the parquet reader as a PushedFilter; only 2 columns are read.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_retailprice") + 5.0 > 10.0) & (F.col("p_size") > 3))
+        .select("p_partkey", "p_name")
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical groupBy-agg.
+
+    Scale: map-side partial aggregation reduces each partition to ≤ a few
+    groups before the shuffle; the shuffle moves O(groups × partitions)
+    rows regardless of fact-table size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            decimal_sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")),
+                scale=4,
+            ).alias("sum_disc_price"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def groupby_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group.
+
+    Scale: Spark plans this as a two-phase expand+aggregate; distinct keys
+    are deduplicated per-partition before the shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: 10 highest-value orders (orderkey tiebreak for
+    determinism).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a k-element heap; no global sort, no full shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region: orders ⋈ customer ⋈ nation ⋈ region.
+
+    Scale: nation/region are broadcast (hinted; they are KBs at any SF) so
+    the only shuffle is the orders⋈customer equi-join and the final tiny
+    aggregation.  At 100 TB, orders and customer would both be bucketed on
+    custkey to eliminate that shuffle too.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def left_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched rows: customers with their order
+    counts, including customers with no orders (intended semantics of the
+    reference's broken left_join, data_frame.py:357-363).
+
+    Scale: equi-join on custkey; AQE converts to broadcast if one side is
+    small at runtime.  Aggregating before joining (per-custkey counts)
+    keeps the shuffled payload narrow.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_spent"),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 urgent-priority order (left semi join).
+
+    Scale: semi join never materializes right-side columns and
+    deduplicates build-side keys — strictly cheaper than inner+distinct.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        urgent, c.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left anti join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations that have customers INTERSECT nations that
+    have suppliers, UNION nations with neither, tagged by case.
+
+    Scale: intersect/except plan as aggregations+joins on the (tiny)
+    distinct key sets — distinct first, then set logic.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    neither = (
+        n.exceptAll(c.distinct().unionByName(s.distinct()).distinct())
+        .withColumn("tag", F.lit("neither"))
+    )
+    return both.unionByName(neither)
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each customer's 3 largest orders via row_number
+    (orderkey tiebreak for determinism).
+
+    Scale: one shuffle on the partition key; rank windows need no frame
+    buffering.  For heavily skewed partition keys, pre-aggregate or salt.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue ordered by order date (cumulative
+    window frame), plus lag to the previous order's price.
+
+    Scale: rows-between-unbounded-preceding frames stream within each
+    partition after one shuffle on the partition key; no re-sort thanks to
+    the shared (partition, order) spec.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spent"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
+def distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (dropDuplicates on all columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: counts at (flag, status), (flag), and total.
+
+    Scale: Spark plans rollup as a single Expand+Aggregate — one pass,
+    one shuffle, groups×levels output rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: assign each part to a price band table via
+    non-equi predicate (lo <= price < hi).
+
+    Scale: a broadcast-nested-loop against the tiny band table — the band
+    side is always broadcastable; never express this as a cross join of
+    two large relations.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0.0, 930.0, "low"), (930.0, 970.0, "mid"), (970.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            money_avg("p_retailprice").alias("avg_price"),
+        )
+    )

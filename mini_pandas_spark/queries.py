@@ -1,0 +1,227 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle that produces the identical result set.
+
+Determinism contract (driver compares by order-insensitive value hash):
+- every computed column is aliased identically on both sides;
+- money/double aggregates run through DECIMAL(18,2) (exact, order-free)
+  and cast back to double — see functions.money_sum;
+- top-k / rank orderings always carry a unique-key tiebreak;
+- timestamps are output as formatted strings (naive, tz-free on both
+  engines) or not at all.
+
+Queries whose algorithm is not expressible in ANSI SQL (MinHash-LSH,
+SimHash, LSH-ANN, streaming) carry no oracle — the driver records the
+weaker rows-only check for those (``__spark_entry__.py`` contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: oracle for name, (_, oracle) in REGISTRY.items() if oracle is not None
+    }
+
+
+_MONEY_SUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+register(
+    "flagship_filter",
+    relational.flagship_filter,
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_retailprice + 5.0 > 10.0 AND p_size > 3
+    """,
+)
+
+register(
+    "q1_pricing_summary",
+    relational.q1_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "groupby_distinct",
+    relational.groupby_distinct,
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+register(
+    "topk_orders",
+    relational.topk_orders,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+register(
+    "join_broadcast_dims",
+    relational.join_broadcast_dims,
+    f"""
+    SELECT r_name,
+           {_MONEY_SUM.format(col='o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+register(
+    "left_join_rollup",
+    relational.left_join_rollup,
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spent, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {_MONEY_SUM.format(col='o_totalprice')} AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) t ON c_custkey = t.o_custkey
+    """,
+)
+
+register(
+    "semi_join_customers",
+    relational.semi_join_customers,
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+
+register(
+    "anti_join_customers",
+    relational.anti_join_customers,
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+register(
+    "set_ops_nations",
+    relational.set_ops_nations,
+    """
+    SELECT nationkey, 'both' AS tag FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'neither' AS tag FROM (
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT
+        (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    )
+    """,
+)
+
+register(
+    "window_rank_orders",
+    relational.window_rank_orders,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+
+register(
+    "window_running_sum",
+    relational.window_running_sum,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spent,
+           LAG(o_totalprice, 1) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_price
+    FROM orders
+    """,
+)
+
+register(
+    "distinct_status",
+    relational.distinct_status,
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+
+register(
+    "rollup_lineitem",
+    relational.rollup_lineitem,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "range_join_price_band",
+    relational.range_join_price_band,
+    """
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM part
+    JOIN (VALUES (0.0, 930.0, 'low'), (930.0, 970.0, 'mid'), (970.0, 1e9, 'high'))
+         AS b(lo, hi, band)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
