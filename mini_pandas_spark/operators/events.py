@@ -1,0 +1,127 @@
+"""Event-time operators over the ``events`` table (mandated extension
+surface, SURVEY.md §2.3: event-time windows + JSON functions; the reference
+has no temporal or JSON support at all, SURVEY.md §2.2).
+
+The window expressions are written to be streaming-compatible: the same
+``F.window`` aggregation runs under Structured Streaming with
+``withWatermark`` (see streaming/windows.py, which reuses these shapes).
+
+Timestamps are emitted as formatted strings — tz-free on both engines —
+so results are value-identical to the DuckDB oracle regardless of session
+timezone (events.ts is TIMESTAMP_NTZ after the nanos fixup in
+sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import decimal_sum
+from ..sources import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count + exact value sum per
+    (window, event_type).
+
+    Scale: map-side partial agg on (hour, type) — the shuffle carries only
+    group partials.  Streaming-ready: same expression + withWatermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 min): each event contributes
+    to exactly two windows.
+
+    Scale: Spark expands each row into windows-per-event rows before the
+    aggregation — cost scales with length/slide ratio; keep that ratio
+    small at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (``props`` is a JSON string column) +
+    aggregation by event type.
+
+    Scale: get_json_object is a codegen'd JVM expression — no UDF; for
+    repeated multi-key extraction prefer from_json with an explicit schema
+    (single parse).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — the classic
+    stateful event operator, expressed as lag + conditional cumulative sum
+    (islands technique), fully declarative.
+
+    Scale: one shuffle on user_id; both window specs share the same
+    (partition, order) so Spark sorts once.  The streaming-native variant
+    (applyInPandasWithState / session_window) lives in streaming/windows.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "event_id", "ts", F.lag("ts", 1).over(w).alias("prev_ts")
+    )
+    is_new = F.when(
+        F.col("prev_ts").isNull()
+        | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"),
+        1,
+    ).otherwise(0)
+    sess = lagged.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

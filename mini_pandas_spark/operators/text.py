@@ -1,0 +1,123 @@
+"""Text-analysis operators over the ``documents`` table (mandated
+extension surface, SURVEY.md §2.3 — the reference has no string functions
+at all beyond operators, SURVEY.md §2.2).
+
+All hot-path expressions are native Column functions (JVM codegen);
+``text_quality_pandas_udf`` intentionally re-implements one of them as an
+Arrow-batched pandas UDF to exercise and pin the engine's Python-UDF
+plumbing against the same SQL oracle.
+
+Scale: every operator here is embarrassingly parallel (per-row, no
+shuffle); token pipelines keep arrays inside one projection so
+whole-stage codegen fuses them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import token_count, tokens
+from ..sources import load_table
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+# Must stay in sync with the oracle SQL in queries.py.
+EN_STOP = ("the", "a", "of", "and", "to", "in")
+ES_STOP = ("el", "la", "de", "y", "en", "que")
+FR_STOP = ("le", "la", "de", "et", "un", "une")
+
+
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (BPE-free baseline tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, token count, chars/token, and a
+    short-doc flag — the standard cheap filters before LLM training."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_chars = F.length("text").cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_tok, 4).alias("chars_per_token"),
+        (n_tok < F.lit(40)).alias("is_short"),
+    )
+
+
+def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as :func:`text_quality`, computed via an Arrow-batched
+    pandas UDF — pins the Python-UDF path (SURVEY.md §2.4) against the
+    identical SQL oracle.  The built-in-function variant remains the hot
+    path; this exists to prove UDF correctness, not for production use.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # note: plain lambdas (no annotations) — `from __future__ import
+    # annotations` turns signature annotations into strings, which
+    # pandas_udf's signature inference rejects on pyspark 4.x
+    _n_tokens = pandas_udf(
+        lambda s: s.str.strip().str.split(r"\s+").str.len().astype("int64"),
+        "long",
+    )
+    _n_chars = pandas_udf(lambda s: s.str.len().astype("int64"), "long")
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = _n_tokens("text")
+    n_chars = _n_chars("text")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_tok, 4).alias("chars_per_token"),
+        (n_tok < F.lit(40)).alias("is_short"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: count stopword hits per
+    language, predict the argmax (ties → 'und'), compare to the labeled
+    ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def hits(stop: tuple[str, ...]) -> F.Column:
+        return F.size(
+            F.filter(toks, lambda t: t.isin(*stop))
+        ).cast("long")
+
+    en, es, fr = hits(EN_STOP), hits(ES_STOP), hits(FR_STOP)
+    pred = (
+        F.when((en > es) & (en > fr), F.lit("en"))
+        .when((es > en) & (es > fr), F.lit("es"))
+        .when((fr > en) & (fr > es), F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the text (cross-engine-stable) plus
+    a 16-hex-char prefix usable as a shard/bucket key.
+
+    Scale: fingerprints enable exact dedup as a pure hash groupBy with
+    fixed-width keys instead of comparing full documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("bucket_key"),
+    )

@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import relational
+from .operators import events, relational, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -223,5 +223,137 @@ register(
          AS b(lo, hi, band)
       ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
+    """,
+)
+
+# -- text analysis (documents) ---------------------------------------------
+
+_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+
+register(
+    "token_count_docs",
+    text.token_count_docs,
+    f"SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents",
+)
+
+_QUALITY_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           len({_TOKENS}) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len({_TOKENS}), 4) AS chars_per_token,
+           len({_TOKENS}) < 40 AS is_short
+    FROM documents
+"""
+
+register("text_quality", text.text_quality, _QUALITY_SQL)
+# same oracle on purpose: pins the Arrow pandas-UDF path to identical results
+register("text_quality_pandas_udf", text.text_quality_pandas_udf, _QUALITY_SQL)
+
+register(
+    "lang_id_heuristic",
+    text.lang_id_heuristic,
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOKENS}, x -> x IN ('the','a','of','and','to','in'))) AS en_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('el','la','de','y','en','que'))) AS es_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('le','la','de','et','un','une'))) AS fr_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, en_hits, es_hits, fr_hits,
+           CASE WHEN en_hits > es_hits AND en_hits > fr_hits THEN 'en'
+                WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+                WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           (CASE WHEN en_hits > es_hits AND en_hits > fr_hits THEN 'en'
+                 WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+                 WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                 ELSE 'und' END) = lang AS agrees
+    FROM t
+    """,
+)
+
+register(
+    "doc_fingerprint",
+    text.doc_fingerprint,
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           substr(md5(text), 1, 16) AS bucket_key
+    FROM documents
+    """,
+)
+
+# -- event-time operators (events) -----------------------------------------
+
+register(
+    "events_hourly",
+    events.events_hourly,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "events_sliding",
+    events.events_sliding,
+    """
+    WITH starts AS (
+        SELECT event_type,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS w0
+        FROM events
+    ), expanded AS (
+        SELECT event_type, w0 AS ws FROM starts
+        UNION ALL
+        SELECT event_type, w0 - INTERVAL 30 MINUTE FROM starts
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+
+register(
+    "events_json_extract",
+    events.events_json_extract,
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "sessionize_users",
+    events.sessionize_users,
+    """
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new,
+               ts
+        FROM lagged
+    ), sessions AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
     """,
 )
