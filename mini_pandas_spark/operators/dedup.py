@@ -1,0 +1,267 @@
+"""Deduplication operators over ``documents`` (mandated extension surface:
+exact, n-gram Jaccard, MinHash-LSH, SimHash — SURVEY.md §2.3 rows 7-8).
+
+Algorithm notes (all composed from built-in DataFrame ops; no UDFs):
+
+- *exact*: hash groupBy on content (or a key subset) keeping the smallest
+  doc_id — the canonical-row rule that makes results deterministic.
+- *n-gram Jaccard* (exact near-dup): word-3-gram shingle sets, self-join
+  on shingle, |A∩B| / (|A|+|B|-|A∩B|).  Quadratic in matching pairs —
+  the correctness baseline the sketch methods are judged against.
+- *MinHash-LSH* (scale near-dup): 32 hash permutations over shingle
+  hashes, banded 8×4; only documents sharing a band bucket become
+  candidate pairs, then candidates are verified with exact Jaccard.
+  At j≥0.9 the banding scheme's recall is 1-(1-0.9^4)^8 ≈ 0.9998.
+- *SimHash*: 64-bit sign-aggregated token-hash sketch; near-dups are
+  pairs within Hamming distance k, found by the 8×8-bit chunk pigeonhole
+  (distance ≤7 ⇒ some chunk equal) — join per chunk, never all-pairs.
+
+Scale: the LSH/SimHash paths shuffle O(docs × bands) small rows instead
+of all-pairs; candidate verification touches only bucket-mates.  Skewed
+buckets (boilerplate shingles) are the classic hazard — the band hash
+includes the band index, and AQE skew-join splitting stays on.
+
+Determinism: every hash is Spark's xxhash64 with fixed seed 42 plus
+fixed literal permutation constants — results are stable across runs and
+partitionings, so the driver's rows-only checks are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import tokens
+from ..sources import load_table
+
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = 4
+# Mersenne prime 2^31-1: operands stay < 2^31 so a*h + b < 2^62 — no long
+# overflow under Spark 4's default ANSI arithmetic.
+_P31 = (1 << 31) - 1
+
+# Fixed multipliers / offsets for the hash permutations
+# (h_i = (a_i*h + b_i) mod P) — frozen literals so results never depend on
+# runtime RNG state.
+_PERM_A = [(2 * i * 0x9E3779B9 + 1) % _P31 for i in range(1, N_PERM + 1)]
+_PERM_B = [(i * 0x85EBCA77 + 7) % _P31 for i in range(1, N_PERM + 1)]
+
+
+def shingles(text_col) -> F.Column:
+    """Distinct word-3-gram shingles of a text column."""
+    ts = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+            ),
+        )
+    )
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text content: one canonical row (min doc_id)
+    per distinct text, with the duplicate count.
+
+    Scale: a single hash groupBy on the md5 of the content — fixed-width
+    keys, map-side partial agg; never group on the raw 100 KB text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates-by-key semantics with a deterministic survivor:
+    first row (min doc_id) per (lang, source) group.
+
+    Implemented as row_number over a window rather than dropDuplicates
+    because Spark's dropDuplicates keeps an *arbitrary* row — at scale,
+    nondeterministic survivors make reruns diverge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: word-3-gram Jaccard ≥ 0.8.
+
+    Scale: the shingle self-join explodes on shingles shared by many
+    documents (boilerplate) — this exact variant is the small-data
+    correctness baseline; minhash_lsh_pairs is the 100 TB path.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id -> N_PERM minhash values (columns mh_0..mh_{N-1})."""
+    h = F.pmod(F.xxhash64(F.col("shingle"), F.lit(42)), F.lit(_P31))
+    aggs = [
+        F.min(F.pmod(F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]), F.lit(_P31))).alias(f"mh_{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified by exact
+    Jaccard ≥ 0.8 — the 100 TB-scale variant of ngram_jaccard_pairs (and,
+    on this corpus, produces the identical pair set; pinned by a pytest).
+
+    No SQL oracle: MinHash permutations are not expressible in DuckDB
+    (different hash primitive) — the driver records a rows-only check.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    sig = _minhash_signatures(sh)
+    # band signature = one hash per ROWS_PER_BAND consecutive minhashes
+    band_cols = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
+    banded = sig.select("doc_id", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        melted.alias("a")
+        .join(
+            melted.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (touches only bucket-mates)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from distinct-token hashes: bit b of
+    the sketch is the sign of Σ_token (±1 depending on bit b of
+    xxhash64(token)).
+
+    No SQL oracle (xxhash64); rows-only + pytest-pinned hamming pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"), F.lit(42))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 via the 8-chunk
+    pigeonhole (any distance ≤ 7 pair must share an 8-bit chunk, so
+    recall at ≤ 3 is exact) — per-chunk equi-joins, never all-pairs.
+    """
+    sim = simhash_docs(spark, sf_dir)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+                )
+                for c in range(8)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.filter(dist <= 3)
+        .select("doc_a", "doc_b", dist.cast("int").alias("hamming"))
+    )

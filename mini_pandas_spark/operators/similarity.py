@@ -1,0 +1,152 @@
+"""Embedding similarity search over ``embeddings`` (mandated extension
+surface, SURVEY.md §2.3: brute-force cosine top-k baseline + an
+LSH-bucketed ANN variant for the 100 TB path).
+
+Dot products are computed with F.zip_with + F.aggregate in double
+precision, strictly left-to-right — the same accumulation order as the
+DuckDB oracle — and similarities are rounded to 6 decimals so the last
+float bit can never flip a comparison.
+
+Scale: brute force is O(queries × corpus) — fine for a bounded query set
+against a broadcast corpus, never for all-pairs.  The ANN variant buckets
+vectors by random-hyperplane sign signatures (deterministic, hash-derived
+hyperplanes) so each query only scans its bucket; recall is traded via
+the number of hyperplanes (here 6 ⇒ 64 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cosine, dot, sq_norm
+from ..sources import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+# Multi-table hyperplane LSH: L tables × k planes.  A pair is a candidate
+# if its signatures agree in ANY table — recall 1-(1-p^k)^L where p is the
+# per-plane agreement probability (1 - angle/π).
+N_TABLES = 8
+PLANES_PER_TABLE = 4
+DIM = 64
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < 10), the
+    5 nearest other vectors by cosine similarity (vec_id tiebreak).
+
+    Scale: the query side is tiny and broadcast; the corpus streams once.
+    Ranking uses a per-query window over the (query × corpus) scores.
+    """
+    vec = _vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label statistics over squared norms — the cheap sanity pass a
+    pipeline runs before ANN indexing (detects unnormalized / degenerate
+    vectors)."""
+    vec = _vectors(spark, sf_dir)
+    sq = F.round(sq_norm(F.col("v")), 6)
+    return (
+        vec.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("sq"), 6).alias("min_sq_norm"),
+            F.round(F.max("sq"), 6).alias("max_sq_norm"),
+        )
+    )
+
+
+def _hyperplane(p: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane p as array<double>: component
+    d is derived from xxhash64(p, d) mapped into [-1, 1).  Hash-derived ⇒
+    identical on every executor with no RNG or broadcast state."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(p), d, F.lit(42)), F.lit(2000)).cast("double")
+            - F.lit(1000.0)
+        )
+        / F.lit(1000.0),
+    )
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN: 8 tables × 4-bit signatures; a
+    corpus vector is a candidate for a query if their signatures agree in
+    ANY table; exact cosine then ranks only the candidates.
+
+    Scale: expected work is O(Q × N × collision_rate) instead of O(Q×N);
+    at 100 TB, write the corpus partitioned by (table, signature) so each
+    query reads L small buckets.  No SQL oracle (xxhash64-derived
+    hyperplanes); rows-only + pytest recall check vs cosine_topk.
+    """
+    vec = _vectors(spark, sf_dir)
+
+    def table_sigs(col_v) -> F.Column:
+        sigs = []
+        for t in range(N_TABLES):
+            sig = None
+            for p in range(PLANES_PER_TABLE):
+                bit = F.when(
+                    dot(col_v, _hyperplane(t * PLANES_PER_TABLE + p)) > 0, 1 << p
+                ).otherwise(0)
+                sig = bit if sig is None else sig + bit
+            sigs.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+        return F.array(*sigs)
+
+    melted = vec.select(
+        "vec_id", "v", F.explode(table_sigs(F.col("v"))).alias("ts")
+    ).select("vec_id", "v", "ts.tbl", "ts.sig")
+    q = melted.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        melted.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import events, relational, text
+from .operators import dedup, events, relational, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -357,3 +357,109 @@ register(
     FROM sessions GROUP BY user_id
     """,
 )
+
+# -- deduplication (documents) ---------------------------------------------
+
+register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT md5(text) AS content_key,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+
+register(
+    "dedup_keep_first",
+    dedup.dedup_keep_first,
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+
+_SHINGLES_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+register(
+    "ngram_jaccard_pairs",
+    dedup.ngram_jaccard_pairs,
+    _SHINGLES_CTE
+    + """
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+)
+
+# sketch-based dedup: xxhash64 permutations are not expressible in DuckDB —
+# rows-only checks; pytest pins minhash_lsh_pairs == ngram_jaccard_pairs.
+register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, None)
+register("simhash_docs", dedup.simhash_docs, None)
+register("simhash_near_pairs", dedup.simhash_near_pairs, None)
+
+# -- similarity search (embeddings) ----------------------------------------
+
+_VEC_CTE = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM embeddings
+    )
+"""
+
+register(
+    "cosine_topk",
+    similarity.cosine_topk,
+    _VEC_CTE
+    + """
+    , q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_dot_product(qv, ve)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))),
+                     6) AS sim
+        FROM v CROSS JOIN q
+        WHERE vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+
+register(
+    "embedding_norm_stats",
+    similarity.embedding_norm_stats,
+    _VEC_CTE
+    + """
+    SELECT label, COUNT(*) AS n_vectors,
+           round(MIN(round(list_dot_product(ve, ve), 6)), 6) AS min_sq_norm,
+           round(MAX(round(list_dot_product(ve, ve), 6)), 6) AS max_sq_norm
+    FROM v GROUP BY label
+    """,
+)
+
+register("lsh_ann_topk", similarity.lsh_ann_topk, None)
