@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (no driver
+collect, no column pruning shortcut).  A warmup run of the first query
+absorbs JVM/codegen startup so timings reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mini_pandas_spark.queries import queries
+from mini_pandas_spark.session import get_spark
+
+# Representative subset: scan/filter, hash agg, top-k, broadcast join,
+# windows, event-time, JSON, text, exact + sketch dedup, similarity,
+# streaming.  Names must exist in the registry.
+HEADLINE = [
+    "flagship_filter",
+    "q1_pricing_summary",
+    "topk_orders",
+    "join_broadcast_dims",
+    "window_rank_orders",
+    "events_hourly",
+    "events_json_extract",
+    "sessionize_users",
+    "token_count_docs",
+    "text_quality",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "streaming_hourly_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("mini-pandas-spark-bench")
+    qs = queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    materialize(qs[HEADLINE[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Multimodal column support: image/audio/video payloads as opaque
+``binary`` columns with typed metadata (mandated extension surface,
+SURVEY.md §2.3 row 13).
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (deterministic fake derived from the payload bytes;
+``real_decode`` raises NotImplementedError).  Everything Spark-side is
+real and tested: the binary column schema, Arrow batch transfer through
+``mapInPandas``, the per-batch UDF signature, and the output schema — on
+a real cluster you replace ``_fake_decode`` with PIL/ffmpeg and nothing
+else changes.
+
+Scale: mapInPandas streams Arrow record batches — payload bytes never
+materialize on the driver; decode parallelism equals input partitions, so
+repartition to ~core-count × executors before heavy decodes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, format string"
+)
+
+
+def real_decode(payload: bytes) -> dict:
+    """Real image decode — requires an image codec library, which this
+    container does not ship.  STUB."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not available in this container); "
+        "wire your codec here — the Spark plumbing around it is complete"
+    )
+
+
+def _fake_decode(doc_id: int, payload: bytes) -> dict:
+    """Deterministic stand-in for real_decode: metadata derived purely
+    from (doc_id, payload length) so results are reproducible and SQL-
+    expressible for the oracle check."""
+    return {
+        "n_bytes": len(payload),
+        "width": 64 + (doc_id % 512),
+        "height": 64 + ((doc_id * 7) % 512),
+        "channels": 3,
+        "format": "fake/rgb8",
+    }
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a binary payload column (utf-8 bytes of the text —
+    the fixtures ship no real media, so text bytes stand in for blobs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Binary column → typed metadata via Arrow-batched mapInPandas.
+
+    The batch function is deliberately self-contained (no references to
+    this module's globals): cloudpickle then ships it by value, so worker
+    processes never need ``mini_pandas_spark`` importable on their own
+    sys.path — the engine works regardless of the driver's cwd."""
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        def fake_decode(doc_id, payload):
+            # deterministic stand-in for the real codec (_fake_decode docs)
+            return {
+                "n_bytes": len(payload),
+                "width": 64 + (doc_id % 512),
+                "height": 64 + ((doc_id * 7) % 512),
+                "channels": 3,
+                "format": "fake/rgb8",
+            }
+
+        for pdf in batches:
+            metas = [
+                fake_decode(int(i), bytes(p))
+                for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=META_SCHEMA)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: documents → binary payload → decoded metadata.
+
+    Oracle-checkable because the fake decoder's outputs are pure SQL
+    functions of (doc_id, octet_length(text)).
+    """
+    return decode_image_meta(_with_payload(spark, sf_dir))
+
+
+def extract_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/patch sampling plumbing: split each payload into fixed-size
+    chunks (as a video is split into frames), one output row per chunk,
+    with a per-chunk byte checksum — demonstrates the 1→N mapInPandas
+    shape real frame extraction uses."""
+    CHUNK = 256
+
+    def explode_chunks(batches):
+        # self-contained (see decode_image_meta): pickled by value
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(p)
+                for k in range(0, max(len(data), 1), CHUNK):
+                    chunk = data[k : k + CHUNK]
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "chunk_idx": k // CHUNK,
+                            "chunk_bytes": len(chunk),
+                            "checksum": sum(chunk) % 65536,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return _with_payload(spark, sf_dir).mapInPandas(
+        explode_chunks,
+        schema="doc_id long, chunk_idx int, chunk_bytes int, checksum int",
+    )

@@ -463,3 +463,42 @@ register(
 )
 
 register("lsh_ann_topk", similarity.lsh_ann_topk, None)
+
+# -- streaming + multimodal -------------------------------------------------
+
+from .multimodal import binary as _binary  # noqa: E402
+from .streaming import windows as _stream_windows  # noqa: E402
+
+# Streaming windowed agg drained with AvailableNow equals the batch result
+# over static input — so it shares the batch query's ANSI oracle (a
+# deliberately strong gate for a streaming operator).
+register(
+    "streaming_hourly_counts",
+    _stream_windows.streaming_hourly_counts,
+    REGISTRY["events_hourly"][1],
+)
+
+# session_window (native streaming primitive, exercised in batch) shares
+# the islands-technique oracle of sessionize_users.
+register(
+    "session_window_agg",
+    _stream_windows.session_window_agg,
+    REGISTRY["sessionize_users"][1],
+)
+
+register(
+    "multimodal_meta",
+    _binary.multimodal_meta,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + doc_id % 512 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'fake/rgb8' AS format
+    FROM documents
+    """,
+)
+
+# per-chunk checksums need byte-level access — not SQL-expressible
+register("extract_patch_features", _binary.extract_patch_features, None)

@@ -1,0 +1,127 @@
+"""Structured Streaming event-time operators.
+
+The reference engine has no streaming at all (SURVEY.md §2.2); this module
+provides the mandated streaming-ready surface (SURVEY.md §2.3 row 12): the
+*same* window expressions as operators/events.py, run under
+``readStream`` + ``withWatermark``, so batch and streaming share one
+definition of correctness.
+
+Execution model notes:
+- the parquet source is read with an explicit schema (required for
+  streaming) matching the nanos-as-long quirk, then converted to
+  TIMESTAMP_NTZ exactly like the batch loader;
+- ``streaming_hourly_counts`` runs with Trigger.AvailableNow against the
+  static events file and lands in a memory sink — over a single
+  micro-batch the watermark drops nothing, so the result equals the batch
+  query and shares its DuckDB oracle (a deliberately strong check:
+  a *streaming* operator gated by an ANSI-SQL oracle);
+- at scale the same code points at a directory that keeps receiving
+  files, with a real trigger interval and a kafka/files sink; watermark
+  `10 minutes` bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import decimal_sum
+from ..session import ensure_runtime_confs
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table with the same ts normalization
+    as the batch loader (sources/tables.py)."""
+    ensure_runtime_confs(spark)
+    # The file-stream source requires a directory: stream the sf dir with a
+    # glob filter selecting only the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require tz-aware TIMESTAMP (not NTZ); session tz is pinned
+    # to UTC (RUNTIME_CONFS) so formatted output matches the batch/NTZ path.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation under Structured Streaming
+    (watermarked), drained with Trigger.AvailableNow into a memory sink;
+    returns the materialized result.
+
+    Same result (and same DuckDB oracle) as operators/events.events_hourly.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts via Spark's native session_window (30-min
+    gap) — the streaming-native sessionization primitive, here exercised
+    in batch mode (identical expression works under readStream).
+
+    Mirrors operators/events.sessionize_users (lag+cumsum islands); both
+    share the islands SQL oracle.
+    """
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_in_session").alias("n_events"),
+        )
+    )
