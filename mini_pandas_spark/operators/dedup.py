@@ -49,9 +49,15 @@ _PERM_A = [(2 * i * 0x9E3779B9 + 1) % _P31 for i in range(1, N_PERM + 1)]
 _PERM_B = [(i * 0x85EBCA77 + 7) % _P31 for i in range(1, N_PERM + 1)]
 
 
-def shingles(text_col) -> F.Column:
-    """Distinct word-3-gram shingles of a text column."""
-    ts = tokens(text_col)
+def shingles(tokens_col) -> F.Column:
+    """Distinct word-3-gram shingles of a *token array* column.
+
+    Takes the pre-materialized token array, NOT the raw text: inlining
+    ``split()`` here would make Catalyst duplicate the tokenizer into
+    every element_at call — O(tokens²) work per row (observed 10× blowup
+    at sf0.1).  Call sites materialize ``tokens(text)`` as a column first.
+    """
+    ts = tokens_col
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(ts) - 3, F.lit(0))),
@@ -65,7 +71,8 @@ def shingles(text_col) -> F.Column:
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
+        .select("doc_id", F.explode(shingles(F.col("__ts"))).alias("shingle"))
         .distinct()
     )
 
@@ -146,25 +153,54 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.8 — the 100 TB-scale variant of ngram_jaccard_pairs (and,
     on this corpus, produces the identical pair set; pinned by a pytest).
 
+    Plan shape (one pass over the text):
+    1. one explode → (doc_id, shingle_hash), ONE groupBy producing the 32
+       minhash mins, the distinct-hash set, and its size together — the
+       shingle table is scanned once, not thrice;
+    2. band signatures melt to (doc_id, band, sig); bucket-mates self-join
+       into candidate pairs (tiny: O(near-dups), not O(n²));
+    3. verification joins each candidate pair to the two per-doc hash-set
+       arrays and computes Jaccard via array_intersect — no third pass
+       over the exploded shingles.
+
+    Verification Jaccard runs on 31-bit shingle hashes instead of raw
+    strings; a cross-boundary collision needs ~|A|·|B|/2³¹ ≈ 1e-5 luck and
+    is accepted (the pytest pin against the exact string variant holds).
+
     No SQL oracle: MinHash permutations are not expressible in DuckDB
     (different hash primitive) — the driver records a rows-only check.
     """
-    sh = _shingle_table(spark, sf_dir)
-    sig = _minhash_signatures(sh)
-    # band signature = one hash per ROWS_PER_BAND consecutive minhashes
-    band_cols = []
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.xxhash64(F.col("shingle"), F.lit(42)), F.lit(_P31))
+    sh = (
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
+        .select("doc_id", F.explode(shingles(F.col("__ts"))).alias("shingle"))
+        .select("doc_id", h.alias("h"))
+        .distinct()
+    )
+
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("h") + F.lit(_PERM_B[i]), F.lit(_P31))).alias(f"mh_{i}")
+            for i in range(N_PERM)
+        ],
+        F.collect_set("h").alias("hashes"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    # per_doc feeds three DAG branches (bands, and both sides of the
+    # verification join) — persist the small per-doc aggregate so the
+    # expensive explode+groupBy over all shingles runs exactly once.
+    # At 100 TB this is a materialized stage table instead of a cache.
+    per_doc = per_doc.persist()
+
+    band_structs = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band_{b}"))
-    banded = sig.select("doc_id", *band_cols)
-    melted = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("bs"),
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("sig"))
+        )
+    melted = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
     cand = (
         melted.alias("a")
@@ -177,22 +213,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (touches only bucket-mates)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+
+    sets = per_doc.select("doc_id", "hashes", "sz")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hashes").alias("ha"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hashes").alias("hb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
