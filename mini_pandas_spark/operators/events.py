@@ -125,3 +125,46 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a relational op Spark lacks natively): for every
+    'error' event, the most recent prior 'purchase' by the same user.
+
+    Implemented the scale-correct way — NOT as a range join (which
+    explodes into O(n·m) candidates): union both streams tagged, one
+    window over (user, ts) carrying the last purchase timestamp forward
+    (last_value ignoring nulls), then keep the error rows.  One shuffle
+    on user_id, linear work.
+
+    Oracle: DuckDB's native ASOF JOIN — our composition must reproduce
+    the dedicated operator's semantics exactly.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        tagged.withColumn(
+            "last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("error_ts"),
+            F.date_format("last_purchase_ts", fmt).alias("last_purchase_ts"),
+        )
+    )

@@ -281,3 +281,94 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_avg("p_retailprice").alias("avg_price"),
         )
     )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority): all 4 grouping levels
+    in one Expand+Aggregate pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+def pivot_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: customer counts per nation × market segment (segments become
+    columns).  Pivot values are listed explicitly — at scale, never let
+    Spark run the extra distinct-values job.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segments)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_nationkey",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segments],
+        )
+    )
+
+
+def stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/corr/covar) per return flag, rounded
+    to 4 decimals: accumulation-order float noise is ~1e-12 relative, far
+    inside the rounding guard, so results are cross-engine stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        # + 0.0 normalizes IEEE negative zero (round can yield -0.0 on one
+        # engine and 0.0 on the other)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("covar_disc_tax"),
+    )
+
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface: case mapping, substring, concat,
+    replace, length, trim — all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extraction + arithmetic on order dates: year/month/day,
+    quarter bucketing, and month-delta revenue grouping."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+
+    At 100 TB the approx variant avoids the expand+exact-distinct shuffle
+    entirely — this query exists to expose the sketch surface; rows-only
+    check (HLL estimates are engine-specific).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).cast("long").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -502,3 +502,85 @@ register(
 
 # per-chunk checksums need byte-level access — not SQL-expressible
 register("extract_patch_features", _binary.extract_patch_features, None)
+
+# -- extended relational surface -------------------------------------------
+
+register(
+    "cube_orders",
+    relational.cube_orders,
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_MONEY_SUM.format(col='o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+register(
+    "pivot_segment_region",
+    relational.pivot_segment_region,
+    """
+    SELECT c_nationkey,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS building,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS furniture,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS household,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS machinery
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+
+register(
+    "stats_lineitem",
+    relational.stats_lineitem,
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+register(
+    "string_funcs_part",
+    relational.string_funcs_part,
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+
+register(
+    "date_funcs_orders",
+    relational.date_funcs_orders,
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           COUNT(*) AS n_orders,
+           {_MONEY_SUM.format(col='o_totalprice')} AS revenue
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+
+# HLL estimates are engine-specific — rows-only
+register("approx_distinct_parts", relational.approx_distinct_parts, None)
+
+register(
+    "asof_join_purchase",
+    events.asof_join_purchase,
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
