@@ -168,3 +168,47 @@ def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("last_purchase_ts", fmt).alias("last_purchase_ts"),
         )
     )
+
+
+def zscore_events_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization of event values via grouped-map
+    applyInPandas — the 4th Python-UDF shape (scalar, mapInPandas, and
+    state live elsewhere), oracle-gated against the window-function SQL.
+
+    Scale: one shuffle on the grouping key; each group becomes a pandas
+    frame in an Arrow batch.  Groups must fit in executor memory — for
+    heavy keys prefer the pure-window formulation this is checked against.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf):
+        # self-contained closure (pickled by value; no module refs)
+        m = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "user_id"]].copy()
+        z = (pdf["value"] - m) / sd if sd and sd == sd else pdf["value"] * 0.0
+        out["zscore"] = (z * 10000).round() / 10000
+        return out
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id long, user_id long, zscore double")
+    )
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders priced above the global average.
+
+    The global aggregate is one row — Spark broadcasts it; never compute
+    it per-row or collect() it to the driver.
+    """
+    from ..functions import money_avg
+
+    o = load_table(spark, sf_dir, "orders")
+    avg_row = o.agg(money_avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice", F.round("avg_price", 4).alias("avg_price"))
+    )

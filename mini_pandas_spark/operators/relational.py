@@ -372,3 +372,20 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).cast("long").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: combining two projections
+    with different schemas (the schema-evolution shape every long-lived
+    dataset hits); absent columns become nulls."""
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        "c_custkey", F.col("c_name").alias("name"), F.lit("v1").alias("schema_ver")
+    )
+    new = c.select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("v2").alias("schema_ver"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)

@@ -584,3 +584,51 @@ register(
       ON e.user_id = p.user_id AND p.ts <= e.ts
     """,
 )
+
+register(
+    "zscore_events_grouped_map",
+    events.zscore_events_grouped_map,
+    """
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+
+register(
+    "above_avg_orders",
+    events.above_avg_orders,
+    """
+    WITH a AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, round(avg_price, 4) AS avg_price
+    FROM orders, a WHERE o_totalprice > avg_price
+    """,
+)
+
+register(
+    "union_schema_evolution",
+    relational.union_schema_evolution,
+    """
+    SELECT c_custkey, c_name AS name, 'v1' AS schema_ver,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, 'v2', c_mktsegment FROM customer
+    """,
+)
+
+register(
+    "streaming_user_totals",
+    _stream_windows.streaming_user_totals,
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+)

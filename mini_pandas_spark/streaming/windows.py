@@ -125,3 +125,55 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_in_session").alias("n_events"),
         )
     )
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (count + exact cent sum) maintained in
+    GroupState across micro-batches.
+
+    Drained with AvailableNow over the static fixture this equals the
+    batch groupBy, so it shares an ANSI oracle — the state machinery is
+    correctness-gated, not just smoke-tested.  On a live stream the same
+    code emits one update per user per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update_totals(key, pdfs, state):
+        # self-contained closure (pickled by value; no module refs)
+        import pandas as pd
+
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer cents — float sums would drift across batches
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    agg = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"state_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
