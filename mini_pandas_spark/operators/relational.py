@@ -389,3 +389,58 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v2").alias("schema_ver"),
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+def right_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (supplier keyed off nation): every nation row
+    survives, suppliers nullable."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def full_outer_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two key sets (customers vs suppliers per
+    nation), the reconciliation shape: rows where either side is missing
+    survive with nulls."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def window_funcs_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function family on one ordered spec:
+    rank, dense_rank, lead, ntile — all sharing a single sort/shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

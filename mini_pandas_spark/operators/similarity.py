@@ -150,3 +150,23 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4): the
+    embedding-space analogue of the text dedup family.
+
+    Scale: written here as the exact all-pairs self-join (correctness
+    baseline; 125k pairs at sf0.01).  At 100 TB the same predicate runs
+    after an LSH-bucket prefilter exactly like lsh_ann_topk — never ship
+    the raw cross join.
+    """
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = vec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )

@@ -632,3 +632,58 @@ register(
     FROM events GROUP BY user_id
     """,
 )
+
+register(
+    "right_join_orders",
+    relational.right_join_orders,
+    """
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+register(
+    "full_outer_join_keys",
+    relational.full_outer_join_keys,
+    """
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    """,
+)
+
+register(
+    "window_funcs_variety",
+    relational.window_funcs_variety,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+
+register(
+    "embedding_near_dup_pairs",
+    similarity.embedding_near_dup_pairs,
+    _VEC_CTE
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))),
+                 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ve, b.ve)
+                / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))),
+                6) >= 0.4
+    """,
+)
