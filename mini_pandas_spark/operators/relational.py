@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import decimal_sum, money_avg, money_sum
+from ..functions import cents, decimal_sum, disc_price_sum, money_avg, money_sum
 from ..sources import load_table
 
 
@@ -55,11 +55,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").cast("double").alias("sum_qty"),
             money_sum("l_extendedprice").alias("sum_base_price"),
-            decimal_sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")),
-                scale=4,
-            ).alias("sum_disc_price"),
+            disc_price_sum("l_extendedprice", "l_discount").alias("sum_disc_price"),
             money_avg("l_extendedprice").alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -468,11 +464,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
         .agg(
-            decimal_sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")),
-                scale=4,
-            ).alias("revenue"),
+            disc_price_sum("l_extendedprice", "l_discount").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -494,11 +486,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            decimal_sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(18,2)"),
-                scale=4,
-            ).alias("revenue"),
+            (F.sum((cents("l_extendedprice") * cents("l_discount")).cast("decimal(38,0)"))
+             .cast("double") / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -62,9 +62,7 @@ register(
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
@@ -693,9 +691,7 @@ register(
     relational.q3_shipping_priority,
     """
     SELECT o_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -713,8 +709,9 @@ register(
     "q6_forecast_revenue",
     relational.q6_forecast_revenue,
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT) AS DECIMAL(38,0)))
+                AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
