@@ -306,3 +306,53 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(dist <= 3)
         .select("doc_a", "doc_b", dist.cast("int").alias("hamming"))
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters* via iterative min-label propagation (connected
+    components) over the exact near-dup pair graph: every document in a
+    near-dup component maps to the component's smallest doc_id.
+
+    This is the engine's iterative-algorithm shape: a Python driver loop
+    over DataFrame joins, converging in O(component diameter) rounds, with
+    localCheckpoint each round to truncate lineage (at 100 TB: write
+    intermediate label tables to parquet instead, and switch to the
+    large-star/small-star algorithm to bound round count).
+
+    Oracle: a recursive CTE computing the same transitive closure.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(20):  # diameter bound; converges much earlier
+        neigh_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("lbl").alias("neigh_lbl"))
+        )
+        updated = (
+            labels.join(neigh_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("neigh_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.lbl") != F.col("l.lbl"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))

@@ -491,3 +491,28 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list aggregation with deterministic output: per customer,
+    the sorted array of their order keys (array_sort makes the result
+    independent of shuffle arrival order)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) per order status —
+    Spark's percentile == DuckDB's quantile_cont definition."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -121,3 +121,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("bucket_key"),
     )
+
+
+def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode/lateral-view pipeline: global token counts,
+    top 20 (count desc, token tiebreak).
+
+    Scale: explode → map-side partial count → one shuffle on token →
+    heap top-k.  Token skew is absorbed by the partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def md5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep documents whose md5 starts
+    with '0' or '1' (≈ 1/8 sample).
+
+    This — not rand()-based sample() — is how a 100 TB pipeline samples
+    reproducibly: membership is a pure function of content, stable across
+    reruns, engines, and repartitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5("text"), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "source")

@@ -720,3 +720,69 @@ register(
       AND l_quantity < 24
     """,
 )
+
+register(
+    "word_count_top20",
+    text.word_count_top20,
+    f"""
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest({_TOKENS}) AS token FROM documents
+    ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+
+register(
+    "md5_hash_sample",
+    text.md5_hash_sample,
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+)
+
+register(
+    "array_agg_orders",
+    relational.array_agg_orders,
+    """
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+
+register(
+    "quantiles_prices",
+    relational.quantiles_prices,
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+register(
+    "dedup_clusters",
+    dedup.dedup_clusters,
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    , p AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL
+        SELECT doc_b, doc_a FROM p
+    ), reach AS (
+        SELECT a AS doc, a AS lbl FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+    )
+    SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+)
