@@ -27,17 +27,22 @@ from mini_pandas_spark.session import get_spark
 HEADLINE = [
     "flagship_filter",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "topk_orders",
     "join_broadcast_dims",
+    "asof_join_purchase",
     "window_rank_orders",
     "events_hourly",
     "events_json_extract",
     "sessionize_users",
     "token_count_docs",
     "text_quality",
+    "word_count_top20",
     "dedup_exact",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "lsh_ann_topk",
     "streaming_hourly_counts",
 ]
 

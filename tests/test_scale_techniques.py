@@ -1,0 +1,83 @@
+"""Executable demonstrations of the 100 TB techniques the docstrings
+promise: bucketed co-located joins (no shuffle at join time) and salted
+aggregation of skewed keys (same result, bounded partition size)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Writing both join sides bucketed on the key lets Spark join them
+    with zero Exchange nodes — the plan property that makes repeated
+    100 TB fact-to-fact joins affordable."""
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    wh = str(tmp_path)
+    (left.write.format("parquet")
+         .option("path", f"{wh}/bt_left")
+         .bucketBy(8, "k").sortBy("k").saveAsTable("bt_left"))
+    (right.write.format("parquet")
+         .option("path", f"{wh}/bt_right")
+         .bucketBy(8, "k").sortBy("k").saveAsTable("bt_right"))
+    # force a sort-merge join so the property under test is visible
+    # (broadcast would hide the shuffle question entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_left").join(spark.table("bt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # no shuffle at join
+        assert "SortMergeJoin" in plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE bt_left")
+    spark.sql("DROP TABLE bt_right")
+
+
+def test_salted_aggregation_matches_direct(spark):
+    """Two-phase salted aggregation (the skew-mitigation pattern) must be
+    value-identical to the direct groupBy: partial sums per (key, salt)
+    then re-aggregate per key."""
+    # skewed: 90% of rows share one key
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    direct = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    SALT = 16
+    salted = (
+        df.withColumn("salt", F.pmod(F.xxhash64("v", F.lit(7)), F.lit(SALT)))
+        .groupBy("k", "salt")
+        .agg(F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pn"))
+        .groupBy("k")
+        .agg(F.sum("ps").alias("s"), F.sum("pn").alias("n"))
+    )
+    got = {r["k"]: (r["s"], r["n"]) for r in salted.collect()}
+    assert got == direct
+
+
+def test_repartition_by_range_sorts_within_files(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions: the pre-sort layout that
+    gives min/max-pruned parquet at scale."""
+    df = spark.range(10_000).select((F.col("id") % 1000).alias("k"), "id")
+    out = str(tmp_path / "ranged")
+    (df.repartitionByRange(4, "k").sortWithinPartitions("k")
+       .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    # range partitioning: each file covers a disjoint k-range
+    files = back.select(F.input_file_name().alias("f"), "k")
+    stats = files.groupBy("f").agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()
+    ranges = sorted((r["lo"], r["hi"]) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint
