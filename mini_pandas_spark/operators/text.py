@@ -152,3 +152,27 @@ def md5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.substring(F.md5("text"), 1, 1).isin("0", "1")
     ).select("doc_id", "lang", "source")
+
+
+def regexp_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction over documents: first 4+-letter word starting
+    with 's', and counts of a token pattern — the shape of PII scanners
+    and boilerplate detectors in training-data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(s[a-z]{3,})\b", 1).alias("first_s_word"),
+        F.size(F.split(F.col("text"), r"\bdata\b", -1)).cast("long").alias("data_hits_plus1"),
+    )
+
+
+def pii_mask_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking transform: digits → '#', the redaction primitive (applied
+    here to all docs; real pipelines gate it on a detector)."""
+    d = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.col("text"), r"[0-9]", "#")
+    return d.select(
+        "doc_id",
+        F.substring(masked, 1, 50).alias("masked_prefix"),
+        (F.length(masked) == F.length("text")).alias("length_preserved"),
+    )

@@ -786,3 +786,44 @@ register(
     FROM reach GROUP BY doc
     """,
 )
+
+register(
+    "regexp_extract_stats",
+    text.regexp_extract_stats,
+    r"""
+    SELECT doc_id,
+           coalesce(regexp_extract(text, '\b(s[a-z]{3,})\b', 1), '') AS first_s_word,
+           CAST(len(regexp_split_to_array(text, '\bdata\b')) AS BIGINT) AS data_hits_plus1
+    FROM documents
+    """,
+)
+
+register(
+    "pii_mask_docs",
+    text.pii_mask_docs,
+    r"""
+    SELECT doc_id,
+           substr(regexp_replace(text, '[0-9]', '#', 'g'), 1, 50) AS masked_prefix,
+           length(regexp_replace(text, '[0-9]', '#', 'g')) = length(text) AS length_preserved
+    FROM documents
+    """,
+)
+
+register(
+    "q5_local_supplier_volume",
+    relational.q5_local_supplier_volume,
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(38,0)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
