@@ -262,3 +262,20 @@ def test_from_dict_rectangularity(spark):
 def test_frame_len(spark, products):
     assert len(products) == 4
     assert len(products["price"]) == 4
+
+
+def test_multi_column_projection(spark, products):
+    sub = products[["SKU", "price"]]
+    assert sub.names == ["SKU", "price"]
+    assert sub.to_dict() == {
+        "SKU": ["X4E", "T3D", "F8D", "C7X"],
+        "price": [7.0, 3.5, 8.0, 5.0],
+    }
+    with pytest.raises(ValueError, match="Column not found"):
+        products[["SKU", "nope"]]
+
+
+def test_to_spark_escape_hatch(spark, products):
+    sdf = products.to_spark()
+    assert sorted(sdf.columns) == ["SKU", "price", "sales", "taxed"]
+    assert sdf.count() == 4
