@@ -57,8 +57,21 @@ def main() -> None:
     spark = get_spark("mini-pandas-spark-bench")
     qs = queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # Warmup (not billed): JVM/codegen, the Python worker pool (several
+    # headline queries use Arrow UDFs), and one full scan of every input
+    # table so timings measure steady-state compute, not page-cache state.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from mini_pandas_spark.sources import TABLE_NAMES, load_table
+
     materialize(qs[HEADLINE[0]](spark, sf_dir))
+    warm_udf = pandas_udf(lambda s: s * 1, "long")
+    materialize(
+        spark.range(1000).repartition(64).select(warm_udf(F.col("id")).alias("v"))
+    )
+    for t in TABLE_NAMES:
+        materialize(load_table(spark, sf_dir, t))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
