@@ -539,3 +539,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL frontend surface: tables registered as temp views, the
+    query expressed in Spark SQL — identical Catalyst plan to the
+    DataFrame API, one engine, two dialects."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM sqlv_orders
+        JOIN sqlv_customer ON o_custkey = c_custkey
+        JOIN sqlv_nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -1,0 +1,71 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale discipline (SURVEY.md §4) is encoded as *testable plan
+properties*: filters reach parquet scans, dimension joins broadcast,
+top-k never globally sorts, text pipelines never leave the JVM.  These
+helpers read the executed plan so both the regression tests
+(tests/test_plan_quality.py) and ad-hoc tuning sessions assert the same
+things the same way.
+
+The reference engine has no plans at all (eager Python loops,
+SURVEY.md §3-4); this module is the observability layer Catalyst makes
+possible.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The (possibly adaptive) executed physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return executed_plan(df).count("BroadcastHashJoin") + executed_plan(df).count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if any scan carries a non-empty PushedFilters list."""
+    return bool(re.search(r"PushedFilters: \[[^\]]+\]", executed_plan(df)))
+
+
+def has_cartesian_product(df: DataFrame) -> bool:
+    return "CartesianProduct" in executed_plan(df)
+
+
+def python_eval_nodes(df: DataFrame) -> list[str]:
+    """Python evaluation operators in the plan (Batch = row-at-a-time,
+    Arrow/MapInPandas = vectorized)."""
+    plan = executed_plan(df)
+    return re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans (wider is better: more of the
+    plan fused into single JIT'd loops).
+
+    Caveat: with AQE enabled the plan text carries codegen ids only once
+    the frame's own QueryExecution has run (isFinalPlan=true) — execute
+    the frame (e.g. ``df.collect()``) before calling this."""
+    plan = executed_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    """True if top-k runs as TakeOrderedAndProject (heap per task) rather
+    than a global sort."""
+    return "TakeOrderedAndProject" in executed_plan(df)

@@ -827,3 +827,17 @@ register(
     GROUP BY n_name
     """,
 )
+
+register(
+    "sql_frontend_revenue",
+    relational.sql_frontend_revenue,
+    f"""
+    SELECT n_name,
+           {_MONEY_SUM.format(col='o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
