@@ -558,3 +558,55 @@ def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): part's numeric columns become
+    (metric, value) rows — the inverse of pivot_segment_region."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)"
+        " AS (metric, value)",
+    )
+
+
+def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 upsert without MERGE INTO (no
+    Delta in this image): anti-join + union + deterministic versioning.
+
+    A synthetic change-set (every 10th customer gets +100 balance) is
+    merged into the dimension: changed keys keep their old row flagged
+    non-current and gain a version-2 current row; untouched keys stay
+    version-1 current.  At 100 TB this runs partitioned on the business
+    key with the change-set broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("acctbal", F.round(F.col("acctbal") + 100.0, 2))
+    )
+    unchanged = c.join(updates.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        "acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    expired = c.join(updates.select("c_custkey"), "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_name",
+        "acctbal",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = updates.select(
+        "c_custkey",
+        "c_name",
+        "acctbal",
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(expired).unionByName(fresh)

@@ -211,3 +211,101 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= 0.4)
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+LLOYD_ITERS = 2
+
+
+def _assign(vec: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, score
+    with one dot per (vector, centroid), keep the argmax by cosine."""
+    scored = vec.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-style coarse quantizer (16
+    centroids, 2 Lloyd iterations, deterministic init = lowest vec_ids),
+    then each query probes its 4 nearest cells and ranks cell members by
+    exact cosine.
+
+    This is the engine's second iterative algorithm (after
+    dedup_clusters): the Lloyd loop is a Python driver loop over
+    DataFrame ops.  At 100 TB: train the quantizer on a hash-sample,
+    write the corpus partitioned by cell, and nprobe bounds query I/O to
+    nprobe/k of the data.  Rows-only + pytest recall vs cosine_topk.
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    cents = (
+        vec.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(LLOYD_ITERS):
+        assigned = _assign(vec, cents)
+        # recompute centroids: elementwise mean per cell
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .withColumn("cnrm", F.sqrt(sq_norm(F.col("cv"))))
+            .localCheckpoint()
+        )
+    corpus = _assign(vec, cents)
+    # queries probe their N_PROBE nearest cells
+    q = vec.filter(F.col("vec_id") < N_QUERIES)
+    qs = q.join(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    probes = (
+        qs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("query_id", "qv", "qnrm", "cid")
+    )
+    scored = (
+        probes.join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

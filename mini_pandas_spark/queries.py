@@ -841,3 +841,36 @@ register(
     GROUP BY n_name
     """,
 )
+
+register(
+    "unpivot_part_metrics",
+    relational.unpivot_part_metrics,
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+
+register(
+    "scd2_merge_emulation",
+    relational.scd2_merge_emulation,
+    """
+    WITH updates AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal AS acctbal,
+           CAST(1 AS INTEGER) AS version, TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 != 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, CAST(1 AS INTEGER), FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal, CAST(2 AS INTEGER), TRUE FROM updates
+    """,
+)
+
+# IVF quantizer is iterative k-means — not SQL-expressible; rows-only +
+# pytest recall floor vs cosine_topk.
+register("ivf_ann_topk", similarity.ivf_ann_topk, None)
