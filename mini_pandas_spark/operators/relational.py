@@ -610,3 +610,38 @@ def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(expired).unionByName(fresh)
+
+
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, preserving duplicate counts):
+    lineitem ship-mode-ish flags minus the returned subset — the
+    bag-semantics counterpart of set_ops_nations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    all_rows = li.select("l_returnflag", "l_linestatus")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_returnflag", "l_linestatus"
+    )
+    return (
+        all_rows.exceptAll(returned)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing (floor((x-lo)/w)) —
+    the scalable histogram: one projection + one tiny groupBy, no sort,
+    no per-bucket pass."""
+    o = load_table(spark, sf_dir, "orders")
+    lo, width = 0.0, 25000.0
+    bucket = F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width + lo).alias("lo_edge"),
+            "n",
+        )
+    )

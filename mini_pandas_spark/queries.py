@@ -874,3 +874,26 @@ register(
 # IVF quantizer is iterative k-means — not SQL-expressible; rows-only +
 # pytest recall floor vs cosine_topk.
 register("ivf_ann_topk", similarity.ivf_ann_topk, None)
+
+register(
+    "except_all_multiset",
+    relational.except_all_multiset,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        EXCEPT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY 1, 2
+    """,
+)
+
+register(
+    "price_histogram",
+    relational.price_histogram,
+    """
+    SELECT bucket, bucket * 25000.0 + 0.0 AS lo_edge, COUNT(*) AS n FROM (
+        SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket
+        FROM orders
+    ) GROUP BY bucket
+    """,
+)

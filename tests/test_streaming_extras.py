@@ -1,0 +1,55 @@
+"""Streaming surface beyond the registered queries: foreachBatch sink
+(the exactly-once pattern for arbitrary sinks) and watermark-driven
+state cleanup plumbing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from mini_pandas_spark.streaming import read_events_stream
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch gives each micro-batch as a normal DataFrame plus an
+    epoch id — the hook for idempotent writes to arbitrary sinks."""
+    out = str(tmp_path / "sink")
+    seen = []
+
+    def write_batch(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    ev = read_events_stream(spark, SF)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 1
+    total = sum(n for _, n in seen[-1:])  # complete mode: last batch has all groups
+    assert total == 5  # five event types
+    back = spark.read.parquet(f"{out}/epoch={seen[-1][0]}")
+    assert back.count() == 5
+    assert sum(r["n"] for r in back.collect()) == 1000  # all events counted
+
+
+def test_streaming_query_progress_observable(spark):
+    """lastProgress exposes rows-processed telemetry — the ops hook a
+    production pipeline monitors."""
+    ev = read_events_stream(spark, SF)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("progress_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    assert q.lastProgress["numInputRows"] == 1000
