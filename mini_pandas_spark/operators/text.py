@@ -176,3 +176,43 @@ def pii_mask_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(masked, 1, 50).alias("masked_prefix"),
         (F.length(masked) == F.length("text")).alias("length_preserved"),
     )
+
+
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (charter: "whitespace + a BPE-ish
+    regex"): alpha runs, digit runs, and punctuation runs counted
+    separately — the pre-tokenizer shape GPT-style BPE uses.
+
+    Kept to character-class-only regex so Java and RE2 dialects agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    alpha = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+")).cast("long")
+    digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).cast("long")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]+")).cast("long")
+    return d.select(
+        "doc_id",
+        alpha.alias("n_alpha_tokens"),
+        digit.alias("n_digit_tokens"),
+        punct.alias("n_punct_tokens"),
+        (alpha + digit + punct).alias("n_bpe_tokens"),
+    )
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE shape): per-column null count,
+    distinct count, min/max — one pass, one row out.
+
+    Scale: all profile aggregates compute in a single aggregation over
+    one scan; never profile columns in separate passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias("text_nulls"),
+        F.countDistinct("lang").cast("long").alias("lang_distinct"),
+        F.countDistinct("source").cast("long").alias("source_distinct"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

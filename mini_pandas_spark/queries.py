@@ -897,3 +897,48 @@ register(
     ) GROUP BY bucket
     """,
 )
+
+register(
+    "token_count_bpe_regex",
+    text.token_count_bpe_regex,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_tokens,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_punct_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+register(
+    "profile_documents",
+    text.profile_documents,
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    """,
+)
+
+register(
+    "stream_stream_join",
+    _stream_windows.stream_stream_join,
+    """
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           e.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts <= e.ts
+     AND p.ts > e.ts - INTERVAL 30 MINUTE
+    """,
+)

@@ -177,3 +177,53 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each 'error' event joined to the same
+    user's 'purchase' events within the preceding 30 minutes — both
+    sides are watermarked streams, so Spark bounds the join state.
+
+    Drained with AvailableNow over the static fixture the result equals
+    the equivalent batch time-range join, so it carries a full ANSI
+    oracle — a stream-stream join gated by DuckDB.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        F.expr(
+            "e_user = p_user AND p_ts <= e_ts AND p_ts > e_ts - INTERVAL '30' MINUTE"
+        ),
+    ).select(
+        "error_id",
+        "purchase_id",
+        F.col("e_user").alias("user_id"),
+    )
+    sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
