@@ -309,3 +309,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column function surface over embeddings: slicing, element
+    access, length — the ops a feature-store consumer uses without
+    unpacking vectors."""
+    vec = _vectors(spark, sf_dir)
+    return vec.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("first_dim"),
+        F.round(F.element_at("v", -1), 6).alias("last_dim"),
+        F.transform(F.slice("v", 1, 4), lambda x: F.round(x, 6)).alias("head4"),
+    )

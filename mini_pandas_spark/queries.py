@@ -942,3 +942,41 @@ register(
      AND p.ts > e.ts - INTERVAL 30 MINUTE
     """,
 )
+
+register(
+    "grouping_sets_orders",
+    relational.grouping_sets_orders,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+register(
+    "window_range_frame",
+    relational.window_range_frame,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+               AS n_in_band
+    FROM orders
+    """,
+)
+
+register(
+    "array_functions_demo",
+    similarity.array_functions_demo,
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           round(CAST(embedding[-1] AS DOUBLE), 6) AS last_dim,
+           list_transform(CAST(embedding[1:4] AS DOUBLE[]), x -> round(x, 6)) AS head4
+    FROM embeddings
+    """,
+)
