@@ -190,11 +190,23 @@ class MiniFrame:
 
     def apply_mask(self, mask: "MiniSeries") -> "MiniFrame":
         """Filter rows by a boolean mask (reference df[mask],
-        data_frame.py:374-385; mask validation :161-168)."""
-        _validate_mask(mask, self.length)
+        data_frame.py:374-385; mask validation :161-168).
+
+        Optional-mask policy: driver-local frames (the reference-fixture
+        world, where nullability is inferred from actual data) keep the
+        reference's strict raise on optional masks.  Scan-backed frames
+        are schema-pessimistic (parquet marks everything nullable), so an
+        optional mask is accepted and coerced null→False — which in
+        filter position is exactly the reference's
+        ReplaceOutputNoneHandler(False) semantics."""
+        strict = RID in self.sdf.columns
+        _validate_mask(mask, self.length, strict_optional=strict)
         if mask.parent is self:
+            cond = mask.filter_expr
+            if mask.optional:
+                cond = F.coalesce(cond, F.lit(False))
             return MiniFrame(
-                self.sdf.filter(mask.filter_expr),
+                self.sdf.filter(cond),
                 length=None,
                 dtypes=dict(self._dtypes),
                 optionals=dict(self._optionals),
@@ -297,12 +309,12 @@ def _py_type_of(dt: DataType) -> type:
     return object
 
 
-def _validate_mask(mask: Any, length: int | None) -> None:
+def _validate_mask(mask: Any, length: int | None, strict_optional: bool = True) -> None:
     if not isinstance(mask, MiniSeries):
         raise ValueError("Mask must be a Series")
     if mask.dtype is not bool:
         raise ValueError("Mask must be a boolean Series")
-    if mask.optional:
+    if mask.optional and strict_optional:
         # reference raises on optional masks (data_frame.py:167-168)
         raise ValueError("Mask must not be optional")
     if (
