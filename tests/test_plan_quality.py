@@ -76,3 +76,24 @@ def test_no_cartesian_anywhere_in_headline(spark, qs):
             continue  # starts a stream; covered by its oracle check
         p = plan_of(spark, qs, name)
         assert "CartesianProduct" not in p, name
+
+
+STREAMING_QUERIES = {
+    "streaming_hourly_counts",
+    "streaming_user_totals",
+    "stream_stream_join",
+}
+
+
+def test_global_plan_sweep_all_queries(spark, qs):
+    """Every registered batch query: no CartesianProduct, no row-at-a-time
+    BatchEvalPython anywhere in the executed plan."""
+    from mini_pandas_spark import plans
+
+    for name, fn in qs.items():
+        if name in STREAMING_QUERIES:
+            continue  # building them runs a stream; covered by oracles
+        df = fn(spark, SF)
+        plan = plans.executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
