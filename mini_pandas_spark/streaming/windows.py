@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,30 @@ EVENTS_SCHEMA = StructType(
 )
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession):
+    """Pin streaming state partitions to the cluster's parallelism.
+
+    AQE never coalesces stateful streaming shuffles: the state partition
+    count is frozen per-checkpoint from ``spark.sql.shuffle.partitions`` at
+    query start (default 200), so a bare driver session runs 200 near-empty
+    state tasks per micro-batch.  ``defaultParallelism`` tracks executor
+    cores, so the same knob stays right on a 1000-executor cluster.  The
+    prior value is restored afterwards so batch queries in the caller's
+    session keep their own tuning.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)  # None ⇒ not explicitly set
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,14 +117,15 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -168,14 +194,15 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"state_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -218,12 +245,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_user").alias("user_id"),
     )
     sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
