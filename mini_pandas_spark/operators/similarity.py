@@ -151,11 +151,18 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     sig_udf = pandas_udf(_sigs, "array<int>")
-    melted = (
-        vec.select("vec_id", "v", "nrm", sig_udf("v").alias("sigs"))
-        .select("vec_id", "v", "nrm", F.posexplode("sigs").alias("tbl", "sig"))
-    )
-    q = melted.filter(F.col("vec_id") < N_QUERIES).select(
+
+    def _melt(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", "v", "nrm", sig_udf("v").alias("sigs")).select(
+            "vec_id", "v", "nrm", F.posexplode("sigs").alias("tbl", "sig")
+        )
+
+    melted = _melt(vec)
+    # Signatures for the query side are computed from the 10-row filtered
+    # input, NOT by filtering `melted`: the two join branches are separate
+    # subtrees to Catalyst, so reusing `melted` would run the corpus-wide
+    # signature UDF twice (observed ~2× the query's runtime at sf0.1).
+    q = _melt(vec.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
