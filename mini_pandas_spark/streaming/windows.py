@@ -206,6 +206,97 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (state API v2): typed ValueState inside a
+    StatefulProcessor instead of applyInPandasWithState's single tuple.
+
+    Mirrors streaming_user_totals (same oracle): drained AvailableNow over
+    the static fixture the result equals the batch groupBy, so the v2
+    state machinery is gated by the ANSI oracle.  transformWithState
+    requires the RocksDB state store — set per-query and restored, like
+    the partition pin.
+
+    Gated: the state API v2 Python protocol needs ``protobuf``, which this
+    container does not ship (and installs are off-limits) — raises
+    NotImplementedError there, so it is NOT in the driver registry;
+    streaming_user_totals (applyInPandasWithState) carries the
+    oracle-gated stateful-streaming surface.  On a protobuf-equipped
+    cluster this function runs as-is (pytest exercises it when possible).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package for its "
+            "state-server protocol; it is not installed in this environment. "
+            "Use streaming_user_totals (applyInPandasWithState) instead."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    ev = read_events_stream(spark, sf_dir)
+
+    class TotalsProcessor(StatefulProcessor):
+        # self-contained: pickled by value (local class); pandas imported
+        # in-method so workers never resolve this package.
+        def init(self, handle):
+            self._totals = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # exact integer cents — float sums would drift across batches
+                cents += int((pdf["value"] * 100).round().sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self):
+            pass
+
+    agg = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    sink = f"tws_sink_{uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    return spark.table(sink)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each 'error' event joined to the same
     user's 'purchase' events within the preceding 30 minutes — both
