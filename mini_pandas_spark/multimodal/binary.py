@@ -100,6 +100,107 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(_with_payload(spark, sf_dir))
 
 
+THUMB = 16  # aspect-fit resize target (thumbnail side, px)
+
+
+def resize_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline plumbing: binary payload in → resized binary
+    payload out through one Arrow-batched mapInPandas pass.
+
+    The codec is the deterministic fake (real one: NotImplementedError in
+    ``real_decode``): source dims come from the fake decoder, the target
+    is an aspect-fit THUMB×THUMB box (integer arithmetic, so the oracle
+    can recompute it), and the "resized" payload is the input bytes
+    cyclically resampled to out_w*out_h*3 — byte count exactly what a
+    real RGB8 thumbnail would occupy.  The query projects
+    octet_length(payload) so the oracle cross-checks that the UDF really
+    produced right-sized binary output, not just the arithmetic.
+    """
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        # self-contained (see decode_image_meta): pickled by value
+        import pandas as pd
+
+        THUMB_ = 16
+
+        def fake_dims(doc_id):
+            return 64 + (doc_id % 512), 64 + ((doc_id * 7) % 512)
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id, data = int(i), bytes(p)
+                w, h = fake_dims(doc_id)
+                m = max(w, h)
+                out_w, out_h = max(w * THUMB_ // m, 1), max(h * THUMB_ // m, 1)
+                n_out = out_w * out_h * 3
+                # cyclic byte resample stands in for real interpolation
+                resized = bytes(data[k % len(data)] for k in range(n_out))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    resized = _with_payload(spark, sf_dir).mapInPandas(
+        resize_batches,
+        schema="doc_id long, out_width int, out_height int, payload binary",
+    )
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.octet_length("payload").alias("out_n_bytes"),
+    )
+
+
+def audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing: the payload as a PCM byte stream cut into
+    overlapping analysis frames (window 400 B, hop 160 B — the classic
+    25 ms/10 ms split at 16 kHz mono 8-bit), one output row per frame.
+
+    The UDF genuinely slices the byte string (frame_bytes is measured
+    from the slice, not computed), so the arithmetic oracle cross-checks
+    the byte-level work.  1→N fan-out via mapInPandas; decode of a real
+    container format would slot in before the framing loop
+    (``real_decode`` marks that stub).
+    """
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        # self-contained: pickled by value
+        import pandas as pd
+
+        WINDOW, HOP = 400, 160
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id, data = int(i), bytes(p)
+                start = 0
+                idx = 0
+                while start < len(data):
+                    frame = data[start : start + WINDOW]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "start_byte": start,
+                            "frame_bytes": len(frame),
+                        }
+                    )
+                    idx += 1
+                    start += HOP
+            yield pd.DataFrame(rows)
+
+    return _with_payload(spark, sf_dir).mapInPandas(
+        frame_batches,
+        schema="doc_id long, frame_idx int, start_byte int, frame_bytes int",
+    )
+
+
 def extract_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/patch sampling plumbing: split each payload into fixed-size
     chunks (as a video is split into frames), one output row per chunk,

@@ -501,6 +501,43 @@ register(
 # per-chunk checksums need byte-level access — not SQL-expressible
 register("extract_patch_features", _binary.extract_patch_features, None)
 
+# the oracle recomputes the aspect-fit arithmetic AND the resized payload
+# byte count that the UDF actually produced (octet_length cross-check)
+register(
+    "multimodal_resize",
+    _binary.resize_image_stub,
+    """
+    SELECT doc_id, CAST(ow AS INTEGER) AS out_width,
+           CAST(oh AS INTEGER) AS out_height,
+           CAST(ow * oh * 3 AS INTEGER) AS out_n_bytes
+    FROM (
+      SELECT doc_id,
+             GREATEST((w * 16) // GREATEST(w, h), 1) AS ow,
+             GREATEST((h * 16) // GREATEST(w, h), 1) AS oh
+      FROM (SELECT doc_id, 64 + doc_id % 512 AS w,
+                   64 + (doc_id * 7) % 512 AS h
+            FROM documents)
+    )
+    """,
+)
+
+# frame_bytes is measured from the actual byte slice in the UDF; the
+# oracle recomputes it arithmetically from octet_length
+register(
+    "audio_frame_sample",
+    _binary.audio_frame_sample,
+    """
+    SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+           CAST(idx * 160 AS INTEGER) AS start_byte,
+           CAST(LEAST(400, len - idx * 160) AS INTEGER) AS frame_bytes
+    FROM (
+      SELECT doc_id, len,
+             UNNEST(generate_series(0, (len + 159) // 160 - 1)) AS idx
+      FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+    )
+    """,
+)
+
 # -- extended relational surface -------------------------------------------
 
 register(

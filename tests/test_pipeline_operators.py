@@ -78,3 +78,29 @@ def test_ivf_ann_recall_vs_brute_force(spark, qs):
         for r in qs["ivf_ann_topk"](spark, SF).collect()
     }
     assert len(ivf & brute) / len(brute) >= 0.6
+
+
+def test_multimodal_frame_ops_cover_payload(spark, qs):
+    """The 1→N multimodal fan-outs must tile the payload exactly: audio
+    frames hop 160 B and the last frame ends at the payload length; the
+    resize stub's binary output is exactly out_w*out_h*3 bytes."""
+    import collections
+
+    meta = {r["doc_id"]: r["n_bytes"] for r in qs["multimodal_meta"](spark, SF).collect()}
+
+    frames = collections.defaultdict(list)
+    for r in qs["audio_frame_sample"](spark, SF).collect():
+        frames[r["doc_id"]].append(r)
+    assert set(frames) == set(meta)
+    for doc_id, fr in frames.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        n = meta[doc_id]
+        assert [r["start_byte"] for r in fr] == [i * 160 for i in range(len(fr))]
+        last = fr[-1]
+        assert last["start_byte"] + last["frame_bytes"] == n
+        assert all(r["frame_bytes"] == min(400, n - r["start_byte"]) for r in fr)
+
+    for r in qs["multimodal_resize"](spark, SF).collect():
+        assert r["out_n_bytes"] == r["out_width"] * r["out_height"] * 3
+        assert 1 <= r["out_width"] <= 16 and 1 <= r["out_height"] <= 16
+        assert max(r["out_width"], r["out_height"]) == 16
