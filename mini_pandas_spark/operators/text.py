@@ -216,3 +216,50 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def chunk_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data token chunking via a Python UDTF (Spark 4 API
+    surface): each document splits into 32-token windows with stride 24
+    (8-token overlap), the standard pre-tokenization chunking an LLM
+    pipeline applies before packing sequences.
+
+    The UDTF is applied with a SQL LATERAL join — the table-function
+    analogue of explode — and the chunk text, index, and size come from
+    real Python slicing, cross-checked by a DuckDB oracle that rebuilds
+    the same windows with list slices.
+
+    Scale: per-row fan-out, no shuffle; at 100 TB this runs as a narrow
+    stage.  (UDTF eval is row-at-a-time Python — acceptable here because
+    chunking is string-bound either way; the Arrow-batched alternative is
+    the mapInPandas pattern in multimodal/binary.py.)
+    """
+    from pyspark.sql.functions import udtf
+
+    # useArrow explicit: the decorator resolves the execution mode at
+    # creation time, so relying on the session conf would leave a bare
+    # driver session on row-at-a-time BatchEvalPythonUDTF.
+    @udtf(
+        returnType="chunk_idx int, n_chunk_tokens int, chunk_text string",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        # self-contained: pickled by value (local class, builtins only)
+        def eval(self, text: str):
+            toks = text.strip().split()
+            idx, start = 0, 0
+            while start < len(toks):
+                chunk = toks[start : start + 32]
+                yield idx, len(chunk), " ".join(chunk)
+                idx += 1
+                start += 24
+
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    d.createOrReplaceTempView("__docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM __docs_for_chunking d, LATERAL chunk_tokens(d.text) c
+        """
+    )

@@ -521,6 +521,24 @@ register(
     """,
 )
 
+# the oracle rebuilds the UDTF's 32/24 token windows with list slices
+register(
+    "chunk_tokens_udtf",
+    text.chunk_tokens_udtf,
+    r"""
+    SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+           CAST(LEAST(32, n - idx * 24) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[(idx * 24 + 1):(idx * 24 + 32)], ' ')
+               AS chunk_text
+    FROM (
+      SELECT doc_id, toks, len(toks) AS n,
+             UNNEST(generate_series(0, (len(toks) + 23) // 24 - 1)) AS idx
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+    """,
+)
+
 # frame_bytes is measured from the actual byte slice in the UDF; the
 # oracle recomputes it arithmetically from octet_length
 register(

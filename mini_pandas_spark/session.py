@@ -25,6 +25,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs evaluate through Arrow batches (ArrowEvalPythonUDTF)
+    # instead of row-at-a-time BatchEvalPythonUDTF pickling.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Deterministic timestamp rendering regardless of host zone.
     "spark.sql.session.timeZone": "UTC",
 }
