@@ -90,6 +90,31 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation as events_json_extract but through the VARIANT
+    type (Spark 4): ``props`` parses ONCE into a binary variant with
+    parse_json, fields come out with variant_get — the engine's
+    recommended path for repeated multi-key extraction over
+    semi-structured data (single parse, shredded binary access, no
+    per-access string re-parse like get_json_object).
+
+    Shares the string-path query's DuckDB oracle — both must produce
+    identical aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) — the classic
     stateful event operator, expressed as lag + conditional cumulative sum

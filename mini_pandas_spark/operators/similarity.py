@@ -325,25 +325,27 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
 
     corpus = _assign_np(vec, cids, cn)
-    # tiny normalized-centroid table for the probe ranking below
-    cents = spark.createDataFrame(
-        [(c, [float(x) for x in row]) for c, row in zip(cids, cn)],
-        "cid long, cv array<double>",
-    ).withColumn("cnrm", F.lit(1.0))
-    # queries probe their N_PROBE nearest cells
-    q = vec.filter(F.col("vec_id") < N_QUERIES)
-    qs = q.join(F.broadcast(cents)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        "cid",
-        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+    # Probe selection runs on the driver: queries (N_QUERIES rows) and
+    # centroids (k×dim) are both tiny and already local, so ranking cells
+    # in numpy replaces a broadcast join + window subplan — two fewer
+    # exchanges and one less codegen'd stage on the cold path.  lexsort
+    # (cid asc within equal similarity) matches the old window's
+    # (cs desc, cid asc) order.
+    qrows = (
+        vec.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm").collect()
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cid"))
-    probes = (
-        qs.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= N_PROBE)
-        .select("query_id", "qv", "qnrm", "cid")
+    qrows.sort(key=lambda r: r["vec_id"])
+    Cn = np.asarray(cn)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=float)
+        cs = (qv / r["nrm"]) @ Cn.T
+        for j in np.lexsort((np.asarray(cids), -cs))[:N_PROBE]:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in qv], float(r["nrm"]), int(cids[j]))
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, qnrm double, cid long"
     )
     scored = (
         probes.join(corpus, "cid")

@@ -329,6 +329,14 @@ register(
     """,
 )
 
+# VARIANT-type path (parse_json + variant_get) must equal the
+# string-path JSON aggregates — same oracle by construction.
+register(
+    "events_variant_extract",
+    events.events_variant_extract,
+    REGISTRY["events_json_extract"][1],
+)
+
 register(
     "sessionize_users",
     events.sessionize_users,
