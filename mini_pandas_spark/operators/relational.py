@@ -679,3 +679,53 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.count(F.lit(1)).over(w).alias("n_in_band"),
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order-priority checking — orders in one quarter
+    having at least one returned lineitem, counted by priority.  (The
+    fixture ships no commit/receipt dates, so ``l_returnflag = 'R'``
+    stands in for Q4's late-delivery EXISTS; the plan shape — filtered
+    scan + EXISTS-as-semi-join + count by priority — is the point.)
+
+    Scale: the date filter pushes into the orders scan and the
+    returnflag filter into lineitem; the EXISTS is a left-semi join, so
+    no lineitem columns are carried and duplicates never multiply rows.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    items in one quarter — 4-way join (customer × orders × returned
+    lineitems × nation) + agg + top-k.
+
+    Scale: nation broadcasts; the quarter+returnflag filters shrink the
+    fact side before the customer join; top-k is a heap
+    (TakeOrderedAndProject), never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(disc_price_sum("l_extendedprice", "l_discount").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
