@@ -82,6 +82,18 @@ def cents(col: Column | str) -> Column:
     return F.round(c * 100).cast("long")
 
 
+def disc_price(price_col: str, disc_col: str) -> Column:
+    """Per-row price·(1-discount) as an exact long in 1e-4 currency units
+    (cent-product).  Feed to decimal_sum(scale=0); divide the final sum by
+    10000.0 — or take a ratio of two such sums, where the unit cancels.
+
+    DuckDB mirror: CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100)
+    AS BIGINT)).
+    """
+    p, d = cents(price_col), cents(disc_col)
+    return p * (F.lit(100) - d)
+
+
 def disc_price_sum(price_col: str, disc_col: str) -> Column:
     """Σ price·(1-discount) computed as per-row long cent-products summed
     under DECIMAL(38,0) (overflow-safe at any scale), divided back to a

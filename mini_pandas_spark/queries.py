@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, relational, similarity, text
+from .operators import dedup, events, relational, similarity, text, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1076,5 +1076,331 @@ register(
            round(CAST(embedding[-1] AS DOUBLE), 6) AS last_dim,
            list_transform(CAST(embedding[1:4] AS DOUBLE[]), x -> round(x, 6)) AS head4
     FROM embeddings
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H family completion (Q2, Q7-Q9, Q11-Q22 shaped — operators/tpch.py).
+# With these, all 22 TPC-H query shapes are registered and oracle-gated.
+# ---------------------------------------------------------------------------
+
+_DISC_VOL = (
+    "CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount*100) AS BIGINT))"
+)
+_DISC_SUM = (
+    "CAST(SUM(CAST(" + _DISC_VOL + " AS DECIMAL(38,0))) AS DOUBLE) / 10000.0"
+)
+
+register(
+    "q2_min_cost_supplier",
+    tpch.q2_min_cost_supplier,
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), mc AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost FROM costs GROUP BY 1
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+    FROM costs
+    JOIN mc ON costs.l_partkey = mc.l_partkey AND costs.unit_cost = mc.min_cost
+    JOIN part ON costs.l_partkey = p_partkey
+    JOIN supplier ON costs.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 10 AND p_type = 'STANDARD'
+    """,
+)
+
+register(
+    "q7_volume_shipping",
+    tpch.q7_volume_shipping,
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_DISC_SUM} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+
+register(
+    "q8_market_share",
+    tpch.q8_market_share,
+    f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(
+             CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                                ELSE 0 END AS DECIMAL(28,0))) AS DOUBLE)
+             / CAST(SUM(CAST(vol AS DECIMAL(28,0))) AS DOUBLE), 6) + 0.0
+               AS mkt_share
+    FROM (
+      SELECT o_orderdate, n2.n_name AS supp_nation, {_DISC_VOL} AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    )
+    GROUP BY 1
+    """,
+)
+
+register(
+    "q9_product_profit",
+    tpch.q9_product_profit,
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(profit_e4 AS DECIMAL(28,0))) AS DOUBLE) / 10000.0
+               AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l_discount*100) AS BIGINT))
+             - CAST(round(l_quantity) AS BIGINT)
+               * CAST(round(p_retailprice*100) AS BIGINT) * 10 AS profit_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%'
+    )
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "q11_important_stock",
+    tpch.q11_important_stock,
+    """
+    WITH by_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT) AS DECIMAL(28,0)))
+                  AS DOUBLE) / 100.0 AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(CAST(CAST(round(value*100) AS BIGINT)
+                   AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS total_value
+      FROM by_part
+    )
+    SELECT l_partkey, value FROM by_part, tot
+    WHERE value > total_value * 0.001
+    """,
+)
+
+register(
+    "q12_shipmode_priority",
+    tpch.q12_shipmode_priority,
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+
+register(
+    "q13_customer_distribution",
+    tpch.q13_customer_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+
+register(
+    "q14_promo_revenue",
+    tpch.q14_promo_revenue,
+    f"""
+    SELECT round(
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN vol
+                                ELSE 0 END AS DECIMAL(28,0))) AS DOUBLE)
+             * 100.0
+             / CAST(SUM(CAST(vol AS DECIMAL(28,0))) AS DOUBLE), 6) + 0.0
+               AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT p_type, {_DISC_VOL} AS vol
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+    )
+    """,
+)
+
+register(
+    "q15_top_supplier",
+    tpch.q15_top_supplier,
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey, {_DISC_SUM} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+
+register(
+    "q16_parts_supplier_count",
+    tpch.q16_parts_supplier_count,
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+
+register(
+    "q17_small_quantity_revenue",
+    tpch.q17_small_quantity_revenue,
+    """
+    WITH pq AS (
+      SELECT l_partkey AS aq_partkey,
+             CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT)
+                  AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pq   ON l_partkey = aq_partkey
+    WHERE p_brand = 'Brand#4' AND l_quantity < avg_qty * 0.2
+    """,
+)
+
+register(
+    "q18_large_volume_customers",
+    tpch.q18_large_volume_customers,
+    """
+    WITH big AS (
+      SELECT l_orderkey AS big_orderkey,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(SUM(l_quantity) AS DOUBLE) > 250.0
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM orders
+    JOIN big      ON o_orderkey = big_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+register(
+    "q19_discounted_revenue",
+    tpch.q19_discounted_revenue,
+    f"""
+    SELECT {_DISC_SUM} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+register(
+    "q20_excess_suppliers",
+    tpch.q20_excess_suppliers,
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(l_quantity) AS DOUBLE) > 100.0)
+    """,
+)
+
+register(
+    "q21_suppliers_kept_waiting",
+    tpch.q21_suppliers_kept_waiting,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+register(
+    "q22_global_sales_opportunity",
+    tpch.q22_global_sales_opportunity,
+    """
+    WITH c2 AS (
+      SELECT * FROM customer WHERE (c_nationkey % 5) IN (0, 2, 3)
+    ), ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM c2 WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM c2, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
     """,
 )
