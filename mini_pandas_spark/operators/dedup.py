@@ -428,3 +428,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+def blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: candidate pairs share a
+    24-char normalized prefix (the blocking key), then exact Levenshtein
+    on the first 200 chars filters to distance ≤ 40.
+
+    This is the classic record-linkage shape at scale: the O(n²) distance
+    never runs — the equi-join on the block key prunes candidates to
+    within-bucket pairs, and the quadratic-cost kernel touches only
+    those.  (Skewed blocks would need a length-prefix or second key;
+    documents here block near-uniquely.)
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 24).alias("blk"),
+        F.substring(F.lower(F.col("text")), 1, 200).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )

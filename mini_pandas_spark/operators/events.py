@@ -237,3 +237,22 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_totalprice", F.round("avg_price", 4).alias("avg_price"))
     )
+
+
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface: props parses ONCE into map<string,string>
+    (from_json precomputed as a column — never re-parse per extraction),
+    then map_keys / size / element_at / transform_values operate on it
+    JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    with_map = ev.withColumn("m", F.from_json("props", "map<string,string>"))
+    doubled = F.transform_values(
+        "m", lambda _, v: v.cast("long") * 2
+    )
+    return with_map.select(
+        "event_id",
+        F.array_sort(F.map_keys("m")).alias("keys"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.element_at("m", "k").cast("long").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )

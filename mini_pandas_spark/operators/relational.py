@@ -729,3 +729,134 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+def salted_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: salt the 3-value hot key
+    (l_returnflag) with pmod(xxhash64(rowkey), 16), partially aggregate
+    per (key, salt), then re-aggregate per key.
+
+    Result is identical to the direct groupBy (the oracle IS the direct
+    SQL) because the cent-product sums are exact decimals — associative
+    under any grouping.  Scale: with 3 hot keys and 1000 executors, the
+    direct plan funnels everything through 3 reducers; the salted plan
+    spreads stage one across 48 and stage two moves only 48 rows.  (AQE
+    skew handling covers joins, not aggregations — salting is still the
+    tool for hot-key group-bys.)
+    """
+    from ..functions import disc_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(16)).alias("salt")
+    partial = (
+        li.groupBy("l_returnflag", salt)
+        .agg(
+            F.sum(disc_price("l_extendedprice", "l_discount").cast("decimal(38,0)"))
+            .alias("psum"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("psum").cast("double") / 10000.0).alias("revenue"),
+        F.sum("pn").alias("n_items"),
+    )
+
+
+def date_spine_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: one row per day in 1996-Q1 with that
+    day's order count and revenue, zeros on quiet days — the
+    sequence+explode generated-table pattern every reporting pipeline
+    needs (a missing day must appear as 0, not vanish).
+
+    Scale: the spine is generated, tiny, and broadcast; the fact side
+    aggregates to O(days) rows before the join, so the left join moves
+    no fact rows.
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("rev"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max without a window: max over struct(price, key) is a
+    lexicographic single-pass aggregate — per status, the highest-priced
+    order (orderkey breaks price ties).
+
+    Scale: this is the shuffle-cheapest arg-max — map-side partial max,
+    3 rows cross the wire; the window/row_number alternative sorts every
+    partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("mx"))
+        .select(
+            "o_orderstatus",
+            F.col("mx.o_totalprice").alias("top_price"),
+            F.col("mx.o_orderkey").alias("top_orderkey"),
+        )
+    )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame per
+    customer (date+orderkey ordering — unique, so every frame function is
+    deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+def mode_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent l_quantity per return flag):
+    count per value + row_number with a value tiebreak — built-in MODE()
+    breaks ties arbitrarily and differently per engine, this never does.
+
+    Scale: the count groupBy is map-side partial; the window runs over
+    ≤ |distinct values| rows per key, not over the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

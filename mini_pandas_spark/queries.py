@@ -1404,3 +1404,118 @@ register(
     GROUP BY 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Skew/salting, record linkage, generated tables, map functions, streaming
+# dedup — second extension batch.
+# ---------------------------------------------------------------------------
+
+register(
+    "salted_groupby_sum",
+    relational.salted_groupby_sum,
+    f"""
+    SELECT l_returnflag, {_DISC_SUM} AS revenue, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+
+register(
+    "date_spine_daily_orders",
+    relational.date_spine_daily_orders,
+    """
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                   DATE '1996-03-31', INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(rev, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+
+register(
+    "argmax_order_per_status",
+    relational.argmax_order_per_status,
+    """
+    SELECT o_orderstatus, o_totalprice AS top_price,
+           o_orderkey AS top_orderkey
+    FROM (
+      SELECT o_orderstatus, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+                 AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+
+register(
+    "window_first_last",
+    relational.window_first_last,
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+register(
+    "mode_quantity_per_flag",
+    relational.mode_quantity_per_flag,
+    """
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences
+    FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+
+register(
+    "blocked_levenshtein_pairs",
+    dedup.blocked_levenshtein_pairs,
+    """
+    WITH d AS (
+      SELECT doc_id, substr(lower(text), 1, 24) AS blk,
+             substr(lower(text), 1, 200) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 40
+    """,
+)
+
+register(
+    "map_functions_events",
+    events.map_functions_events,
+    """
+    SELECT event_id,
+           list_sort(json_keys(props)) AS keys,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           CAST(props->>'k' AS BIGINT) * 2 AS k_doubled,
+    FROM events
+    """,
+)
+
+register(
+    "streaming_dedup_events",
+    _stream_windows.streaming_dedup_events,
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)

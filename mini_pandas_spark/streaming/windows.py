@@ -346,3 +346,32 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    under Structured Streaming keeps the first arrival per key — projected
+    to the key columns, the drained result is exactly DISTINCT keys, so it
+    shares a plain SQL oracle.
+
+    State discipline at scale: unwatermarked dropDuplicates state grows
+    with |distinct keys| forever; for unbounded key domains use
+    dropDuplicatesWithinWatermark so keys older than the watermark evict
+    (semantics then depend on arrival time, which is why the gated query
+    is the exact variant).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = f"dedup_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

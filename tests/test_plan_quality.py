@@ -82,6 +82,7 @@ STREAMING_QUERIES = {
     "streaming_hourly_counts",
     "streaming_user_totals",
     "stream_stream_join",
+    "streaming_dedup_events",
 }
 
 
