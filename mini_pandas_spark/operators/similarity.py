@@ -276,13 +276,19 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster this is the standard cache-the-training-set pattern.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vec = _vectors_with_norm(spark, sf_dir).repartition(n_part).persist()
-    init = (
-        vec.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), "v")
+    # ONE driver job fetches both the deterministic init centroids
+    # (vec_id < k) and the query vectors (vec_id < N_QUERIES): they are
+    # filters on the same cached frame, and folding them halves the
+    # cold-path plan-compilation jobs this algorithm pays before Lloyd.
+    head = (
+        vec.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+        .select("vec_id", "v", "nrm")
         .collect()
     )
-    init.sort(key=lambda r: r["cid"])
-    cids = [int(r["cid"]) for r in init]
+    head.sort(key=lambda r: r["vec_id"])
+    init = [r for r in head if r["vec_id"] < N_CENTROIDS]
+    qrows = [r for r in head if r["vec_id"] < N_QUERIES]
+    cids = [int(r["vec_id"]) for r in init]
     C = np.stack([np.asarray(r["v"], dtype=float) for r in init])
     cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
 
@@ -325,16 +331,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
 
     corpus = _assign_np(vec, cids, cn)
-    # Probe selection runs on the driver: queries (N_QUERIES rows) and
-    # centroids (k×dim) are both tiny and already local, so ranking cells
-    # in numpy replaces a broadcast join + window subplan — two fewer
-    # exchanges and one less codegen'd stage on the cold path.  lexsort
-    # (cid asc within equal similarity) matches the old window's
-    # (cs desc, cid asc) order.
-    qrows = (
-        vec.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm").collect()
-    )
-    qrows.sort(key=lambda r: r["vec_id"])
+    # Probe selection runs on the driver: queries (N_QUERIES rows, fetched
+    # in the head collect above) and centroids (k×dim) are both tiny and
+    # already local, so ranking cells in numpy replaces a broadcast join +
+    # window subplan — two fewer exchanges and one less codegen'd stage on
+    # the cold path.  lexsort (cid asc within equal similarity) matches
+    # the old window's (cs desc, cid asc) order.
     Cn = np.asarray(cn)
     probe_rows = []
     for r in qrows:
