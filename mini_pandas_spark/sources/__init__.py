@@ -7,7 +7,15 @@ wrappers over Spark's native readers so pushdown/pruning are preserved.
 """
 
 from .tables import BROADCAST_DIMS, TABLE_NAMES, load_table, load_tables
-from .io import read_csv, read_json, read_parquet, write_csv, write_json, write_parquet
+from .io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 
 __all__ = [
     "BROADCAST_DIMS",
@@ -18,6 +26,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_parquet",
+    "write_bucketed_table",
     "write_csv",
     "write_json",
 ]

@@ -48,14 +48,38 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
-    bucket_by: tuple[int, list[str]] | None = None,
 ) -> None:
     """Parquet sink.  ``partition_by`` gives directory partition pruning;
-    at 100 TB choose low-cardinality columns (date, source) only."""
+    at 100 TB choose low-cardinality columns (date, source) only.  For
+    bucketed layouts use :func:`write_bucketed_table` — Spark only honors
+    ``bucketBy`` through the table catalog, not a bare path sink."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet sink via ``saveAsTable`` (the only API through
+    which Spark persists bucket metadata).  Both sides of a repeated
+    fact-to-fact join written with the same ``n_buckets``/``bucket_cols``
+    join with ZERO Exchange nodes — the layout that amortizes the shuffle
+    of a 100 TB join across every downstream query
+    (demonstrated in tests/test_scale_techniques.py)."""
+    writer = (
+        df.write.format("parquet").mode(mode).option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:

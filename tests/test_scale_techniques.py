@@ -16,15 +16,13 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     right = spark.range(10_000).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
     )
+    from mini_pandas_spark.sources import write_bucketed_table
+
     spark.sql("DROP TABLE IF EXISTS bt_left")
     spark.sql("DROP TABLE IF EXISTS bt_right")
     wh = str(tmp_path)
-    (left.write.format("parquet")
-         .option("path", f"{wh}/bt_left")
-         .bucketBy(8, "k").sortBy("k").saveAsTable("bt_left"))
-    (right.write.format("parquet")
-         .option("path", f"{wh}/bt_right")
-         .bucketBy(8, "k").sortBy("k").saveAsTable("bt_right"))
+    write_bucketed_table(left, "bt_left", f"{wh}/bt_left", 8, ["k"])
+    write_bucketed_table(right, "bt_right", f"{wh}/bt_right", 8, ["k"])
     # force a sort-merge join so the property under test is visible
     # (broadcast would hide the shuffle question entirely)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
