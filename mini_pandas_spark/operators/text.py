@@ -263,3 +263,66 @@ def chunk_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_for_chunking d, LATERAL chunk_tokens(d.text) c
         """
     )
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of tokens taken by the single most frequent token, and the fraction of
+    duplicated adjacent bigrams.  These are the standard repetition
+    filters (Rae et al. 2021 §A1.1) an LLM-data pipeline applies after
+    the cheap length filters in :func:`text_quality`.
+
+    The bigram statistic is computed entirely expression-side (slice +
+    zip_with + array_distinct on a precomputed token array — one narrow
+    projection, no shuffle).  The top-token statistic needs per-(doc,
+    token) counts, done as explode → two-level groupBy so map-side partial
+    aggregation bounds shuffle volume; n_tokens/dup_bigram_frac ride the
+    grouping keys (functionally dependent on doc_id) instead of a second
+    join against the base table.
+
+    Scale: one explode + agg on (doc_id, token) — partial aggregation
+    makes the shuffle proportional to distinct tokens per doc, not token
+    occurrences; no skew (keys are doc-scoped).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # precompute the token array once; never inline an array-producing
+    # expression into per-element lambdas (Catalyst duplicates it)
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_doc = base.select(
+        "doc_id",
+        "toks",
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_tokens", "dup_bigram_frac", F.explode("toks").alias("tok")
+        )
+        .groupBy("doc_id", "n_tokens", "dup_bigram_frac", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "dup_bigram_frac")
+        .agg(F.max("c").alias("top_n"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_bigram_frac",
+            F.round(F.col("top_n").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+        )
+    )

@@ -1028,6 +1028,33 @@ register(
 )
 
 register(
+    "repetition_signals",
+    text.repetition_signals,
+    rf"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ), per_doc AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+        CASE WHEN len(toks) >= 2 THEN
+          round(1.0 - CAST(len(list_distinct(list_transform(
+              list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+              z -> z[1] || ' ' || z[2]))) AS DOUBLE) / (len(toks) - 1), 4)
+        ELSE 0.0 END AS dup_bigram_frac
+      FROM base
+    ), tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      GROUP BY doc_id, tok
+    ), top_tok AS (
+      SELECT doc_id, MAX(c) AS top_n FROM tok_counts GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.dup_bigram_frac,
+           round(CAST(t.top_n AS DOUBLE) / p.n_tokens, 4) AS top_token_frac
+    FROM per_doc p JOIN top_tok t USING (doc_id)
+    """,
+)
+
+register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,
     """

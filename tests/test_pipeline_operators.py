@@ -104,3 +104,20 @@ def test_multimodal_frame_ops_cover_payload(spark, qs):
         assert r["out_n_bytes"] == r["out_width"] * r["out_height"] * 3
         assert 1 <= r["out_width"] <= 16 and 1 <= r["out_height"] <= 16
         assert max(r["out_width"], r["out_height"]) == 16
+
+
+def test_repetition_signals_bounds_and_shuffles(spark, qs):
+    """Repetition signals are well-formed fractions (top-token ≥ 1/n,
+    dup-bigram in [0,1)) and the plan pays at most the two agg shuffles
+    the algorithm needs (none for the expression-side bigram stat)."""
+    df = qs["repetition_signals"](spark, SF)
+    from mini_pandas_spark import plans
+
+    assert plans.executed_plan(df).count("Exchange") <= 2
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert r["top_token_frac"] >= round(1.0 / r["n_tokens"], 4) - 1e-9
+        assert r["top_token_frac"] <= 1.0
