@@ -326,3 +326,77 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Multiplicative hash for deterministic splits: Knuth's 2^32/phi constant,
+# reduced mod 2^31-1 so both engines stay inside ANSI BIGINT (CLAUDE.md
+# determinism rules).  Pure arithmetic — identical in Spark and DuckDB.
+_SPLIT_PRIME = 2654435761
+_SPLIT_MOD = 2147483647
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of doc_id, reported as per-(source, split) doc and token counts —
+    the reproducible-split primitive every training-data pipeline needs
+    (random() splits are neither reproducible nor resumable).
+
+    Scale: the split is a narrow per-row projection (no shuffle, no RNG
+    state); only the audit aggregation shuffles, on the tiny
+    (source, split) key space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), token_count("text").alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in doc_id order and
+    cut at fixed token budgets (2048), the boundary-splitting packing used
+    to build LLM training batches.  Each doc gets the chunk containing its
+    first token: chunk_id = floor(start_offset / budget) over a running
+    token-count sum.
+
+    Scale: a global ordering would serialize on one partition, so packing
+    runs per shard (deterministic doc_id mod) — shards are independent
+    training streams, each packed with its own running sum; the window's
+    partitionBy IS the shard key, so the only shuffle is the hash exchange
+    into shards.  Per-chunk stats then aggregate on (shard, chunk).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(PACK_SHARDS)).alias("shard"),
+        token_count("text").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    assigned = base.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET)).alias(
+            "chunk_id"
+        ),
+    )
+    return assigned.groupBy("shard", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

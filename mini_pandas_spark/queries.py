@@ -1055,6 +1055,42 @@ register(
 )
 
 register(
+    "train_split_assign",
+    text.train_split_assign,
+    rf"""
+    SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM (
+      SELECT source,
+             CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+                  ELSE 'test' END AS split,
+             len({_TOKENS}) AS n_tok
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+)
+
+register(
+    "pack_sequences",
+    text.pack_sequences,
+    rf"""
+    SELECT shard, chunk_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM (
+      SELECT shard, doc_id, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+                         - n_tok) / 2048.0) AS BIGINT) AS chunk_id
+      FROM (
+        SELECT doc_id, doc_id % 8 AS shard, len({_TOKENS}) AS n_tok
+        FROM documents
+      )
+    )
+    GROUP BY shard, chunk_id
+    """,
+)
+
+register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,
     """

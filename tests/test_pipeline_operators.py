@@ -121,3 +121,48 @@ def test_repetition_signals_bounds_and_shuffles(spark, qs):
         assert 0.0 <= r["dup_bigram_frac"] < 1.0
         assert r["top_token_frac"] >= round(1.0 / r["n_tokens"], 4) - 1e-9
         assert r["top_token_frac"] <= 1.0
+
+
+def test_train_split_partitions_corpus(spark, qs):
+    """Split assignment is a partition of the corpus with ~80/10/10 mass
+    and is deterministic across re-execution (no RNG anywhere)."""
+    rows = qs["train_split_assign"](spark, SF).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert sum(by_split.values()) == 500
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
+    again = {(r["source"], r["split"]): (r["n_docs"], r["n_tokens"])
+             for r in qs["train_split_assign"](spark, SF).collect()}
+    assert again == {(r["source"], r["split"]): (r["n_docs"], r["n_tokens"]) for r in rows}
+
+
+def test_pack_sequences_conserves_tokens(spark, qs):
+    """Packing conserves total tokens, numbers chunks contiguously from 0
+    per shard, and every non-final chunk starts within budget of its
+    predecessor (boundary-splitting greedy semantics)."""
+    import collections
+
+    rows = qs["pack_sequences"](spark, SF).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    n_tok = {r["doc_id"]: r["n_tokens"]
+             for r in qs["token_count_docs"](spark, SF).collect()}
+    assert total == sum(n_tok.values())
+    shards = collections.defaultdict(list)
+    for r in rows:
+        shards[r["shard"]].append(r)
+    assert set(shards) == set(range(8))
+    for shard, ch in shards.items():
+        ch.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in ch] == list(range(len(ch)))
+        # doc ranges are disjoint and ordered chunk-to-chunk
+        for a, b in zip(ch, ch[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        # exact greedy invariant: the doc after chunk k starts at the
+        # cumulative token sum, which must lie past boundary 2048*(k+1)
+        # (chunks may under-fill only when a doc straddles the boundary)
+        cum = 0
+        for c in ch[:-1]:
+            cum += c["n_tokens"]
+            assert cum >= 2048 * (c["chunk_id"] + 1)
