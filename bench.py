@@ -38,6 +38,8 @@ HEADLINE = [
     "sessionize_users",
     "token_count_docs",
     "text_quality",
+    "repetition_signals",
+    "pack_sequences",
     "word_count_top20",
     "dedup_exact",
     "minhash_lsh_pairs",
