@@ -400,3 +400,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document: term frequency × ln(N/df), the
+    classic salient-term extractor (keyword tagging / topic labeling in a
+    training-data pipeline).  Score is rounded to 6 decimals and ranked
+    with a term tiebreak so the argmax is engine-independent.
+
+    Scale: two partial-aggregated shuffles (per-(doc, term) counts, then
+    per-term document frequency), a term-keyed join, and the per-doc
+    argmax window.  The corpus size N enters as a broadcast scalar
+    aggregate, not a driver-side count — the plan stays one job.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), (F.col("tfidf") + 0.0).alias("tfidf"))
+    )

@@ -1091,6 +1091,32 @@ register(
 )
 
 register(
+    "tfidf_top_terms",
+    text.tfidf_top_terms,
+    rf"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term,
+             round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf + 0.0 AS tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+
+register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,
     """
