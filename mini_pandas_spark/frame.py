@@ -252,6 +252,183 @@ class MiniFrame:
             optionals[out] = True  # left join may null right side
         return MiniFrame(joined, length=None, dtypes=dtypes, optionals=optionals)
 
+    # -- pandas-like sugar (beyond the reference surface) ------------------
+    #
+    # The reference never got past its broken left_join, but its API is
+    # visibly pandas-shaped; these helpers give a reference user the
+    # pandas verbs they'd reach for next, as thin lazy wrappers over the
+    # Spark ops this engine already exposes.  Validation stays eager
+    # (reference error-at-call-site discipline); execution stays deferred.
+
+    def _copy(self, sdf: SparkDataFrame, length=None, dtypes=None, optionals=None):
+        return MiniFrame(
+            sdf,
+            length=length,
+            dtypes=dtypes or dict(self._dtypes),
+            optionals=optionals or dict(self._optionals),
+        )
+
+    def sort_values(self, by, ascending=True) -> "MiniFrame":
+        """Stable multi-key sort.  Driver-local frames reassign the hidden
+        row index to the new order so later positional ops see the sorted
+        sequence; scan-backed frames compile to a plain global orderBy
+        (range-partitioned exchange at scale)."""
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        if len(asc) != len(by):
+            raise ValueError("ascending must match by in length")
+        for c in by:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        keys = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        if RID in self.sdf.columns:
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(*keys, F.col(RID).asc())  # RID tiebreak = stable
+            sdf = (
+                self.sdf.withColumn("__new_rid__", F.row_number().over(w) - 1)
+                .drop(RID)
+                .withColumnRenamed("__new_rid__", RID)
+            )
+            return self._copy(sdf, length=self.length)
+        return self._copy(self.sdf.orderBy(*keys))
+
+    def head(self, n: int = 5) -> "MiniFrame":
+        """First n rows (positional order for driver-local frames; for
+        scan-backed frames simply a limit — Spark relations are unordered,
+        matching the reference's lack of an index)."""
+        if RID in self.sdf.columns:
+            return self._copy(self.sdf.orderBy(RID).limit(n))
+        return self._copy(self.sdf.limit(n))
+
+    def rename(self, mapping: dict[str, str]) -> "MiniFrame":
+        for old in mapping:
+            if old not in self.names:
+                raise ValueError("Column not found")
+        for new in mapping.values():
+            if new in self.names and new not in mapping:
+                raise ValueError(f"Column already exists: {new}")
+        sdf = self.sdf
+        for old, new in mapping.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        dtypes = {mapping.get(k, k): v for k, v in self._dtypes.items()}
+        optionals = {mapping.get(k, k): v for k, v in self._optionals.items()}
+        return self._copy(sdf, length=self.length, dtypes=dtypes, optionals=optionals)
+
+    def drop(self, columns) -> "MiniFrame":
+        columns = [columns] if isinstance(columns, str) else list(columns)
+        for c in columns:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        dtypes = {k: v for k, v in self._dtypes.items() if k not in columns}
+        optionals = {k: v for k, v in self._optionals.items() if k not in columns}
+        return self._copy(
+            self.sdf.drop(*columns), length=self.length, dtypes=dtypes, optionals=optionals
+        )
+
+    def with_column(self, name: str, series: "MiniSeries") -> "MiniFrame":
+        """Attach a computed series (built from this frame's columns) as a
+        new column — the veneer's projection-extension verb."""
+        if not isinstance(series, MiniSeries):
+            raise ValueError("with_column expects a MiniSeries")
+        if series.parent is not self:
+            raise ValueError("Series must derive from this frame")
+        dtypes = dict(self._dtypes)
+        optionals = dict(self._optionals)
+        dtypes[name] = series.dtype
+        optionals[name] = series.optional
+        return self._copy(
+            self.sdf.withColumn(name, series.expr),
+            length=self.length,
+            dtypes=dtypes,
+            optionals=optionals,
+        )
+
+    def fillna(self, value, subset=None) -> "MiniFrame":
+        """Replace nulls with ``value`` in columns of the matching dtype
+        (strict: filling a column with a differently-typed value raises,
+        per the reference's no-widening rule).  Filled columns become
+        non-optional."""
+        cols = subset if subset is not None else self.names
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        for c in cols:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        targets = []
+        for c in cols:
+            dt = self._dtypes[c]
+            if dt is type(None):
+                continue  # all-null column: no same-typed fill possible
+            if subset is not None and type(value) is not dt:
+                raise ValueError("All values must have the same type")
+            if type(value) is dt and self._optionals[c]:
+                targets.append(c)
+        sdf = self.sdf.fillna(value, subset=targets) if targets else self.sdf
+        optionals = dict(self._optionals)
+        for c in targets:
+            optionals[c] = False
+        return self._copy(sdf, length=self.length, optionals=optionals)
+
+    def dropna(self, subset=None) -> "MiniFrame":
+        cols = subset if subset is not None else self.names
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        for c in cols:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        return self._copy(self.sdf.dropna(subset=cols))
+
+    def groupby(self, by) -> "MiniGroupBy":
+        by = [by] if isinstance(by, str) else list(by)
+        for c in by:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        return MiniGroupBy(self, by)
+
+    def merge(self, other: "MiniFrame", on, how: str = "inner") -> "MiniFrame":
+        """Key-equality join family (generalizes :meth:`left_join`, which
+        replicates the reference's intended single-key left join).
+        ``how`` ∈ inner/left/right/outer/semi/anti; clashing right-side
+        names get a ``_right`` suffix.  Spark picks broadcast-hash vs
+        sort-merge; result order is undefined (it's a shuffle)."""
+        hows = {
+            "inner": "inner",
+            "left": "left",
+            "right": "right",
+            "outer": "full",
+            "semi": "left_semi",
+            "anti": "left_anti",
+        }
+        if how not in hows:
+            raise ValueError(f"how must be one of {sorted(hows)}")
+        on = [on] if isinstance(on, str) else list(on)
+        for c in on:
+            if c not in self.names or c not in other.names:
+                raise ValueError("Column not found")
+        left = self.sdf.drop(RID) if RID in self.sdf.columns else self.sdf
+        right = other.sdf.drop(RID) if RID in other.sdf.columns else other.sdf
+        rename = {
+            n: f"{n}_right"
+            for n in right.columns
+            if n not in on and n in left.columns
+        }
+        for old, new in rename.items():
+            right = right.withColumnRenamed(old, new)
+        joined = left.join(right, on=on, how=hows[how])
+        dtypes, optionals = {}, {}
+        right_nullable = how in ("left", "outer")
+        left_nullable = how in ("right", "outer")
+        for n in self.names:
+            dtypes[n] = self._dtypes[n]
+            optionals[n] = self._optionals[n] or (left_nullable and n not in on)
+        if how not in ("semi", "anti"):
+            for n in other.names:
+                if n in on:
+                    continue
+                out = rename.get(n, n)
+                dtypes[out] = other._dtypes[n]
+                optionals[out] = other._optionals[n] or right_nullable
+        return MiniFrame(joined, length=None, dtypes=dtypes, optionals=optionals)
+
     # -- materialization (driver-side; small data only) --------------------
 
     def _ordered(self) -> SparkDataFrame:
@@ -278,6 +455,64 @@ class MiniFrame:
     def to_spark(self) -> SparkDataFrame:
         """Escape hatch to the full Spark DataFrame API (the scale path)."""
         return self.sdf.drop(RID) if RID in self.sdf.columns else self.sdf
+
+
+class MiniGroupBy:
+    """Deferred group-by handle returned by :meth:`MiniFrame.groupby`.
+
+    ``agg`` takes a ``{column: func | [funcs]}`` spec with funcs from
+    sum/mean/min/max/count; output columns are named ``{col}_{func}``.
+    Compiles to one hash aggregation (map-side partial + single shuffle
+    on the group keys)."""
+
+    _FUNCS = {"sum", "mean", "min", "max", "count"}
+
+    def __init__(self, frame: MiniFrame, by: list[str]):
+        self._frame = frame
+        self._by = by
+
+    def agg(self, spec: dict) -> MiniFrame:
+        if not isinstance(spec, dict) or not spec:
+            raise ValueError("agg expects a non-empty dict of column -> func(s)")
+        frame = self._frame
+        exprs, dtypes, optionals = [], {}, {}
+        for k in self._by:
+            dtypes[k] = frame._dtypes[k]
+            optionals[k] = frame._optionals[k]
+        for col, funcs in spec.items():
+            if col not in frame.names:
+                raise ValueError("Column not found")
+            funcs = [funcs] if isinstance(funcs, str) else list(funcs)
+            for fn in funcs:
+                if fn not in self._FUNCS:
+                    raise ValueError(f"Unsupported aggregate: {fn}")
+                if fn in ("sum", "mean") and not _is_numeric(frame._dtypes[col]):
+                    # reference type discipline: numeric-only math
+                    raise ValueError("Unsupported operand type")
+                out = f"{col}_{fn}"
+                if fn == "count":
+                    exprs.append(F.count(F.col(col)).alias(out))
+                    dtypes[out], optionals[out] = int, False
+                elif fn == "mean":
+                    exprs.append(F.avg(F.col(col)).alias(out))
+                    dtypes[out], optionals[out] = float, True
+                else:
+                    exprs.append(getattr(F, fn)(F.col(col)).alias(out))
+                    dtypes[out] = (
+                        float if fn in ("sum",) and frame._dtypes[col] is float
+                        else frame._dtypes[col]
+                    )
+                    optionals[out] = True
+        sdf = frame.to_spark().groupBy(*self._by).agg(*exprs)
+        return MiniFrame(sdf, length=None, dtypes=dtypes, optionals=optionals)
+
+    def count(self) -> MiniFrame:
+        """Group sizes as a ``size`` column (pandas .size() analogue)."""
+        frame = self._frame
+        sdf = frame.to_spark().groupBy(*self._by).agg(F.count(F.lit(1)).alias("size"))
+        dtypes = {k: frame._dtypes[k] for k in self._by} | {"size": int}
+        optionals = {k: frame._optionals[k] for k in self._by} | {"size": False}
+        return MiniFrame(sdf, length=None, dtypes=dtypes, optionals=optionals)
 
 
 def _py_type_of(dt: DataType) -> type:
@@ -591,3 +826,52 @@ class MiniSeries:
         if self.dtype is not bool:
             raise ValueError("Boolean ops require boolean operands")
         return MiniSeries(self.parent, ~self.expr, bool, self.optional)
+
+    # -- reductions & profiling (pandas-like sugar; one agg job each) ------
+
+    def _agg_scalar(self, expr: Column):
+        return self.parent.sdf.agg(expr.alias("__v__")).collect()[0]["__v__"]
+
+    def sum(self):
+        """Null-skipping sum (numeric-only, reference type discipline;
+        all-null → None, Spark semantics)."""
+        if not _is_numeric(self.dtype):
+            raise ValueError("Unsupported operand type")
+        return self._agg_scalar(F.sum(self.expr))
+
+    def mean(self):
+        if not _is_numeric(self.dtype):
+            raise ValueError("Unsupported operand type")
+        return self._agg_scalar(F.avg(self.expr))
+
+    def min(self):
+        if not (_is_numeric(self.dtype) or self.dtype is str):
+            raise ValueError("Unsupported operand type")
+        return self._agg_scalar(F.min(self.expr))
+
+    def max(self):
+        if not (_is_numeric(self.dtype) or self.dtype is str):
+            raise ValueError("Unsupported operand type")
+        return self._agg_scalar(F.max(self.expr))
+
+    def count(self) -> int:
+        """Number of non-null values (pandas semantics; len() counts all)."""
+        return int(self._agg_scalar(F.count(self.expr)))
+
+    def n_unique(self) -> int:
+        """Exact distinct count (nulls excluded).  At scale prefer
+        approx: the engine exposes approx_count_distinct via queries."""
+        return int(self._agg_scalar(F.count_distinct(self.expr)))
+
+    def value_counts(self) -> list[tuple]:
+        """(value, count) pairs, most frequent first (value ascending as
+        tiebreak), nulls excluded — driver-side list, small data only."""
+        rows = (
+            self.parent.sdf.select(self.expr.alias("__v__"))
+            .filter(F.col("__v__").isNotNull())
+            .groupBy("__v__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .orderBy(F.col("__n__").desc(), F.col("__v__").asc())
+            .collect()
+        )
+        return [(r["__v__"], r["__n__"]) for r in rows]
