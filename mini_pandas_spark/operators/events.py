@@ -256,3 +256,51 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "k").cast("long").alias("k_val"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user converts
+    a stage only with an event at-or-after their previous stage's first
+    event.  The product-analytics pattern op the events table exists for.
+
+    Implementation: three *chained* per-user window minima — stage N's
+    timestamp is min(ts | type=N, ts ≥ stage N-1 ts) over the user
+    partition.  All three windows share one partitioning, so Catalyst
+    plans a single hash exchange on user_id followed by in-partition
+    window evaluation; the final funnel row is a tiny global aggregate.
+
+    Scale: one shuffle on user_id (the natural key, unskewed), then
+    narrow.  100 TB note: windows over the same partitionBy reuse the
+    exchange — the plan property this query exists to pin.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )

@@ -443,3 +443,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("term").alias("top_term"), (F.col("tfidf") + 0.0).alias("tfidf"))
     )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each source gets its own keep
+    rate (derived from the source index so the fixture needs no external
+    rate table), membership decided by the same multiplicative hash as
+    :func:`train_split_assign` — reproducible, resumable, no RNG state.
+    Output is the per-source audit (population vs sample size) a pipeline
+    logs after downsampling over-represented sources.
+
+    Scale: narrow per-row hash + one tiny-keyed aggregation; the
+    sampling predicate pushes into the scan's filter position when the
+    sample itself (not the audit) is materialized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate_pct = (
+        F.lit(10)
+        + F.lit(5) * (F.substring("source", 4, 10).cast("long") % F.lit(10))
+    )
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(100)
+    return (
+        d.select("source", rate_pct.alias("rate_pct"), (h < rate_pct).alias("keep"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+        )
+    )

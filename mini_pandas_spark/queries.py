@@ -1117,6 +1117,51 @@ register(
 )
 
 register(
+    "funnel_conversion",
+    events.funnel_conversion,
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, t_view,
+             min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t_view, t_click,
+             min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ), per_user AS (
+      SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+
+register(
+    "stratified_sample_docs",
+    text.stratified_sample_docs,
+    """
+    SELECT source,
+           10 + 5 * (CAST(substr(source, 4) AS BIGINT) % 10) AS rate_pct,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100
+                              < 10 + 5 * (CAST(substr(source, 4) AS BIGINT) % 10)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+)
+
+register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,
     """

@@ -166,3 +166,36 @@ def test_pack_sequences_conserves_tokens(spark, qs):
         for c in ch[:-1]:
             cum += c["n_tokens"]
             assert cum >= 2048 * (c["chunk_id"] + 1)
+
+
+def test_funnel_monotone_and_single_exchange(spark, qs):
+    """Funnel stages are necessarily monotone non-increasing, and the
+    three chained per-user windows + per-user agg share ONE hash
+    exchange (the 100 TB plan property)."""
+    import re
+
+    df = qs["funnel_conversion"](spark, SF)
+    from mini_pandas_spark import plans
+
+    assert len(re.findall(r"Exchange hashpartitioning", plans.executed_plan(df))) == 1
+    r = df.collect()[0]
+    assert (
+        r["n_users"]
+        >= r["n_viewed"]
+        >= r["n_clicked_after_view"]
+        >= r["n_purchased_after_click"]
+        >= 0
+    )
+    assert r["n_viewed"] > 0  # fixture has views
+
+
+def test_stratified_sample_rates(spark, qs):
+    """Sample never exceeds the stratum, tracks the per-source rate, and
+    is deterministic across executions."""
+    rows = qs["stratified_sample_docs"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert 10 <= r["rate_pct"] <= 55
+    again = {r["source"]: r["n_sampled"] for r in qs["stratified_sample_docs"](spark, SF).collect()}
+    assert again == {r["source"]: r["n_sampled"] for r in rows}
