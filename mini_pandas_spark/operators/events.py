@@ -304,3 +304,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_clicked_after_view"),
         F.count("t_purchase").alias("n_purchased_after_click"),
     )
+
+
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (the continuous-aggregate
+    pattern): hourly partials aggregate from raw events, daily totals
+    aggregate FROM THE HOURLY PARTIALS — never re-reading raw data.
+    Output is the daily grain plus the number of hourly buckets it
+    covers, which only a true cascade can report.
+
+    Scale: this is the 100 TB time-series discipline — the raw table is
+    touched once per grain-refresh; each coarser grain reads the much
+    smaller finer grain (count and decimal-sum partials are associative,
+    so cascaded results are exact).  In a live deployment the hourly
+    stage is a streaming sink table and the daily pass a periodic batch
+    over it; here both stages compose into one plan whose only shuffles
+    are the two tiny-keyed aggregations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("sum_value"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            decimal_sum(F.col("sum_value").cast("decimal(18,2)"), scale=2).alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+    return daily

@@ -1162,6 +1162,20 @@ register(
 )
 
 register(
+    "rollup_cascade_events",
+    events.rollup_cascade_events,
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,
     """

@@ -79,3 +79,36 @@ def test_repartition_by_range_sorts_within_files(spark, tmp_path):
     ranges = sorted((r["lo"], r["hi"]) for r in stats)
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark injects a bloom filter from a selectively-filtered build side
+    into the probe side's scan (runtime row-group pruning) — the AQE-era
+    semi-join reduction that matters at 100 TB.  Default thresholds need
+    ~10 GB scans, so the test lowers them to force injection on fixture
+    data and pins that the capability is wired."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would skip the bloom path
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        joined = li.join(part, li.l_partkey == part.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+        assert joined.count() > 0
+        # the injected filter only materializes in the final AQE plan
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in executed
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
