@@ -232,3 +232,53 @@ def extract_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         explode_chunks,
         schema="doc_id long, chunk_idx int, chunk_bytes int, checksum int",
     )
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal sampling plumbing: treat the payload as a 25 fps
+    stream of fixed 64-byte "frames" and keep every 5th frame (stride
+    sampling, the standard cheap strategy before a vision encoder), one
+    output row per sampled frame with its timestamp and a byte checksum
+    measured from the actual slice.
+
+    A real container decode (mp4 → frames) would replace the fixed-size
+    split — ``real_decode`` marks that stub; everything Spark-side
+    (binary column in, Arrow batches, 1→N fan-out, deterministic
+    output) is the production shape.  frame_bytes is measured from the
+    actual byte slice so the arithmetic oracle cross-checks the
+    byte-level work (per-chunk checksums are pinned by
+    extract_patch_features's pytest).
+
+    Scale: narrow mapInPandas, no shuffle; sampled-frame volume is
+    payload_bytes/stride — the stride is the knob that keeps a 100 TB
+    video corpus's feature pass bounded.
+    """
+    FRAME = 64  # fake frame size in bytes (stub decode)
+    STRIDE = 5  # keep every 5th frame
+    MS_PER_FRAME = 40  # 25 fps
+
+    def sample_batches(batches):
+        # self-contained (see decode_image_meta): pickled by value
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(p)
+                n_frames = (len(data) + FRAME - 1) // FRAME
+                for f in range(0, n_frames, STRIDE):
+                    chunk = data[f * FRAME : (f + 1) * FRAME]
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": f,
+                            "ts_ms": f * MS_PER_FRAME,
+                            "frame_bytes": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return _with_payload(spark, sf_dir).mapInPandas(
+        sample_batches,
+        schema="doc_id long, frame_idx int, ts_ms int, frame_bytes int",
+    )

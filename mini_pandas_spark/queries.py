@@ -599,6 +599,21 @@ register(
     """,
 )
 
+register(
+    "video_frame_sample",
+    _binary.video_frame_sample,
+    """
+    SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+           CAST(idx * 40 AS INTEGER) AS ts_ms,
+           CAST(LEAST(64, len - idx * 64) AS INTEGER) AS frame_bytes
+    FROM (
+      SELECT doc_id, len,
+             UNNEST(generate_series(0, (len + 63) // 64 - 1, 5)) AS idx
+      FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+    )
+    """,
+)
+
 # -- extended relational surface -------------------------------------------
 
 register(

@@ -199,3 +199,23 @@ def test_stratified_sample_rates(spark, qs):
         assert 10 <= r["rate_pct"] <= 55
     again = {r["source"]: r["n_sampled"] for r in qs["stratified_sample_docs"](spark, SF).collect()}
     assert again == {r["source"]: r["n_sampled"] for r in rows}
+
+
+def test_video_frame_sample_stride(spark, qs):
+    """Stride sampling keeps exactly every 5th 64-byte frame and the last
+    sampled frame is the payload remainder when it straddles the end."""
+    import collections
+
+    meta = {r["doc_id"]: r["n_bytes"] for r in qs["multimodal_meta"](spark, SF).collect()}
+    frames = collections.defaultdict(list)
+    for r in qs["video_frame_sample"](spark, SF).collect():
+        frames[r["doc_id"]].append(r)
+    assert set(frames) == set(meta)
+    for doc_id, fr in frames.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        n = meta[doc_id]
+        n_frames = (n + 63) // 64
+        assert [r["frame_idx"] for r in fr] == list(range(0, n_frames, 5))
+        for r in fr:
+            assert r["ts_ms"] == r["frame_idx"] * 40
+            assert r["frame_bytes"] == min(64, n - r["frame_idx"] * 64)
