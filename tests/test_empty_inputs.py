@@ -1,0 +1,73 @@
+"""Edge-robustness: every query family must handle EMPTY input tables
+without exceptions — the partition-of-a-100 TB-corpus that happens to
+contain zero matching rows is a normal event, and operators that
+collect/assume non-empty driver state break there first.
+
+The fixture copies each table's schema (zero rows) into a temp sf_dir;
+queries must return cleanly (0 rows for per-row ops; a well-defined
+aggregate row for global aggregates).
+"""
+
+import os
+
+import pytest
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# Queries with driver-side iterative state (IVF init collects centroids)
+# legitimately need a non-empty training corpus; everything else must
+# cope with empty input.
+EMPTY_OK_ZERO_ROWS = [
+    "flagship_filter",
+    "q1_pricing_summary",
+    "topk_orders",
+    "join_broadcast_dims",
+    "window_rank_orders",
+    "events_hourly",
+    "sessionize_users",
+    "token_count_docs",
+    "repetition_signals",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_meta",
+    "video_frame_sample",
+    "train_split_assign",
+    "stratified_sample_docs",
+    "rollup_cascade_events",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    from mini_pandas_spark.sources import load_table
+
+    out = tmp_path_factory.mktemp("sf_empty")
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = load_table(spark, SF_SRC, name)
+        df.limit(0).write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+def test_queries_survive_empty_tables(spark, empty_sf_dir):
+    from mini_pandas_spark.queries import queries
+
+    qs = queries()
+    for name in EMPTY_OK_ZERO_ROWS:
+        rows = qs[name](spark, empty_sf_dir).collect()
+        assert isinstance(rows, list), name
+        assert all(r is not None for r in rows), name
+
+
+def test_funnel_empty_is_zero_row_or_zero_counts(spark, empty_sf_dir):
+    from mini_pandas_spark.queries import queries
+
+    rows = queries()["funnel_conversion"](spark, empty_sf_dir).collect()
+    if rows:  # a global agg over empty input may emit one all-zero row
+        assert rows[0]["n_users"] == 0
