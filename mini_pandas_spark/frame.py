@@ -99,6 +99,31 @@ def infer_dtype(values: list) -> tuple[type, bool]:
     return dtype, optional
 
 
+def _suffix_right(
+    left_cols: list[str], other: "MiniFrame", keys: list[str]
+) -> tuple[SparkDataFrame, dict[str, str]]:
+    """Shared join bookkeeping (left_join and merge): drop the right
+    side's row index and suffix right-side names that clash with the
+    left, extending the ``_right`` suffix until the name is actually
+    free (so a pre-existing ``v_right`` on the left cannot produce
+    duplicate output columns)."""
+    right = other.sdf.drop(RID) if RID in other.sdf.columns else other.sdf
+    taken = set(left_cols)
+    rename: dict[str, str] = {}
+    for n in right.columns:
+        if n in keys or n not in taken:
+            taken.add(n)
+            continue
+        new = f"{n}_right"
+        while new in taken or new in right.columns:
+            new += "_right"
+        rename[n] = new
+        taken.add(new)
+    for old, new in rename.items():
+        right = right.withColumnRenamed(old, new)
+    return right, rename
+
+
 class MiniFrame:
     """A named collection of columns backed by a lazy Spark DataFrame."""
 
@@ -233,14 +258,7 @@ class MiniFrame:
         ``_right`` suffix.  Spark chooses broadcast-hash vs sort-merge."""
         if column not in self.names or column not in other.names:
             raise ValueError("Column not found")
-        right = other.sdf.drop(RID) if RID in other.sdf.columns else other.sdf
-        rename = {
-            n: f"{n}_right"
-            for n in right.columns
-            if n != column and n in self.sdf.columns
-        }
-        for old, new in rename.items():
-            right = right.withColumnRenamed(old, new)
+        right, rename = _suffix_right(self.sdf.columns, other, keys=[column])
         joined = self.sdf.join(right, on=column, how="left")
         dtypes = dict(self._dtypes)
         optionals = dict(self._optionals)
@@ -302,18 +320,25 @@ class MiniFrame:
         return self._copy(self.sdf.limit(n))
 
     def rename(self, mapping: dict[str, str]) -> "MiniFrame":
+        """Atomic column rename: all mappings apply simultaneously (a
+        swap like ``{"a": "b", "b": "a"}`` is valid), implemented as one
+        aliasing projection rather than sequential withColumnRenamed
+        (which would collide mid-sequence)."""
         for old in mapping:
             if old not in self.names:
                 raise ValueError("Column not found")
-        for new in mapping.values():
-            if new in self.names and new not in mapping:
-                raise ValueError(f"Column already exists: {new}")
-        sdf = self.sdf
-        for old, new in mapping.items():
-            sdf = sdf.withColumnRenamed(old, new)
+        targets = [mapping.get(n, n) for n in self.names]
+        dupes = {t for t in targets if targets.count(t) > 1}
+        if dupes:
+            raise ValueError(f"Column already exists: {sorted(dupes)[0]}")
+        sel = ([F.col(RID)] if RID in self.sdf.columns else []) + [
+            F.col(n).alias(mapping.get(n, n)) for n in self.names
+        ]
         dtypes = {mapping.get(k, k): v for k, v in self._dtypes.items()}
         optionals = {mapping.get(k, k): v for k, v in self._optionals.items()}
-        return self._copy(sdf, length=self.length, dtypes=dtypes, optionals=optionals)
+        return self._copy(
+            self.sdf.select(*sel), length=self.length, dtypes=dtypes, optionals=optionals
+        )
 
     def drop(self, columns) -> "MiniFrame":
         columns = [columns] if isinstance(columns, str) else list(columns)
@@ -357,10 +382,13 @@ class MiniFrame:
         targets = []
         for c in cols:
             dt = self._dtypes[c]
-            if dt is type(None):
-                continue  # all-null column: no same-typed fill possible
             if subset is not None and type(value) is not dt:
+                # strict no-widening: an explicitly requested fill with a
+                # mismatched type (incl. any fill of an all-None column,
+                # whose dtype is NoneType) must raise, never no-op
                 raise ValueError("All values must have the same type")
+            if dt is type(None):
+                continue  # implicit subset: all-null column untouched
             if type(value) is dt and self._optionals[c]:
                 targets.append(c)
         sdf = self.sdf.fillna(value, subset=targets) if targets else self.sdf
@@ -405,21 +433,24 @@ class MiniFrame:
             if c not in self.names or c not in other.names:
                 raise ValueError("Column not found")
         left = self.sdf.drop(RID) if RID in self.sdf.columns else self.sdf
-        right = other.sdf.drop(RID) if RID in other.sdf.columns else other.sdf
-        rename = {
-            n: f"{n}_right"
-            for n in right.columns
-            if n not in on and n in left.columns
-        }
-        for old, new in rename.items():
-            right = right.withColumnRenamed(old, new)
+        right, rename = _suffix_right(left.columns, other, keys=on)
         joined = left.join(right, on=on, how=hows[how])
         dtypes, optionals = {}, {}
         right_nullable = how in ("left", "outer")
         left_nullable = how in ("right", "outer")
         for n in self.names:
             dtypes[n] = self._dtypes[n]
-            optionals[n] = self._optionals[n] or (left_nullable and n not in on)
+            if n in on:
+                # join keys: the side(s) whose rows survive determine
+                # whether a null key can appear in the output
+                if how == "right":
+                    optionals[n] = other._optionals[n]
+                elif how == "outer":
+                    optionals[n] = self._optionals[n] or other._optionals[n]
+                else:
+                    optionals[n] = self._optionals[n]
+            else:
+                optionals[n] = self._optionals[n] or left_nullable
         if how not in ("semi", "anti"):
             for n in other.names:
                 if n in on:
@@ -490,6 +521,8 @@ class MiniGroupBy:
                     # reference type discipline: numeric-only math
                     raise ValueError("Unsupported operand type")
                 out = f"{col}_{fn}"
+                if out in dtypes:  # clashes a group key or another agg
+                    raise ValueError(f"Column already exists: {out}")
                 if fn == "count":
                     exprs.append(F.count(F.col(col)).alias(out))
                     dtypes[out], optionals[out] = int, False
@@ -498,10 +531,7 @@ class MiniGroupBy:
                     dtypes[out], optionals[out] = float, True
                 else:
                     exprs.append(getattr(F, fn)(F.col(col)).alias(out))
-                    dtypes[out] = (
-                        float if fn in ("sum",) and frame._dtypes[col] is float
-                        else frame._dtypes[col]
-                    )
+                    dtypes[out] = frame._dtypes[col]
                     optionals[out] = True
         sdf = frame.to_spark().groupBy(*self._by).agg(*exprs)
         return MiniFrame(sdf, length=None, dtypes=dtypes, optionals=optionals)
@@ -509,6 +539,8 @@ class MiniGroupBy:
     def count(self) -> MiniFrame:
         """Group sizes as a ``size`` column (pandas .size() analogue)."""
         frame = self._frame
+        if "size" in self._by:
+            raise ValueError("Column already exists: size")
         sdf = frame.to_spark().groupBy(*self._by).agg(F.count(F.lit(1)).alias("size"))
         dtypes = {k: frame._dtypes[k] for k in self._by} | {"size": int}
         optionals = {k: frame._optionals[k] for k in self._by} | {"size": False}

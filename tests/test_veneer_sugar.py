@@ -146,3 +146,57 @@ def test_sugar_on_scan_backed_frame(spark, sf_dir):
     assert prices == sorted(prices, reverse=True) and len(prices) == 3
     agg = part.groupby("p_brand").agg({"p_retailprice": "mean"})
     assert agg.to_spark().count() > 0
+
+
+def test_rename_swap_is_atomic(spark, frame):
+    """All rename mappings apply simultaneously: a swap must exchange the
+    columns, not duplicate one (review finding: sequential
+    withColumnRenamed collided mid-sequence and silently lost data)."""
+    f = MiniFrame.from_dict(spark, {"a": [1, 2], "b": [10, 20], "c": [5, 6]})
+    swapped = f.rename({"a": "b", "b": "a"})
+    assert swapped.names == ["b", "a", "c"]
+    got = swapped.to_dict()
+    assert got["b"] == [1, 2] and got["a"] == [10, 20] and got["c"] == [5, 6]
+    with pytest.raises(ValueError):
+        f.rename({"a": "c"})  # collides with an unrenamed column
+
+
+def test_merge_suffix_collision_free(spark):
+    """A pre-existing v_right on the left must not produce duplicate
+    output names: the suffix extends until free."""
+    left = MiniFrame.from_dict(
+        spark, {"k": [1, 2], "v": [1, 2], "v_right": [7, 8]}
+    )
+    right = MiniFrame.from_dict(spark, {"k": [1, 2], "v": [10, 20]})
+    out = left.merge(right, on="k")
+    assert sorted(out.names) == sorted(["k", "v", "v_right", "v_right_right"])
+    assert len(set(out.names)) == len(out.names)
+
+
+def test_merge_outer_key_nullability(spark):
+    """right/outer joins surface the other side's null keys — the key's
+    optional flag must reflect that."""
+    left = MiniFrame.from_dict(spark, {"k": [1, 2], "v": [10, 20]})
+    right = MiniFrame.from_dict(spark, {"k": [2, None], "w": [200, 300]})
+    assert left.merge(right, on="k", how="outer")._optionals["k"] is True
+    assert left.merge(right, on="k", how="right")._optionals["k"] is True
+    assert left.merge(right, on="k", how="left")._optionals["k"] is False
+
+
+def test_fillna_allnull_explicit_subset_raises(spark):
+    """Explicitly requesting a fill on an all-None (NoneType) column must
+    raise, not silently no-op (strict no-widening contract)."""
+    f = MiniFrame.from_dict(spark, {"x": [None, None], "y": [1.0, None]})
+    with pytest.raises(ValueError):
+        f.fillna(0.0, subset=["x"])
+    assert f.fillna(0.0).to_dict()["y"] == [1.0, 0.0]  # implicit: skips x
+
+
+def test_groupby_alias_collision_raises(spark):
+    f = MiniFrame.from_dict(
+        spark, {"v_sum": ["a", "b"], "v": [1, 2], "size": [3, 4]}
+    )
+    with pytest.raises(ValueError):
+        f.groupby("v_sum").agg({"v": "sum"})  # output alias = key name
+    with pytest.raises(ValueError):
+        f.groupby("size").count()
