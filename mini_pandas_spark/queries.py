@@ -508,6 +508,7 @@ register("lsh_ann_topk", similarity.lsh_ann_topk, None)
 # -- streaming + multimodal -------------------------------------------------
 
 from .multimodal import binary as _binary  # noqa: E402
+from .sources import synthetic as _synthetic  # noqa: E402
 from .streaming import windows as _stream_windows  # noqa: E402
 
 # Streaming windowed agg drained with AvailableNow equals the batch result
@@ -1187,6 +1188,23 @@ register(
            CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
     FROM events
     GROUP BY 1, 2
+    """,
+)
+
+# oracle regenerates the synthetic source's closed-form relation from
+# generate_series — proving the custom Python DataSource is deterministic
+# and partition-invariant
+register(
+    "synthetic_source_rollup",
+    _synthetic.synthetic_source_rollup,
+    """
+    SELECT 'src' || CAST(i % 20 AS VARCHAR) AS source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(20 + (i * 2654435761) % 2147483647 % 50) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(((i * 2654435761) % 2147483647 % 1000) / 1000.0
+                         AS DECIMAL(18,3))) AS DOUBLE) AS sum_quality
+    FROM generate_series(0, 499) t(i)
+    GROUP BY 1
     """,
 )
 

@@ -1,0 +1,106 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic document-metadata source with partitioned parallel reads.
+
+This demonstrates the engine's source surface beyond file formats — the
+DataSource V2 Python API (spark.dataSource.register → spark.read.format)
+with proper split planning: the generator is pure arithmetic on doc_id,
+so N partitions each produce a disjoint id range with no coordination,
+exactly how a 100 TB synthetic/benchmark corpus generator scales (this
+is the dbgen/dsdgen pattern: seedless, offset-addressable generation).
+
+Determinism contract: every value is a closed-form function of doc_id
+(multiplicative hash, CLAUDE.md rules — all arithmetic < 2^63), so the
+same rows come back regardless of partition count, scheduling, or
+retries — and a DuckDB oracle can regenerate the identical relation
+from generate_series.
+
+The DataSource/Reader classes are defined INSIDE the registration
+function so cloudpickle serializes them by value (worker closures must
+be self-contained; the grading driver's workers may not have this repo
+on sys.path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PRIME = 2654435761
+_MOD = 2147483647
+
+SCHEMA = "doc_id bigint, source string, n_tokens bigint, quality double"
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Register the ``synthetic_docs`` format on this session (idempotent)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticDocsReader(DataSourceReader):
+        # self-contained: builtins only; imports inside methods
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.num_partitions = int(options.get("partitions", 8))
+
+        def partitions(self):
+            parts = []
+            per = (self.n + self.num_partitions - 1) // self.num_partitions
+            for i in range(self.num_partitions):
+                lo, hi = i * per, min((i + 1) * per, self.n)
+                if lo < hi:
+                    parts.append(InputPartition((lo, hi)))
+            return parts
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for doc_id in range(lo, hi):
+                h = (doc_id * 2654435761) % 2147483647
+                yield (
+                    doc_id,
+                    f"src{doc_id % 20}",
+                    20 + h % 50,
+                    round((h % 1000) / 1000.0, 3),
+                )
+
+    class SyntheticDocsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs"
+
+        def schema(self):
+            return "doc_id bigint, source string, n_tokens bigint, quality double"
+
+        def reader(self, schema):
+            return SyntheticDocsReader(self.options)
+
+    spark.dataSource.register(SyntheticDocsSource)
+
+
+def read_synthetic_docs(
+    spark: SparkSession, n: int = 1000, partitions: int = 8
+) -> DataFrame:
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", str(n))
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: scan the custom Python DataSource (500 docs, 8
+    parallel splits) and aggregate per source — the oracle regenerates
+    the identical relation in DuckDB from generate_series, proving the
+    source is deterministic and partition-invariant.  (sf_dir unused:
+    the source IS the data; signature kept for registry uniformity.)"""
+    from pyspark.sql import functions as F
+
+    del sf_dir
+    docs = read_synthetic_docs(spark, n=500, partitions=8)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        # decimal sum: exact and order-free across partitions (CLAUDE.md)
+        F.sum(F.col("quality").cast("decimal(18,3)"))
+        .cast("double")
+        .alias("sum_quality"),
+    )

@@ -71,3 +71,19 @@ def test_events_loader_fixes_nanos(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
     assert ev.count() > 0
+
+
+def test_synthetic_datasource_partition_invariant(spark):
+    """The custom Python DataSource must yield the identical relation for
+    any split count (offset-addressable generation), and actually plan
+    the requested number of input partitions."""
+    from mini_pandas_spark.sources.synthetic import read_synthetic_docs
+
+    one = sorted(tuple(r) for r in read_synthetic_docs(spark, 200, 1).collect())
+    eight = sorted(tuple(r) for r in read_synthetic_docs(spark, 200, 8).collect())
+    assert one == eight
+    assert len(one) == 200
+    assert read_synthetic_docs(spark, 200, 8).rdd.getNumPartitions() == 8
+    # closed-form spot check: doc 0 hashes to h=0
+    first = one[0]
+    assert first == (0, "src0", 20, 0.0)
