@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Deterministic timestamp rendering regardless of host zone.
     "spark.sql.session.timeZone": "UTC",
+    # Custom Python DataSources may implement pushFilters (sources/
+    # synthetic.py); planning asserts this flag when they do.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

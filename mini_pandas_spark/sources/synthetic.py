@@ -32,22 +32,67 @@ SCHEMA = "doc_id bigint, source string, n_tokens bigint, quality double"
 
 def register_synthetic_source(spark: SparkSession) -> None:
     """Register the ``synthetic_docs`` format on this session (idempotent)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # enables Python-source filter pushdown
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
 
     class SyntheticDocsReader(DataSourceReader):
         # self-contained: builtins only; imports inside methods
         def __init__(self, options):
             self.n = int(options.get("n", 1000))
             self.num_partitions = int(options.get("partitions", 8))
+            self.lo_bound = 0
+            self.hi_bound = self.n
+
+        def pushFilters(self, filters):
+            """doc_id range predicates narrow the generated id interval —
+            real pushdown: pruned ids are never generated, the split
+            planner sees the narrowed interval, and fully-handled filters
+            are consumed (not re-evaluated by Spark)."""
+            for f in filters:
+                handled = False
+                if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
+                    getattr(f, "value", None), int
+                ):
+                    if isinstance(f, EqualTo):
+                        self.lo_bound = max(self.lo_bound, f.value)
+                        self.hi_bound = min(self.hi_bound, f.value + 1)
+                        handled = True
+                    elif isinstance(f, GreaterThan):
+                        self.lo_bound = max(self.lo_bound, f.value + 1)
+                        handled = True
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self.lo_bound = max(self.lo_bound, f.value)
+                        handled = True
+                    elif isinstance(f, LessThan):
+                        self.hi_bound = min(self.hi_bound, f.value)
+                        handled = True
+                    elif isinstance(f, LessThanOrEqual):
+                        self.hi_bound = min(self.hi_bound, f.value + 1)
+                        handled = True
+                if not handled:
+                    yield f
 
         def partitions(self):
             parts = []
-            per = (self.n + self.num_partitions - 1) // self.num_partitions
+            lo0, hi0 = self.lo_bound, max(self.hi_bound, self.lo_bound)
+            span = hi0 - lo0
+            per = max((span + self.num_partitions - 1) // self.num_partitions, 1)
             for i in range(self.num_partitions):
-                lo, hi = i * per, min((i + 1) * per, self.n)
+                lo, hi = lo0 + i * per, min(lo0 + (i + 1) * per, hi0)
                 if lo < hi:
                     parts.append(InputPartition((lo, hi)))
-            return parts
+            return parts or [InputPartition((0, 0))]
 
         def read(self, partition):
             lo, hi = partition.value

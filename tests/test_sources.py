@@ -87,3 +87,23 @@ def test_synthetic_datasource_partition_invariant(spark):
     # closed-form spot check: doc 0 hashes to h=0
     first = one[0]
     assert first == (0, "src0", 20, 0.0)
+
+
+def test_synthetic_datasource_filter_pushdown(spark):
+    """doc_id range predicates push into the source: pruned ids are never
+    generated (split planner narrows to the id interval — a point lookup
+    plans ONE input partition) and results stay exact."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources.synthetic import read_synthetic_docs
+
+    docs = read_synthetic_docs(spark, 1000, 8)
+    ranged = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    got = sorted(r["doc_id"] for r in ranged.collect())
+    assert got == list(range(100, 150))
+    point = read_synthetic_docs(spark, 1000, 8).filter(F.col("doc_id") == 123)
+    assert point.rdd.getNumPartitions() == 1
+    assert [r["doc_id"] for r in point.collect()] == [123]
+    # non-doc_id predicates are yielded back and evaluated by Spark
+    src = docs.filter(F.col("source") == "src3")
+    assert {r["source"] for r in src.collect()} == {"src3"}
