@@ -1208,6 +1208,24 @@ register(
     """,
 )
 
+# drained custom Python STREAMING source: the oracle regenerates the
+# stream's closed-form content — any dropped/duplicated micro-batch
+# breaks the hash, so this checks offset-based exactly-once delivery
+register(
+    "synthetic_stream_rollup",
+    _synthetic.synthetic_stream_rollup,
+    """
+    SELECT substr('abcde', CAST((i * 2654435761) % 2147483647 % 5 AS INT) + 1, 1)
+             AS action,
+           COUNT(*) AS n_events,
+           CAST(SUM(i) AS BIGINT) AS sum_ids,
+           CAST(SUM(CAST(((i * 2654435761) % 2147483647 % 10000) / 100.0
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+    FROM generate_series(0, 499) t(i)
+    GROUP BY 1
+    """,
+)
+
 register(
     "stream_stream_join",
     _stream_windows.stream_stream_join,

@@ -149,3 +149,109 @@ def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_quality"),
     )
+
+
+def register_synthetic_stream(spark: SparkSession) -> None:
+    """Register ``synthetic_events_stream`` — a custom Python STREAMING
+    DataSource (SimpleDataSourceStreamReader): a deterministic,
+    offset-addressable event stream.  Offsets are {"idx": next_event_id},
+    each micro-batch emits up to ``batch`` events until ``n`` total, and
+    ``readBetweenOffsets`` replays any committed range exactly — the
+    replayability contract exactly-once sinks rely on.
+
+    Same closed-form generation as the batch source, so a drained stream
+    is a fully oracle-checkable relation."""
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        # self-contained: builtins only (pickled by value to workers)
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.batch = int(options.get("batch", 100))
+
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def _rows(self, lo, hi):
+            # a picklable ITERATOR (list_iterator), not a generator:
+            # Spark's prefetching wrapper pickles the batch across the
+            # driver↔worker boundary and drives it with next()
+            out = []
+            for i in range(lo, hi):
+                h = (i * 2654435761) % 2147483647
+                out.append((i, h % 97, "abcde"[h % 5], (h % 10000) / 100.0))
+            return iter(out)
+
+        def read(self, start):
+            lo = start["idx"]
+            hi = min(lo + self.batch, self.n)
+            return self._rows(lo, hi), {"idx": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["idx"], end["idx"])
+
+        def commit(self, end):
+            pass  # nothing to clean up: generation is offset-addressable
+
+    class SyntheticEventsStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_events_stream"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, action string, amount double"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+    spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+def synthetic_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query entry: drain the custom streaming source (500 events in
+    100-event micro-batches) through a streaming aggregation into a
+    memory sink; the oracle regenerates the identical relation from
+    generate_series.  Proves offset-based exactly-once delivery: any
+    dropped or replayed batch would break the value-hash.  (sf_dir
+    unused: the source IS the data.)"""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    del sf_dir
+    register_synthetic_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n", "500")
+        .option("batch", "100")
+        .load()
+    )
+    agg = stream.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("sum_amount"),
+    )
+    sink = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

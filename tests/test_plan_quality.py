@@ -83,6 +83,7 @@ STREAMING_QUERIES = {
     "streaming_user_totals",
     "stream_stream_join",
     "streaming_dedup_events",
+    "synthetic_stream_rollup",
 }
 
 

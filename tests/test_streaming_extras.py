@@ -93,3 +93,16 @@ def test_transform_with_state_totals_gate_or_run(spark):
         .collect()
     }
     assert got == want
+
+
+def test_synthetic_stream_drains_exactly_once(spark):
+    """The custom Python streaming source must deliver every offset range
+    exactly once: two independent drains produce the identical relation
+    (any dropped or replayed micro-batch would skew the counts/sums)."""
+    from mini_pandas_spark.queries import queries
+
+    q = queries()["synthetic_stream_rollup"]
+    a = sorted(tuple(r) for r in q(spark, "unused").collect())
+    b = sorted(tuple(r) for r in q(spark, "unused").collect())
+    assert a == b
+    assert sum(r[1] for r in a) == 500
