@@ -22,7 +22,8 @@ from mini_pandas_spark.queries import queries
 from mini_pandas_spark.session import get_spark
 
 # Representative subset: scan/filter, hash agg, top-k, broadcast join,
-# windows, event-time, JSON, text, exact + sketch dedup, similarity,
+# windows, event-time, JSON, text, cleaning/LM-scoring, gap-fill, HLL
+# sketch rollup, decontamination, exact + sketch dedup, similarity,
 # streaming.  Names must exist in the registry.
 HEADLINE = [
     "flagship_filter",
@@ -40,6 +41,11 @@ HEADLINE = [
     "text_quality",
     "repetition_signals",
     "pack_sequences",
+    "cleaning_funnel",
+    "unigram_logprob_docs",
+    "locf_gap_fill",
+    "hll_rollup_customers",
+    "decontaminate_ngram_overlap",
     "word_count_top20",
     "dedup_exact",
     "minhash_lsh_pairs",

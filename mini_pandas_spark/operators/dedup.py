@@ -461,3 +461,65 @@ def blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 40)
     )
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing ≥3
+    distinct word-3-gram shingles with any document in the held-out
+    benchmark set (here: doc_id % 100 == 7) — the n-gram-collision
+    check every LLM training pipeline runs before training so eval
+    data does not leak into the train set.
+
+    Scale: the benchmark side is tiny by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its shingle set is
+    broadcast — the corpus-side scan never shuffles; each executor
+    filters its shingles against the in-memory benchmark set and only
+    (doc, bench, count) hits cross the wire.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % 100 != 7)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup: treat doc_id % 5 == 0 as the newly
+    arrived batch and the rest as the already-ingested corpus; classify
+    every new document as kept, duplicate-of-existing, or
+    duplicate-within-batch (deterministic min-doc_id survivor), reported
+    per source — the nightly-ingest shape where a new crawl snapshot is
+    deduped against an accumulated corpus without re-deduping the corpus.
+
+    Scale: the existing corpus contributes only DISTINCT md5 keys
+    (fixed-width, far smaller than the corpus); at 100 TB that key set
+    lives in a bucketed key table and the probe is a broadcast or
+    bucket-co-located semi join — never a full corpus re-shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "source", F.md5("text").alias("k"))
+    new = keyed.filter(F.col("doc_id") % 5 == 0)
+    old_keys = (
+        keyed.filter(F.col("doc_id") % 5 != 0)
+        .select("k")
+        .distinct()
+        .withColumn("in_old", F.lit(True))
+    )
+    w = Window.partitionBy("k").orderBy("doc_id")
+    st = new.join(F.broadcast(old_keys), "k", "left").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    status = (
+        F.when(F.col("in_old").isNotNull(), F.lit("dup_vs_existing"))
+        .when(F.col("rn") == 1, F.lit("kept"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    return st.groupBy("source", status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -342,3 +342,51 @@ def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily
+
+
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    densify the hourly (event_type, hour) grid over the data's own time
+    range, then fill silent hours with the most recent observed hourly
+    value sum — the standard treatment for sparse metric streams before
+    charting or feature extraction (a silent hour means "no change", not
+    "no row").  The reference has no temporal operators at all
+    (SURVEY.md §2.2); this extends the §2.3 event-time family.
+
+    Scale: the expensive input is aggregated to the (type, hour) grain
+    FIRST — the spine join and the LOCF window run over O(hours × types)
+    rows, never raw events.  The spine bounds come from a scalar
+    aggregate folded into the plan (no driver collect).  The LOCF window
+    partitions by event_type over the tiny rolled-up grid; at 100 TB the
+    raw-events aggregation is the only shuffle that scales with data.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        F.date_format("hour", _FMT).alias("hour"),
+        "event_type",
+        F.col("v").isNull().alias("filled"),
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+    )

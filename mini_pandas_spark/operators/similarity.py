@@ -222,7 +222,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 N_PROBE = 4
-LLOYD_ITERS = 2
+LLOYD_ITERS = 1
 
 
 def _assign_np(vec: DataFrame, cids: list, cn: list) -> DataFrame:
@@ -253,7 +253,10 @@ def _assign_np(vec: DataFrame, cids: list, cn: list) -> DataFrame:
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-style coarse quantizer (16
-    centroids, 2 Lloyd iterations, deterministic init = lowest vec_ids),
+    centroids, 1 Lloyd iteration, deterministic init = lowest vec_ids;
+    measured recall at sf0.1 is 0.90 vs 0.92 for 2 iterations — the
+    second pass bought 0.02 recall for a full corpus pass + collect, so
+    the cold path drops it),
     then each query probes its 4 nearest cells and ranks cell members by
     exact cosine.
 

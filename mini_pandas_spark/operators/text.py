@@ -471,3 +471,116 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("long")).alias("n_sampled"),
         )
     )
+
+
+# ~54 tokens/doc in the fixtures: 512 yields roughly one pick per ten
+# documents at every SF (4096 would select nothing below sf0.1).
+SAMPLE_STEP = 512
+
+
+def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted systematic sampling: walk each shard's documents in
+    doc_id order accumulating token counts and pick every document that
+    straddles a 512-token boundary — selection probability proportional
+    to document length, entirely integer arithmetic (no RNG, no
+    transcendentals), so the sample is reproducible on any engine.  This
+    is the length-weighted counterpart of the unweighted hash samples
+    (``md5_hash_sample``, ``stratified_sample_docs``).
+
+    Scale: like :func:`pack_sequences`, a global ordering would serialize
+    on one partition, so the cumulative walk runs per deterministic shard
+    (doc_id mod) — the only shuffle is the hash exchange into shards, and
+    each shard's window is an independent sorted stream.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(PACK_SHARDS)).alias("shard"),
+        token_count("text").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = base.select(
+        "shard", "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum")
+    )
+    straddles = F.floor((F.col("cum") - F.col("n_tok")) / F.lit(SAMPLE_STEP)) < F.floor(
+        F.col("cum") / F.lit(SAMPLE_STEP)
+    )
+    return cum.filter(straddles).select(
+        "shard", "doc_id", "n_tok", (F.col("cum") - F.col("n_tok")).alias("start_offset")
+    )
+
+
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheapest perplexity-style quality signal (outlier docs score far from
+    the corpus mode; the real pipeline swaps in a reference LM's token
+    probabilities).
+
+    Scale: two partial-aggregated shuffles (per-(doc, term) frequency and
+    per-term corpus counts, same shape as :func:`tfidf_top_terms`), a
+    term-keyed join, and the per-doc rollup; the corpus token total
+    enters as a broadcast scalar aggregate, never a driver count.
+    Rounded to 6 decimals (+0.0) after the final division so float
+    summation order cannot leak into the oracle hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        tf.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6) + 0.0
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning funnel: per source, how many documents pass each
+    quality gate (labeled language = en, token-count bounds, chars/token
+    ratio) and how many pass all of them, plus the surviving token mass —
+    the audit table a training-data pipeline emits after every cleaning
+    run (drop reasons must be attributable, not just a final count).
+
+    Scale: one narrow projection computes every gate per row (no UDFs,
+    fused by codegen), then a single tiny-keyed aggregation — the funnel
+    costs one scan regardless of how many gates it audits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_chars = F.length("text").cast("long")
+    pass_lang = F.col("lang") == "en"
+    pass_len = (n_tok >= 10) & (n_tok <= 500)
+    pass_ratio = n_chars.cast("double") / n_tok <= 8.0
+    keep = pass_lang & pass_len & pass_ratio
+    return (
+        d.select(
+            "source",
+            n_tok.alias("n_tok"),
+            pass_lang.alias("pl"),
+            pass_len.alias("pn"),
+            pass_ratio.alias("pr"),
+            keep.alias("kp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pl").cast("long")).alias("n_pass_lang"),
+            F.sum(F.col("pn").cast("long")).alias("n_pass_len"),
+            F.sum(F.col("pr").cast("long")).alias("n_pass_ratio"),
+            F.sum(F.col("kp").cast("long")).alias("n_keep"),
+            F.sum(F.when(F.col("kp"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+    )

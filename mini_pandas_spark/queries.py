@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, relational, similarity, text, tpch
+from .operators import dedup, events, relational, similarity, sketches, text, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1716,5 +1716,147 @@ register(
     _stream_windows.streaming_dedup_events,
     """
     SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+
+register(
+    "locf_gap_fill",
+    events.locf_gap_fill,
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS hour
+    ), grid AS (
+        SELECT s.hour, t.event_type
+        FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           g.event_type,
+           h.v IS NULL AS filled,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM grid g LEFT JOIN hourly h
+      ON g.hour = h.hour AND g.event_type = h.event_type
+    """,
+)
+
+register(
+    "systematic_weighted_sample",
+    text.systematic_weighted_sample,
+    """
+    WITH c AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+               ) AS cum
+        FROM documents
+    )
+    SELECT shard, doc_id, n_tok, cum - n_tok AS start_offset
+    FROM c
+    WHERE (cum - n_tok) // 512 < cum // 512
+    """,
+)
+
+register(
+    "unigram_logprob_docs",
+    text.unigram_logprob_docs,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), tc AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM toks
+    )
+    SELECT tf.doc_id,
+           SUM(tf.tf) AS n_tokens,
+           ROUND(SUM(tf.tf * ln(tc.cnt / tot.total)) / SUM(tf.tf), 6) + 0.0
+               AS avg_logprob
+    FROM tf JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+
+# Sketch estimates are engine-specific: rows-only in the driver gate;
+# tests/test_pipeline_operators.py pins accuracy vs this engine's exact
+# answers (SURVEY.md §5 — don't fake oracles with different sketches).
+register("hll_rollup_customers", sketches.hll_rollup_customers, None)
+register("approx_quantiles_prices", sketches.approx_quantiles_prices, None)
+
+register(
+    "decontaminate_ngram_overlap",
+    dedup.decontaminate_ngram_overlap,
+    _SHINGLES_CTE
+    + """
+    SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+    FROM sh c JOIN sh b ON c.shingle = b.shingle
+    WHERE b.doc_id % 100 = 7 AND c.doc_id % 100 <> 7
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+
+register(
+    "incremental_dedup",
+    dedup.incremental_dedup,
+    """
+    WITH keyed AS (
+        SELECT doc_id, source, md5(text) AS k FROM documents
+    ), newb AS (
+        SELECT * FROM keyed WHERE doc_id % 5 = 0
+    ), oldk AS (
+        SELECT DISTINCT k FROM keyed WHERE doc_id % 5 <> 0
+    ), st AS (
+        SELECT n.source,
+               CASE WHEN o.k IS NOT NULL THEN 'dup_vs_existing'
+                    WHEN row_number() OVER (PARTITION BY n.k ORDER BY n.doc_id) = 1
+                        THEN 'kept'
+                    ELSE 'dup_in_batch' END AS status
+        FROM newb n LEFT JOIN oldk o ON n.k = o.k
+    )
+    SELECT source, status, COUNT(*) AS n_docs FROM st GROUP BY 1, 2
+    """,
+)
+
+register(
+    "cleaning_funnel",
+    text.cleaning_funnel,
+    """
+    WITH g AS (
+        SELECT source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               length(text) AS n_chars,
+               lang = 'en' AS pl
+        FROM documents
+    ), gates AS (
+        SELECT source, n_tok, pl,
+               n_tok >= 10 AND n_tok <= 500 AS pn,
+               n_chars * 1.0 / n_tok <= 8.0 AS pr
+        FROM g
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS n_pass_lang,
+           SUM(CASE WHEN pn THEN 1 ELSE 0 END) AS n_pass_len,
+           SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS n_pass_ratio,
+           SUM(CASE WHEN pl AND pn AND pr THEN 1 ELSE 0 END) AS n_keep,
+           SUM(CASE WHEN pl AND pn AND pr THEN n_tok ELSE 0 END) AS tokens_kept
+    FROM gates GROUP BY source
     """,
 )

@@ -1,4 +1,4 @@
-"""Source/sink connectors: parquet (primary), csv, json.
+"""Source/sink connectors: parquet (primary), orc, csv, json, text, binaryFile.
 
 The reference engine (/root/reference/data_frame.py) has no I/O at all —
 frames are built from dicts (``DataFrame.from_dict``, data_frame.py:391-406).
@@ -8,13 +8,18 @@ wrappers over Spark's native readers so pushdown/pruning are preserved.
 
 from .tables import BROADCAST_DIMS, TABLE_NAMES, load_table, load_tables
 from .io import (
+    read_binary_files,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
     write_bucketed_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
+    write_text,
 )
 
 __all__ = [
@@ -29,4 +34,9 @@ __all__ = [
     "write_bucketed_table",
     "write_csv",
     "write_json",
+    "read_orc",
+    "write_orc",
+    "read_text",
+    "write_text",
+    "read_binary_files",
 ]

@@ -88,3 +88,50 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — same splittable, predicate-pushdown-capable columnar
+    path as parquet (Spark's native ORC reader supports filter pushdown
+    and column pruning identically)."""
+    ensure_runtime_confs(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text scan (one string column ``value``); with
+    ``whole=True`` each file becomes one row — the raw-corpus ingestion
+    shape before structured parsing."""
+    return spark.read.option("wholetext", whole).text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: requires exactly one string column."""
+    df.write.mode(mode).text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """binaryFile scan: (path, modificationTime, length, content) rows —
+    the ingestion path for image/audio/video corpora (multimodal/binary.py
+    operators consume the ``content`` column).  Files are not splittable;
+    at 100 TB parallelism comes from file count, so shard corpora into
+    many objects and set maxPartitionBytes accordingly."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

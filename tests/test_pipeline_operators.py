@@ -67,8 +67,9 @@ def test_dedup_exact_total_preserved(spark, qs):
 
 
 def test_ivf_ann_recall_vs_brute_force(spark, qs):
-    """IVF (16 cells, 2 Lloyd iters, 4-probe) measures 0.92 recall on
-    this clustered corpus; floor at 0.6."""
+    """IVF (16 cells, 1 Lloyd iter, 4-probe) measures 0.90 recall on
+    this clustered corpus (0.92 with 2 iters; the extra pass isn't worth
+    a full corpus scan); floor at 0.6."""
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in qs["cosine_topk"](spark, SF).collect()
@@ -219,3 +220,80 @@ def test_video_frame_sample_stride(spark, qs):
         for r in fr:
             assert r["ts_ms"] == r["frame_idx"] * 40
             assert r["frame_bytes"] == min(64, n - r["frame_idx"] * 64)
+
+
+def test_hll_rollup_accuracy_and_mergeability(spark, qs):
+    """HLL estimates (lgConfigK=14, ~0.8% expected error) stay within 5%
+    of exact per-month distincts, and the ALL row — computed by UNIONING
+    the monthly sketches, never re-scanning orders — matches the exact
+    global distinct within the same bound (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    o = load_table(spark, SF, "orders")
+    exact = {
+        r["month"]: r["n"]
+        for r in o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    rows = qs["hll_rollup_customers"](spark, SF).collect()
+    got = {r["month"]: r["est_distinct_custs"] for r in rows}
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+    n_orders = {r["month"]: r["n_orders"] for r in rows}
+    assert n_orders["ALL"] == sum(v for k, v in n_orders.items() if k != "ALL")
+
+
+def test_approx_quantiles_within_rank_error(spark, qs):
+    """percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+    assert each estimate falls inside the exact-value window at that rank
+    distance (± a safety slack)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    rows = qs["approx_quantiles_prices"](spark, SF).collect()
+    assert len(rows) == 3  # A/N/R
+    for r in rows:
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r["n_rows"]
+        err = n // 10000 + 2
+        for pct, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            idx = int(pct * (n - 1))
+            lo, hi = vals[max(0, idx - err)], vals[min(n - 1, idx + err)]
+            assert lo <= r[col] <= hi, (r["l_returnflag"], col, r[col], lo, hi)
+
+
+def test_systematic_sample_is_length_weighted(spark, qs):
+    """Boundary-straddle sampling: per shard the pick count is bounded by
+    the crossed-boundary count floor(shard_tokens/512), and the sample is
+    length-biased (mean picked doc length exceeds the corpus mean) —
+    the defining property of weight-proportional selection."""
+    import collections
+
+    picks = qs["systematic_weighted_sample"](spark, SF).collect()
+    assert len(picks) > 0
+    tok = qs["token_count_docs"](spark, SF).collect()
+    shard_tot = collections.defaultdict(int)
+    for r in tok:
+        shard_tot[r["doc_id"] % 8] += r["n_tokens"]
+    by_shard = collections.defaultdict(int)
+    for r in picks:
+        by_shard[r["shard"]] += 1
+        assert r["doc_id"] % 8 == r["shard"]
+    for s, n_picks in by_shard.items():
+        assert 0 < n_picks <= shard_tot[s] // 512
+    mean_all = sum(r["n_tokens"] for r in tok) / len(tok)
+    mean_picked = sum(r["n_tok"] for r in picks) / len(picks)
+    assert mean_picked > mean_all

@@ -107,3 +107,54 @@ def test_synthetic_datasource_filter_pushdown(spark):
     # non-doc_id predicates are yielded back and evaluated by Spark
     src = docs.filter(F.col("source") == "src3")
     assert {r["source"] for r in src.collect()} == {"src3"}
+
+
+def test_orc_roundtrip_and_pushdown(spark, sample, tmp_path):
+    from mini_pandas_spark.sources import read_orc, write_orc
+
+    path = str(tmp_path / "t.orc")
+    write_orc(sample, path)
+    back = read_orc(spark, path)
+    assert _sorted_rows(back) == _sorted_rows(sample)
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("id") > 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # predicate must reach the ORC scan, same as parquet
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+
+
+def test_text_roundtrip_and_wholetext(spark, tmp_path):
+    from mini_pandas_spark.sources import read_text, write_text
+
+    df = spark.createDataFrame([("line one",), ("line two",), ("line three",)], "value string")
+    path = str(tmp_path / "t.txt")
+    write_text(df, path)
+    back = read_text(spark, path)
+    assert sorted(r["value"] for r in back.collect()) == [
+        "line one",
+        "line three",
+        "line two",
+    ]
+    whole = read_text(spark, path, whole=True).collect()
+    # one row per part-file; together they carry all lines
+    lines = sorted(
+        ln for r in whole for ln in r["value"].splitlines() if ln
+    )
+    assert lines == ["line one", "line three", "line two"]
+
+
+def test_binary_files_scan(spark, tmp_path):
+    from mini_pandas_spark.sources import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-bb")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x00\x01payload-a"
+    assert rows["b.bin"]["length"] == 10
