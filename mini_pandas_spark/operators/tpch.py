@@ -18,6 +18,14 @@ Every query keeps the *plan shape* of its TPC-H counterpart — that is
 what matters for the 100 TB goal: which side broadcasts, where the
 shuffles land, how correlated subqueries decorrelate into joins.
 
+Broadcast-hint policy: ``F.broadcast`` is reserved for tables whose size
+is constant at every SF (nation = 25 rows, region = 5) and for 1-row
+scalar re-aggregates (Q11 total, Q15 max, Q22 avg).  SF-scaled tables
+(part, supplier, customer) carry NO hint — a forced hint overrides
+Spark's size check and OOMs executors once the table outgrows the
+driver/executor broadcast budget at large SF; AQE converts the join to
+broadcast at runtime whenever the (filtered) side is actually small.
+
 Cross-engine determinism (CLAUDE.md invariant 3): money sums go through
 DECIMAL via functions.disc_price_sum/money_sum/decimal_sum; ratios are
 computed as one double division of two exact sums, rounded with a +0.0
@@ -46,7 +54,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q2's correlated MIN subquery decorrelates into: per-(part,supplier)
     min-price agg, per-part min agg, then an equi-join back on
     (partkey, price).  Scale: both aggs are map-side-partial on the same
-    l_partkey-dominated keys; part/supplier/nation broadcast; no shuffle
+    l_partkey-dominated keys; nation broadcasts, part/supplier joins are
+    AQE size-decided (SF-scaled — no forced hint); no shuffle
     carries lineitem payload columns beyond the two keys + one double.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -68,7 +77,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("unit_cost") == F.col("min_cost")),
         )
         .join(p, F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .join(s, costs.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "p_partkey",
@@ -110,7 +119,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -145,8 +154,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
@@ -175,8 +184,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_retailprice per unit; profit = disc-price − qty·cost, computed in
     exact integer 1e-4 units so the sum is order-free on both engines.
 
-    Scale: part filter broadcasts; profit arithmetic is all codegen'd
-    long math (no BigDecimal until the final sum).
+    Scale: the part filter prunes before the join (AQE broadcasts it at
+    runtime when the filtered side fits); profit arithmetic is all
+    codegen'd long math (no BigDecimal until the final sum).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -190,8 +200,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_e4 = ep_c * (100 - disc_c) - qty * price_c * 10
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -217,7 +227,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.round(F.col("l_quantity")).cast("long")
     )
     by_part = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg((decimal_sum(value_c, scale=0) / 100.0).alias("value"))
     )
@@ -281,7 +291,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: percentage of 1996-H1 revenue from PROMO parts.
 
-    Scale: part broadcasts pruned to (key, type); numerator and
+    Scale: part joins pruned to (key, type), AQE size-decided; numerator and
     denominator come out of one aggregation pass as exact decimal sums, so
     the ratio is a single deterministic double division.
     """
@@ -292,7 +302,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     vol = disc_price("l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.round(
@@ -333,7 +343,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -343,8 +353,9 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected sizes, excluding one brand and any supplier with negative
     balance (the 'complaints' NOT IN proxy).
 
-    Scale: the NOT IN decorrelates to a broadcast anti-join against the
-    tiny bad-supplier set; COUNT(DISTINCT) plans as expand+two-phase agg
+    Scale: the NOT IN decorrelates to an anti-join against the
+    bad-supplier set (AQE size-decided — supplier is SF-scaled);
+    COUNT(DISTINCT) plans as expand+two-phase agg
     with per-partition dedup before the shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -356,8 +367,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -379,7 +390,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < F.col("avg_qty") * 0.2)
         .agg(
@@ -420,7 +431,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: revenue from three OR'd brand/size/quantity bands — the
     disjunctive-predicate join.
 
-    Scale: part broadcasts; the OR-of-ANDs stays one codegen'd predicate
+    Scale: part joins AQE size-decided; the OR-of-ANDs stays one codegen'd predicate
     evaluated join-side (no union-of-three-scans rewrite needed — the
     common join key means one pass).
     """
@@ -434,7 +445,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#19") & sz.between(1, 50) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(bands)
         .agg(
             disc_price_sum("l_extendedprice", "l_discount").alias("revenue"),
@@ -447,7 +458,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-shaped: NATION-0-region suppliers who moved > 100 units
     of 'red*' parts — the nested IN-subquery chain as semi-join cascade.
 
-    Scale: part filter broadcasts into the lineitem agg; the HAVING
+    Scale: the part filter prunes the lineitem agg input (join AQE
+    size-decided); the HAVING
     output (qualifying suppkeys) is tiny and semi-joins supplier — no
     supplier column ever crosses a wide shuffle.
     """
@@ -456,7 +468,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
     movers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").cast("double").alias("red_qty"))
         .filter(F.col("red_qty") > 100.0)
@@ -502,7 +514,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

