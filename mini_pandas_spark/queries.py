@@ -785,9 +785,12 @@ register(
     """,
 )
 
+# Exact all-pairs baseline (oracle-gated); the registered scale path is
+# the IVF-blocked variant below, pinned equal to this at sf0.001/sf0.01
+# by pytest (tests/test_pipeline_operators.py) — the minhash/ngram pairing.
 register(
-    "embedding_near_dup_pairs",
-    similarity.embedding_near_dup_pairs,
+    "embedding_near_dup_exact",
+    similarity.embedding_near_dup_exact,
     _VEC_CTE
     + """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -800,6 +803,10 @@ register(
                 6) >= 0.4
     """,
 )
+
+# IVF-blocked near-dup pairs: quantizer cells are not SQL-expressible →
+# rows-only; pytest pins pair-set equality with embedding_near_dup_exact.
+register("embedding_near_dup_pairs", similarity.embedding_near_dup_pairs, None)
 
 register(
     "q3_shipping_priority",
