@@ -459,6 +459,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qv array<double>, qnrm double, cid long"
     )
+    # No dedup needed: the corpus side carries exactly ONE cell per vector
+    # (_assign_np, single-probe) and a query's probe cells are distinct, so
+    # each (query, neighbor) pair joins at most once — a dropDuplicates
+    # here would be a pure extra shuffle over the scored set.
     scored = (
         probes.join(corpus, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -469,7 +473,6 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
             ).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
