@@ -28,27 +28,9 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from ..functions import decimal_sum
 from ..session import ensure_runtime_confs
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -79,19 +61,37 @@ def _stream_partitions(spark: SparkSession):
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table with the same ts normalization
-    as the batch loader (sources/tables.py)."""
+    as the batch loader (sources/tables.py).
+
+    The file-stream source requires an explicit schema, but the fixture's
+    ``ts`` physical type has changed across driver-generated datasets
+    (TIMESTAMP(NANOS) → epoch-nanos long under ``nanosAsLong``; later
+    TIMESTAMP(MICROS) → timestamp_ntz), so the schema is taken from a
+    one-off batch read of the same file — a metadata-only footer read —
+    and ``ts`` is normalized per its arrived type, never by assumption.
+    Hardcoding the nanos layout silently shifted every event to 1970 when
+    the fixture switched to micros (caught by the sf0.1 oracle sweep).
+    """
     ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     # The file-stream source requires a directory: stream the sf dir with a
     # glob filter selecting only the events file.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # Watermarks require tz-aware TIMESTAMP (not NTZ); session tz is pinned
-    # to UTC (RUNTIME_CONFS) so formatted output matches the batch/NTZ path.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture under nanosAsLong
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        # timestamp_ntz (or timestamp): watermarks require the tz-aware
+        # type; session tz is pinned to UTC (RUNTIME_CONFS) so the cast is
+        # a re-tag, and formatted output matches the batch/NTZ path.
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,45 @@ def test_repartition_by_range_sorts_within_files(spark, tmp_path):
         assert hi1 <= lo2  # disjoint
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: a sort-merge join whose probe side piles
+    onto one hot key gets its oversized partition split at runtime (the
+    SMJ node is marked ``skew=true``) — the no-code-change answer to hot
+    keys at 100 TB, complementing the manual salting pattern above.
+    Thresholds are lowered so fixture-sized data trips the detector."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 95% of probe rows share one key; payload pads partition bytes
+        probe = spark.range(200_000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        build = spark.range(1_000).select(F.col("id").alias("k"), F.col("id").alias("bv"))
+        j = probe.join(build, "k")
+        # materialize THIS jdf (count() would build a separate
+        # QueryExecution and leave j's plan isFinalPlan=false)
+        assert len(j.collect()) > 0
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in executed
+        assert "skew=true" in executed, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     """Spark injects a bloom filter from a selectively-filtered build side
     into the probe side's scan (runtime row-group pruning) — the AQE-era

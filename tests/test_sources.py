@@ -67,10 +67,33 @@ def test_load_table_rejects_unknown(spark):
         load_table(spark, "/root/testdata/sf0.001", "nope")
 
 
-def test_events_loader_fixes_nanos(spark):
+def test_events_loader_normalizes_ts(spark):
+    """Whatever the fixture's physical ts type (NANOS in round-1 data,
+    MICROS since round 2), the loader must hand queries timestamp_ntz —
+    and batch and streaming reads must agree on the actual instants."""
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
     assert ev.count() > 0
+    from mini_pandas_spark.streaming.windows import read_events_stream
+
+    # streaming reader's normalization must match the batch loader's
+    # (regression: a hardcoded nanos assumption shifted micros fixtures
+    # to 1970 silently); compare min/max via a drained AvailableNow pass
+    import uuid
+
+    sink = f"ts_check_{uuid.uuid4().hex[:8]}"
+    s = read_events_stream(spark, "/root/testdata/sf0.001").select("ts")
+    q = (
+        s.writeStream.format("memory").queryName(sink)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    b_lo, b_hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    s_lo, s_hi = spark.table(sink).agg(F.min("ts"), F.max("ts")).first()
+    # batch is NTZ, stream is tz-aware under UTC session tz — same instants
+    assert str(s_lo) == str(b_lo) and str(s_hi) == str(b_hi)
 
 
 def test_synthetic_datasource_partition_invariant(spark):
