@@ -115,7 +115,8 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: expected work is O(Q × N × collision_rate) instead of O(Q×N);
     at 100 TB, write the corpus partitioned by (table, signature) so each
     query reads L small buckets.  No SQL oracle (PRNG-derived planes);
-    rows-only + pytest recall check vs cosine_topk (measured 0.84).
+    rows-only + pytest recall check vs cosine_topk (measured 0.86 on
+    the round-2 fixture).
     """
     vec = _vectors_with_norm(spark, sf_dir)
 
@@ -241,8 +242,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH at recall 1.0 degenerates to ~100% candidates (12×4 banding:
     recall 0.81 at 54% candidates).  IVF multi-probe dominates it on this
     geometry: 16 cells × 4 probes gives pair-set equality with the exact
-    baseline at sf0.001 and sf0.01 (pytest-pinned) and recall 0.956 at
-    sf0.1, touching ~72% of pairs.  On real near-dup corpora the
+    baseline at sf0.001 and sf0.01 (pytest-pinned) and recall 0.957 at
+    sf0.1 (round-2 fixture), touching ~72% of pairs.  On real near-dup corpora the
     qualifying pairs sit at cosine ≥ 0.9 (≤ 26°), where the same design
     prunes to O(N²/cells) with recall ≈ 1 — at 100 TB, train the
     quantizer on a sample, write the corpus partitioned by cell (×probes
@@ -401,9 +402,9 @@ def _assign_np(vec: DataFrame, cids: list, cn: list) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-style coarse quantizer (16
     centroids, 1 Lloyd iteration, deterministic init = lowest vec_ids;
-    measured recall at sf0.1 is 0.90 vs 0.92 for 2 iterations — the
-    second pass bought 0.02 recall for a full corpus pass + collect, so
-    the cold path drops it),
+    measured recall at sf0.1: 0.98 on the round-2 fixture, 0.90 on the
+    round-1 one vs 0.92 for 2 iterations — the second pass bought 0.02
+    recall for a full corpus pass + collect, so the cold path drops it),
     then each query probes its 4 nearest cells and ranks cell members by
     exact cosine.
 
