@@ -1,0 +1,66 @@
+"""Scale-stress smoke: run the engine's core relational patterns on
+synthetic data ~30× the sf0.1 bench fixture (20M rows, generated
+JVM-side by ``spark.range`` — no fixture dependency, no Python in the
+row path) and pin both correctness invariants and wall clock.
+
+This is the "would the plan survive a scale-up" check made executable:
+the same shapes the fixture queries use (partial-agg groupBy, broadcast
+dim join, per-key window top-k) at a size where an accidentally
+quadratic plan, a lost map-side combine, or a driver-side collect would
+blow past the bound instead of hiding in noise.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N = 20_000_000
+N_KEYS = 100_000
+WALL_CLOCK_BOUND_SEC = 120.0
+
+
+@pytest.mark.perf
+def test_core_shapes_at_20m_rows(spark):
+    t0 = time.time()
+    fact = spark.range(N).select(
+        (F.col("id") % N_KEYS).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 5).alias("dim_id"),
+    )
+    dim = spark.range(5).select(
+        F.col("id").alias("dim_id"), F.concat(F.lit("seg_"), F.col("id")).alias("seg")
+    )
+
+    # partial-agg groupBy: 20M rows -> 100k groups, map-side combine
+    agg = fact.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert agg.count() == N_KEYS
+
+    # broadcast dim join + second-level rollup: 5 output rows
+    rolled = (
+        fact.join(F.broadcast(dim), "dim_id")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = {r["seg"]: r["n"] for r in rolled.collect()}
+    assert len(rows) == 5 and sum(rows.values()) == N
+
+    # per-key window top-1 over the aggregated (not raw) frame: the
+    # two-phase shape that keeps window state at |groups|, not |rows|
+    w = Window.partitionBy(F.col("k") % 100).orderBy(F.col("s").desc(), F.col("k"))
+    top = (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    assert top.count() == 100
+
+    elapsed = time.time() - t0
+    assert elapsed < WALL_CLOCK_BOUND_SEC, (
+        f"20M-row core shapes took {elapsed:.1f}s (bound "
+        f"{WALL_CLOCK_BOUND_SEC}s) — check for a lost map-side combine, "
+        "a non-broadcast dim join, or a driver-side loop"
+    )
