@@ -1079,6 +1079,30 @@ register(
 )
 
 register(
+    "boilerplate_shingle_stats",
+    text.boilerplate_shingle_stats,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           round(CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) + 0.0 AS boiler_frac
+    FROM sh s JOIN freq f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+)
+
+register(
     "train_split_assign",
     text.train_split_assign,
     rf"""

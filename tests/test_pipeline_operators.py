@@ -144,6 +144,21 @@ def test_repetition_signals_bounds_and_shuffles(spark, qs):
         assert r["top_token_frac"] <= 1.0
 
 
+def test_boilerplate_stats_bounds_and_signal(spark, qs):
+    """Cross-doc boilerplate fractions are well-formed ([0,1], counts
+    consistent) and the df≥5 threshold actually discriminates on this
+    corpus (some docs flagged, not all) — guards against a fixture or
+    threshold change silently degenerating the signal to all-zeros."""
+    rows = qs["boilerplate_shingle_stats"](spark, SF).collect()
+    assert len(rows) == 500
+    n_nonzero = 0
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_shingles"]
+        assert abs(r["boiler_frac"] - r["n_boilerplate"] / r["n_shingles"]) < 1e-6
+        n_nonzero += r["boiler_frac"] > 0
+    assert 0 < n_nonzero < len(rows)
+
+
 def test_train_split_partitions_corpus(spark, qs):
     """Split assignment is a partition of the corpus with ~80/10/10 mass
     and is deterministic across re-execution (no RNG anywhere)."""
