@@ -1,0 +1,106 @@
+"""Multi-micro-batch streaming semantics.
+
+The driver fixtures are single parquet files, so AvailableNow drains them
+in ONE micro-batch and watermark/late-data behavior never executes — the
+exact blind spot that let a broken timestamp assumption pass at sf0.01.
+These tests force multiple batches (maxFilesPerTrigger=1 over files with
+staged mtimes) and pin the two behaviors that only exist beyond one
+batch: (a) chronological arrival reproduces the batch answer, (b) a row
+arriving after the watermark has passed its window is dropped.
+"""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+SCHEMA = StructType(
+    [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+)
+
+
+def _write(path: str, ts_list: list[str], mtime: int) -> None:
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(ts_list), "event_type": ["e"] * len(ts_list)}
+    )
+    # micros, not pandas' default nanos — nanos INT64 under nanosAsLong
+    # would not match the stream's TimestampType schema
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(path)
+    os.utime(path, (mtime, mtime))  # file source processes oldest-first
+
+
+def _drain(spark, src_dir: str, mode: str, name: str):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    )
+    return {r["w"]: r["n"] for r in spark.table(name).collect()}, dropped
+
+
+def test_chronological_batches_match_batch_answer(spark, tmp_path):
+    d = str(tmp_path / "ordered")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00", "2024-01-01 10:20"], base)
+    _write(f"{d}/b.parquet", ["2024-01-01 11:05", "2024-01-01 11:10"], base + 1)
+    _write(f"{d}/c.parquet", ["2024-01-01 12:30"], base + 2)
+    got, dropped = _drain(spark, d, "complete", "mb_ordered")
+    assert dropped == 0
+    want = {
+        r["w"]: r["n"]
+        for r in spark.read.schema(SCHEMA)
+        .parquet(d)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "n"
+        )
+        .collect()
+    }
+    assert got == want  # 3 micro-batches, same answer as one batch scan
+
+
+def test_late_row_beyond_watermark_is_dropped(spark, tmp_path):
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    # batch 1: two rows in the 10:00 window
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00", "2024-01-01 10:30"], base)
+    # batch 2: advances the event-time high mark to 13:00
+    _write(f"{d}/b.parquet", ["2024-01-01 13:00"], base + 1)
+    # batch 3: spacer — the 12:50 watermark needs one more batch to take
+    # effect for input filtering (watermark updates propagate with a
+    # one-batch lag; measured, not assumed)
+    _write(f"{d}/c.parquet", ["2024-01-01 13:05"], base + 2)
+    # batch 4: a 10:15 straggler, hours behind the watermark — dropped
+    _write(f"{d}/d.parquet", ["2024-01-01 10:15"], base + 3)
+    got, dropped = _drain(spark, d, "append", "mb_late")
+    # append emits only watermark-closed windows: the 10:00 window with
+    # its ON-TIME count; the straggler is dropped by the watermark, and
+    # the 13:00 window stays open (watermark never reaches 14:00)
+    assert dropped == 1
+    assert got == {"2024-01-01 10:00:00": 2}
