@@ -495,3 +495,81 @@ def array_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("v", -1), 6).alias("last_dim"),
         F.transform(F.slice("v", 1, 4), lambda x: F.round(x, 6)).alias("head4"),
     )
+
+
+PCA_COMPONENTS = 8
+
+
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection: mean + covariance accumulated in ONE
+    shuffle-free mapInPandas pass (each partition emits its row count,
+    coordinate sum, and X^T X partial — d×d doubles, the treeAggregate
+    shape shared with the Lloyd passes), eigendecomposition of the 64×64
+    covariance on the driver, and a second map-only pass projecting every
+    vector onto the top-8 components — the standard
+    whitening/dimensionality-reduction step before ANN indexing.
+
+    Determinism: eigenvectors get a fixed sign convention (the
+    largest-|coordinate| entry is made positive, lowest index on ties),
+    eigenvalues are sorted descending with the index as tiebreak, and
+    projections are rounded to 6 decimals, so the result is stable across
+    partitionings and numpy builds.  Not SQL-expressible
+    (eigendecomposition) — rows-only + pytest pins (orthonormal basis,
+    monotone explained variance, diagonal projected covariance,
+    partitioning invariance).
+
+    At 100 TB: the accumulation pass streams the corpus once with k×d×d
+    partial bytes per partition (d=64 → 32 KB) and the projection pass is
+    embarrassingly parallel; only the d×d eigh is driver-side, identical
+    at any corpus size.
+    """
+    import numpy as np
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+
+    def cov_partials(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy())
+            n += M.shape[0]
+            s = M.sum(axis=0) if s is None else s + M.sum(axis=0)
+            xtx = M.T @ M if xtx is None else xtx + M.T @ M
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.reshape(-1).tolist()]}
+            )
+
+    parts = vec.select("v").mapInPandas(
+        cov_partials, schema="n long, s array<double>, xtx array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(DIM, DIM) for r in parts], axis=0)
+    mu = s / n
+    cov = (xtx - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:PCA_COMPONENTS]
+    W = evecs[:, order]  # (d, k)
+    # fixed sign convention: largest-|coordinate| entry positive
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    mu_l, W_l = mu.tolist(), W.tolist()  # captured by value
+
+    def project(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+
+        m = np.asarray(mu_l)
+        P = np.asarray(W_l)
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy())
+            Z = np.round((M - m) @ P, 6) + 0.0
+            yield pdf.assign(pc=[z.tolist() for z in Z]).drop(columns=["v"])
+
+    return vec.mapInPandas(project, schema="vec_id long, pc array<double>")

@@ -505,6 +505,10 @@ register(
 )
 
 register("lsh_ann_topk", similarity.lsh_ann_topk, None)
+# rows-only: eigendecomposition is not SQL-expressible; pytest pins
+# orthonormal basis, monotone variance, diagonal projected covariance,
+# and partitioning invariance (tests/test_pipeline_operators.py)
+register("pca_project_embeddings", similarity.pca_project_embeddings, None)
 
 # -- streaming + multimodal -------------------------------------------------
 

@@ -144,6 +144,43 @@ def test_repetition_signals_bounds_and_shuffles(spark, qs):
         assert r["top_token_frac"] <= 1.0
 
 
+def test_pca_projection_properties(spark, qs):
+    """The PCA operator's linear-algebra contract, checked from the
+    OUTPUT (the basis is internal): projected covariance is diagonal
+    with non-increasing variances (orthonormal principal axes), the
+    projection is centered, and the result is invariant to input
+    partitioning (the one-pass covariance accumulation must not depend
+    on how rows are split across partitions)."""
+    import numpy as np
+
+    rows = qs["pca_project_embeddings"](spark, SF).collect()
+    assert len(rows) == 500
+    Z = np.stack([np.asarray(r["pc"]) for r in sorted(rows, key=lambda r: r["vec_id"])])
+    assert Z.shape[1] == 8
+    assert np.abs(Z.mean(axis=0)).max() < 1e-4  # centered (rounding noise)
+    C = np.cov(Z.T)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-3  # decorrelated components
+    var = np.diag(C)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+    # independent numpy oracle (sign-free): the projected variances must
+    # equal the top-8 eigenvalues of the covariance computed directly
+    # from the raw vectors — validates the distributed one-pass
+    # accumulation against a straight two-pass reference
+    from mini_pandas_spark.sources import load_table
+
+    V = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=float)
+            for r in load_table(spark, SF, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    want = np.sort(np.linalg.eigvalsh(np.cov(V.T)))[::-1][:8]
+    assert np.allclose(var, want, atol=1e-4)
+
+
 def test_boilerplate_stats_bounds_and_signal(spark, qs):
     """Cross-doc boilerplate fractions are well-formed ([0,1], counts
     consistent) and the df≥5 threshold actually discriminates on this
