@@ -47,12 +47,14 @@ HEADLINE = [
     "hll_rollup_customers",
     "decontaminate_ngram_overlap",
     "word_count_top20",
+    "boilerplate_shingle_stats",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pca_project_embeddings",
     "multimodal_resize",
     "streaming_hourly_counts",
 ]
