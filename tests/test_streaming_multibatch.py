@@ -22,9 +22,9 @@ SCHEMA = StructType(
 )
 
 
-def _write(path: str, ts_list: list[str], mtime: int) -> None:
+def _write(path: str, ts_list: list[str], mtime: int, types: list[str] | None = None) -> None:
     pdf = pd.DataFrame(
-        {"ts": pd.to_datetime(ts_list), "event_type": ["e"] * len(ts_list)}
+        {"ts": pd.to_datetime(ts_list), "event_type": types or ["e"] * len(ts_list)}
     )
     # micros, not pandas' default nanos — nanos INT64 under nanosAsLong
     # would not match the stream's TimestampType schema
@@ -104,3 +104,51 @@ def test_late_row_beyond_watermark_is_dropped(spark, tmp_path):
     # the 13:00 window stays open (watermark never reaches 14:00)
     assert dropped == 1
     assert got == {"2024-01-01 10:00:00": 2}
+
+
+def test_drop_duplicates_within_watermark_evicts_old_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the bounded-state streaming dedup
+    (state for a key evicts once the watermark passes its event time +
+    delay). Multi-batch pin of both halves of the contract: a duplicate
+    arriving within the watermark IS suppressed; the same key arriving
+    after its state evicted is emitted AGAIN — the arrival-time-dependent
+    semantics the docstring of streaming_dedup_events warns about, shown
+    executing rather than asserted from documentation."""
+    d = str(tmp_path / "ddww")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    # batch 1: key k1 at 10:00
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00"], base, ["k1"])
+    # batch 2: duplicate k1 within the 10-min delay — suppressed
+    _write(f"{d}/b.parquet", ["2024-01-01 10:05"], base + 1, ["k1"])
+    # batch 3+4: other keys advance the watermark far past 10:10 (two
+    # batches for the measured one-batch propagation lag)
+    _write(f"{d}/c.parquet", ["2024-01-01 13:00"], base + 2, ["adv1"])
+    _write(f"{d}/d.parquet", ["2024-01-01 13:05"], base + 3, ["adv2"])
+    # batch 5: k1 again at 13:10 — its old state evicted, so it re-emits
+    _write(f"{d}/e.parquet", ["2024-01-01 13:10"], base + 4, ["k1"])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_type"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sorted(str(r["ts"]) for r in spark.table("ddww").collect())
+    # k1@10:00 emitted once (10:05 dup suppressed), the two watermark
+    # advancers emitted, k1@13:10 emitted AGAIN after state eviction
+    assert emitted == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 13:00:00",
+        "2024-01-01 13:05:00",
+        "2024-01-01 13:10:00",
+    ]
