@@ -523,3 +523,57 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.groupBy("source", status.alias("status")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+CHUNK_WORDS = 10
+
+
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (RefinedWeb/C4 "line dedup" adapted to the
+    fixture's newline-free text): split every document into consecutive
+    10-word chunks, keep only the globally-first occurrence of each chunk
+    text (first = smallest (doc_id, position)), and reassemble documents
+    from their surviving chunks.  This is the practical approximation of
+    exact-substring dedup used in LLM corpus cleaning — repeated
+    boilerplate spans vanish from every document except the first that
+    contained them.
+
+    Scale: per-chunk work is bounded by document length, not corpus size.
+    Three shuffles — chunk assembly on (doc_id, chunk_pos), the
+    first-occurrence window on chunk_text (hash-partitioned over the
+    whole corpus; at 100 TB this is the big exchange and it is one pass),
+    and document reassembly on doc_id.  No self-joins, no all-pairs.
+    The posexplode path (rather than transform-over-sequence lambdas)
+    keeps split() evaluated once per row (CLAUDE.md Catalyst pitfall).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    chunks = (
+        words.withColumn("chunk_pos", F.floor(F.col("pos") / CHUNK_WORDS).cast("int"))
+        .groupBy("doc_id", "chunk_pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_pos", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).alias("kept_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -390,3 +390,46 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("filled"),
         F.last("v", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip ``value`` to the
+    [p05, p95] band of its event_type (exact interpolated percentiles —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    definition) and report tail counts plus the clipped mean.  This is
+    the outlier-robust normalization step of a feature pipeline.
+
+    Determinism: percentiles are exact (sort-based, order-free); the
+    clipped mean is rounded to 4 dp with the +0.0 negative-zero guard;
+    tail counts are integer sums cast to BIGINT on the oracle side
+    (DuckDB sums of integers widen to HUGEINT — CLAUDE.md §3).
+
+    Scale: one shuffle to compute the 5-row percentile table, broadcast
+    back onto the fact scan, one aggregation on the same 5-key space.
+    Exact percentiles over 100 TB would instead use approx_percentile
+    (t-digest) — the exact form is kept because the oracle demands
+    bit-equality; the plan shape is identical either way.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = e.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lo"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hi"),
+            (F.round(F.avg(clipped), 4) + F.lit(0.0)).alias("avg_winsor"),
+            (F.round(F.min("p05"), 4) + F.lit(0.0)).alias("p05_r"),
+            (F.round(F.min("p95"), 4) + F.lit(0.0)).alias("p95_r"),
+        )
+        .orderBy("event_type")
+    )

@@ -860,3 +860,43 @@ def mode_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+JOIN_SALTS = 8
+
+
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: events (fact) joined to customer (dim)
+    on user_id with the dim side replicated across 8 salt buckets and the
+    fact side salted by a deterministic row property, then revenue rolled
+    up per market segment.  Result is value-identical to the plain join —
+    the salt only changes the *physical* key distribution, which is the
+    point: a hot user_id no longer lands on a single reducer.
+
+    At this dim size broadcast is the right physical plan and AQE picks
+    it; the salted shape is registered because at 100 TB with a
+    non-broadcastable dim and a power-law fact key, salting (or AQE skew
+    splitting, which handles sort-merge spills but not single-key
+    reducers) is the standard mitigation.  The oracle is the plain join —
+    proving the rewrite is semantics-preserving is the test.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_dim = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)))
+    )
+    salted_fact = e.withColumn(
+        "salt", (F.col("event_id") % F.lit(JOIN_SALTS)).cast("int")
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (F.col("user_id") == F.col("c_custkey")) & (salted_fact["salt"] == salted_dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -635,3 +635,44 @@ def boilerplate_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_boilerplate") / F.col("n_shingles"), 6) + F.lit(0.0),
         )
     )
+
+
+REBALANCE_SCALE = 1_000_000
+
+
+def lang_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: deterministically downsample every
+    language to the size of the smallest one (uniform target mixture),
+    the reweighting step used to control language / domain proportions in
+    a training corpus.  Selection is by multiplicative hash of doc_id —
+    reproducible and resumable, unlike rand()-based sampling.  A doc is
+    kept iff hash(doc_id) % SCALE < (min_count / count_lang) * SCALE,
+    evaluated in pure integer arithmetic so both engines agree exactly.
+
+    Scale: per-language counts and the global min enter the row-level
+    filter via broadcast joins of tiny aggregates (25 rows + 1 row) —
+    no driver-side collect, no second scan barrier beyond the count
+    aggregation itself.  The audit output aggregates on the lang key.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    mn = cnt.agg(F.min("n_total").alias("min_total"))
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
+        REBALANCE_SCALE
+    )
+    kept = (
+        d.join(F.broadcast(cnt), "lang")
+        .join(F.broadcast(mn))
+        .where(h * F.col("n_total") < F.col("min_total") * F.lit(REBALANCE_SCALE))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        cnt.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -1901,3 +1901,86 @@ register(
     FROM gates GROUP BY source
     """,
 )
+
+register(
+    "chunk_dedup_docs",
+    dedup.chunk_dedup_docs,
+    """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(g.i AS INT) AS chunk_pos,
+               array_to_string(words[(g.i*10+1):(g.i*10+10)], ' ') AS chunk_text
+        FROM base,
+             LATERAL (SELECT unnest(range(0, CAST(ceil(len(words)/10.0)
+                                                  AS BIGINT))) AS i) g
+    ), ranked AS (
+        SELECT doc_id, chunk_pos, chunk_text,
+               row_number() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk_text, ' ' ORDER BY chunk_pos) AS dedup_text,
+           COUNT(*) AS kept_chunks
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+register(
+    "lang_mixture_rebalance",
+    text.lang_mixture_rebalance,
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_total) AS min_total FROM c),
+    k AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN c USING (lang) CROSS JOIN m
+        WHERE ((d.doc_id * 2654435761) % 2147483647 % 1000000) * c.n_total
+              < m.min_total * 1000000
+        GROUP BY d.lang
+    )
+    SELECT c.lang, c.n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM c LEFT JOIN k USING (lang)
+    ORDER BY lang
+    """,
+)
+
+register(
+    "winsorize_events",
+    events.winsorize_events,
+    """
+    WITH p AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lo,
+           CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi,
+           ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 4) + 0.0
+               AS avg_winsor,
+           ROUND(MIN(p.p05), 4) + 0.0 AS p05_r,
+           ROUND(MIN(p.p95), 4) + 0.0 AS p95_r
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+
+register(
+    "salted_join_skewed",
+    relational.salted_join_skewed,
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {_MONEY_SUM.format(col="e.value")} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)

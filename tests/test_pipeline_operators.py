@@ -369,3 +369,92 @@ def test_systematic_sample_is_length_weighted(spark, qs):
     mean_all = sum(r["n_tokens"] for r in tok) / len(tok)
     mean_picked = sum(r["n_tok"] for r in picks) / len(picks)
     assert mean_picked > mean_all
+
+
+def test_chunk_dedup_output_chunks_globally_unique(spark, qs):
+    """After chunk dedup, re-chunking the surviving text must yield zero
+    duplicate chunks — the defining property of exact chunk dedup — and
+    total kept chunks must equal the corpus's distinct-chunk count."""
+    from pyspark.sql import functions as F
+
+    out = qs["chunk_dedup_docs"](spark, SF).cache()
+    rechunk = (
+        out.select("doc_id", F.posexplode(F.split("dedup_text", " ")).alias("p", "w"))
+        .withColumn("cp", F.floor(F.col("p") / 10))
+        .groupBy("doc_id", "cp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    dup = rechunk.groupBy("chunk").count().where("count > 1").count()
+    assert dup == 0
+    kept_total = out.agg(F.sum("kept_chunks")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    ).withColumn("cp", F.floor(F.col("p") / 10))
+    distinct_chunks = (
+        words.groupBy("doc_id", "cp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
+    out.unpersist()
+
+
+def test_lang_mixture_rebalance_targets_min(spark, qs):
+    rows = qs["lang_mixture_rebalance"](spark, SF).collect()
+    mn = min(r.n_total for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_total
+        if r.n_total == mn:
+            assert r.n_kept == mn  # smallest language is kept whole
+        # kept fraction lands near min/total (hash-uniformity tolerance)
+        assert abs(r.n_kept - mn) <= max(6, 0.35 * mn)
+
+
+def test_winsorize_events_bounds(spark, qs):
+    rows = qs["winsorize_events"](spark, SF).collect()
+    for r in rows:
+        assert 0 < r.n_lo <= 0.06 * r.n
+        assert 0 < r.n_hi <= 0.06 * r.n
+        assert r.p05_r <= r.avg_winsor <= r.p95_r
+
+
+def test_salted_join_equals_plain_join(spark, qs):
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.functions import money_sum
+    from mini_pandas_spark.sources import load_table
+
+    salted = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in qs["salted_join_skewed"](spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    c = load_table(spark, SF, "customer")
+    plain = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert salted == plain
