@@ -676,3 +676,56 @@ def lang_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-sample manifest: every document with its token
+    count, quality-gate verdict (length + chars-per-token gates, as in
+    cleaning_funnel), deterministic train/val/test split, and the squared
+    L2 norm of its embedding (left join on doc_id = vec_id) — the final
+    assembly step that hands a cleaned, split, feature-joined corpus to a
+    trainer.  Composes the pipeline's primitives into one plan.
+
+    Scale: one scan per side; the join shuffles on the shared id key (or
+    broadcasts if one side is small — left to AQE, since at 100 TB both
+    sides are fact-sized).  All expressions are JVM-side; the norm is a
+    single fold over the vector column.
+    """
+    from .similarity import _vectors
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").alias("n_tok"),
+        F.length("text").alias("n_chars"),
+    )
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("n_tok") <= 500)
+        & (F.col("n_chars") * F.lit(1.0) / F.col("n_tok") <= F.lit(8.0))
+    )
+    from ..functions import sq_norm
+
+    emb = _vectors(spark, sf_dir).select(
+        "vec_id", (F.round(sq_norm(F.col("v")), 6) + F.lit(0.0)).alias("sq_norm_r")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            split.alias("split"),
+            "n_tok",
+            keep.alias("keep"),
+            F.col("sq_norm_r").isNotNull().alias("has_embedding"),
+            "sq_norm_r",
+        )
+        .orderBy("doc_id")
+    )

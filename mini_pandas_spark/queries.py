@@ -1984,3 +1984,49 @@ register(
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
 )
+
+register(
+    "training_manifest",
+    text.training_manifest,
+    rf"""
+    WITH docs AS (
+        SELECT doc_id, source, lang,
+               len({_TOKENS}) AS n_tok,
+               length(text) AS n_chars
+        FROM documents
+    ), v AS (
+        SELECT vec_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 6) + 0.0
+                   AS sq_norm_r
+        FROM embeddings
+    )
+    SELECT doc_id, source, lang,
+           CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           n_tok,
+           n_tok >= 10 AND n_tok <= 500
+               AND n_chars * 1.0 / n_tok <= 8.0 AS keep,
+           v.sq_norm_r IS NOT NULL AS has_embedding,
+           v.sq_norm_r
+    FROM docs LEFT JOIN v ON docs.doc_id = v.vec_id
+    ORDER BY doc_id
+    """,
+)
+
+# Stream-static join drained with AvailableNow equals the batch
+# join+window over static input — full ANSI oracle, like the other
+# streaming rows.
+register(
+    "stream_static_enrich",
+    _stream_windows.stream_static_enrich,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)

@@ -375,3 +375,49 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast — the dim is re-read per micro-batch,
+    so keeping it broadcast-sized or cached is the operational rule),
+    then watermarked tumbling-hour aggregation per market segment.
+    The canonical Structured Streaming enrichment topology: stream joins
+    to a slowly-changing dim without any stream-stream state.
+
+    Drained with Trigger.AvailableNow into a memory sink; over static
+    input the result equals the batch join+window, so it shares a full
+    ANSI oracle (strong gate, same policy as streaming_hourly_counts).
+    """
+    from ..sources import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
