@@ -49,6 +49,11 @@ HEADLINE = [
     "word_count_top20",
     "boilerplate_shingle_stats",
     "dedup_exact",
+    "chunk_dedup_docs",
+    "lang_mixture_rebalance",
+    "winsorize_events",
+    "salted_join_skewed",
+    "training_manifest",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_topk",
@@ -57,6 +62,7 @@ HEADLINE = [
     "pca_project_embeddings",
     "multimodal_resize",
     "streaming_hourly_counts",
+    "stream_static_enrich",
 ]
 
 
