@@ -433,3 +433,151 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users are grouped by the day of their first
+    event (the cohort), and each later active day is credited to the
+    cohort at its day offset — the classic retention triangle.
+
+    Scale: the first-seen aggregation and the activity join both key on
+    user_id, so AQE can plan one co-partitioned exchange; the distinct
+    (cohort, offset, user) projection collapses duplicate same-day events
+    before the final small-key count.  No driver-side state.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (ordered by time with an event_id tiebreak), with the
+    per-source-state transition probability — the behavioral-model
+    feature a funnel/recommendation pipeline derives from a clickstream.
+
+    Scale: one window shuffle on user_id (the natural stream key), then
+    aggregation on the tiny (prev, next) type-pair space; the probability
+    normalization is a window over that 25-row aggregate, not the facts.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (
+            F.round(F.col("n_transitions") / F.sum("n_transitions").over(wt), 6)
+            + F.lit(0.0)
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "event_type")
+
+
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM features (recency / frequency / monetary) over
+    purchase events: days from the user's last purchase to the corpus
+    horizon (global max timestamp), purchase count, and exact money sum.
+
+    Scale: the horizon is a 1-row aggregate broadcast onto the per-user
+    aggregation — no driver collect; everything else is one groupBy on
+    user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase")
+    horizon = e.agg(F.max(F.to_date("ts")).alias("horizon_d"))
+    per_user = p.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("monetary"),
+    )
+    return (
+        per_user.join(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff("horizon_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .orderBy("user_id")
+    )
+
+
+_AB_PRIME = 2654435761
+_AB_MOD = 2147483647
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucket evaluation: users hash into two buckets
+    (multiplicative hash — reproducible assignment, the experiment
+    platform requirement), then per-bucket user counts, converter counts
+    (users with ≥1 purchase), conversion rate, and average purchase
+    value.  The readout shape of an experimentation pipeline.
+
+    Scale: assignment is a per-row projection; the analysis is two
+    aggregations keyed on user then bucket — both tiny exchanges.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.select("user_id", bucket.alias("bucket"), "event_type", "value")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purch"),
+            decimal_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(18,2)"),
+                scale=2,
+            ).alias("purch_value"),
+        )
+    )
+    return (
+        per_user.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_converters"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("conversion_rate"),
+            F.sum(F.col("purch_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_purchase_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -2030,3 +2030,86 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+register(
+    "cohort_retention",
+    events.cohort_retention,
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id),
+    x AS (
+        SELECT DISTINCT e.user_id,
+               strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort_d, e.d) AS INT) AS day_offset
+        FROM e JOIN f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM x GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+
+register(
+    "event_transition_matrix",
+    events.event_transition_matrix,
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type, COUNT(*) AS n_transitions
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           round(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY prev_type), 6) + 0.0
+               AS p_transition
+    FROM c ORDER BY prev_type, event_type
+    """,
+)
+
+register(
+    "rfm_features",
+    events.rfm_features,
+    """
+    WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS horizon_d FROM events),
+    p AS (
+        SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(date_diff('day', last_d, horizon_d) AS INT) AS recency_days,
+           frequency, monetary
+    FROM p CROSS JOIN h ORDER BY user_id
+    """,
+)
+
+register(
+    "ab_test_lift",
+    events.ab_test_lift,
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS bucket,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS purch_value
+        FROM events GROUP BY user_id, bucket
+    )
+    SELECT bucket, COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converters,
+           round(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) + 0.0 AS conversion_rate,
+           CAST(SUM(purch_value) AS DOUBLE) AS total_purchase_value
+    FROM pu GROUP BY bucket ORDER BY bucket
+    """,
+)

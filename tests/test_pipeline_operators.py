@@ -458,3 +458,23 @@ def test_salted_join_equals_plain_join(spark, qs):
         .collect()
     }
     assert salted == plain
+
+
+def test_cohort_retention_triangle(spark, qs):
+    """Offset-0 row of every cohort equals the cohort's size, and no
+    offset row can exceed it (retention never grows)."""
+    rows = qs["cohort_retention"](spark, SF).collect()
+    base = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.cohort_day in base
+        assert r.n_users <= base[r.cohort_day]
+
+
+def test_transition_probabilities_sum_to_one(spark, qs):
+    rows = qs["event_transition_matrix"](spark, SF).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.p_transition
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
