@@ -581,3 +581,45 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: per event
+    type, compute the value median and MAD (both exact interpolated
+    percentiles), then count rows whose |value - median| exceeds
+    3 × 1.4826 × MAD — the outlier gate that survives heavy tails where
+    z-scores saturate.
+
+    Scale: two tiny percentile aggregations (5-key space) broadcast onto
+    one fact pass; counts aggregate on the same 5 keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    thresh = F.col("med") + F.lit(3 * 1.4826) * F.col("mad")
+    lo = F.col("med") - F.lit(3 * 1.4826) * F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("value") > thresh) | (F.col("value") < lo), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            (F.round(F.min("med"), 4) + F.lit(0.0)).alias("median_r"),
+            (F.round(F.min("mad"), 4) + F.lit(0.0)).alias("mad_r"),
+        )
+        .orderBy("event_type")
+    )

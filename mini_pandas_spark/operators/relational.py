@@ -900,3 +900,76 @@ def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (change-data-capture readout): compare two versions
+    of the documents table — "old" (doc_id % 7 != 0) vs "new"
+    (doc_id % 5 != 0, with text rewritten where doc_id % 3 == 0) — and
+    classify every key as added / removed / changed / unchanged, with
+    per-class counts.  The derived versions are deterministic, so the
+    diff itself is the operator under test, exactly what an
+    incremental-pipeline audit runs between dataset releases.
+
+    Scale: a single full-outer join on the key plus a 4-row aggregate;
+    comparing a content hash (here the raw text — at 100 TB a digest
+    column) avoids shipping both payloads when only equality matters.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("k_old"), F.col("text").alias("text_old")
+    )
+    new = d.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("k_new"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text_new"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full_outer")
+    status = (
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("text_old") != F.col("text_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: for each candidate key column
+    (events.user_id, lineitem.l_orderkey), the group-size distribution —
+    distinct keys, mean/max group size, the p99 group size, and the
+    max/mean skew ratio.  This is the report that decides whether a
+    shuffle needs salting or AQE skew splitting before a 100 TB run.
+
+    Scale: one aggregation per key column at the key's own cardinality,
+    then a 1-row summary of each — output is 2 rows regardless of SF.
+    """
+    def profile(df: DataFrame, table: str, key: str) -> DataFrame:
+        sizes = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        return sizes.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            (F.round(F.avg("sz"), 4) + F.lit(0.0)).alias("mean_sz"),
+            F.max("sz").alias("max_sz"),
+            (F.round(F.percentile("sz", F.lit(0.99)), 4) + F.lit(0.0)).alias(
+                "p99_sz"
+            ),
+            (F.round(F.max("sz") / F.avg("sz"), 4) + F.lit(0.0)).alias(
+                "skew_ratio"
+            ),
+        )
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(ev, "events", "user_id").unionAll(
+        profile(li, "lineitem", "l_orderkey")
+    )

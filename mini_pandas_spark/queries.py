@@ -2113,3 +2113,66 @@ register(
     FROM pu GROUP BY bucket ORDER BY bucket
     """,
 )
+
+register(
+    "snapshot_diff",
+    relational.snapshot_diff,
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    o AS (SELECT doc_id AS k_old, text AS text_old FROM d WHERE doc_id % 7 <> 0),
+    n AS (SELECT doc_id AS k_new,
+                 CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END
+                     AS text_new
+          FROM d WHERE doc_id % 5 <> 0)
+    SELECT CASE WHEN k_old IS NULL THEN 'added'
+                WHEN k_new IS NULL THEN 'removed'
+                WHEN text_old <> text_new THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_keys
+    FROM o FULL OUTER JOIN n ON o.k_old = n.k_new
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "key_skew_profile",
+    relational.key_skew_profile,
+    """
+    WITH es AS (SELECT user_id AS k, COUNT(*) AS sz FROM events GROUP BY 1),
+    ls AS (SELECT l_orderkey AS k, COUNT(*) AS sz FROM lineitem GROUP BY 1)
+    SELECT 'events' AS table_name, 'user_id' AS key_col, COUNT(*) AS n_keys,
+           round(AVG(sz), 4) + 0.0 AS mean_sz, MAX(sz) AS max_sz,
+           round(quantile_cont(sz, 0.99), 4) + 0.0 AS p99_sz,
+           round(MAX(sz) * 1.0 / AVG(sz), 4) + 0.0 AS skew_ratio
+    FROM es
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', COUNT(*),
+           round(AVG(sz), 4) + 0.0, MAX(sz),
+           round(quantile_cont(sz, 0.99), 4) + 0.0,
+           round(MAX(sz) * 1.0 / AVG(sz), 4) + 0.0
+    FROM ls
+    """,
+)
+
+register(
+    "mad_anomaly_events",
+    events.mad_anomaly_events,
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type, MIN(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value > m.med + 3*1.4826*m.mad
+                           OR e.value < m.med - 3*1.4826*m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(MIN(m.med), 4) + 0.0 AS median_r,
+           round(MIN(m.mad), 4) + 0.0 AS mad_r
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
