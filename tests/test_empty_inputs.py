@@ -38,6 +38,16 @@ EMPTY_OK_ZERO_ROWS = [
     "train_split_assign",
     "stratified_sample_docs",
     "rollup_cascade_events",
+    "chunk_dedup_docs",
+    "lang_mixture_rebalance",
+    "winsorize_events",
+    "salted_join_skewed",
+    "training_manifest",
+    "cohort_retention",
+    "event_transition_matrix",
+    "rfm_features",
+    "snapshot_diff",
+    "mad_anomaly_events",
 ]
 
 
