@@ -6,7 +6,13 @@ This package supplies the scan/sink surface a real engine needs, as thin
 wrappers over Spark's native readers so pushdown/pruning are preserved.
 """
 
-from .tables import BROADCAST_DIMS, TABLE_NAMES, load_table, load_tables
+from .tables import (
+    BROADCAST_DIMS,
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+    register_views,
+)
 from .io import (
     read_binary_files,
     read_csv,
@@ -27,6 +33,7 @@ __all__ = [
     "TABLE_NAMES",
     "load_table",
     "load_tables",
+    "register_views",
     "read_parquet",
     "read_csv",
     "read_json",

@@ -60,3 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every fixture table as a temp view (optionally prefixed)
+    so the whole engine surface is reachable from ``spark.sql`` — the
+    SQL-frontend entry point for users who never touch the DataFrame API.
+    Returns the registered view names."""
+    names = []
+    for name in TABLE_NAMES:
+        view = f"{prefix}{name}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

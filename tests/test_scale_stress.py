@@ -64,3 +64,58 @@ def test_core_shapes_at_20m_rows(spark):
         f"{WALL_CLOCK_BOUND_SEC}s) — check for a lost map-side combine, "
         "a non-broadcast dim join, or a driver-side loop"
     )
+
+
+CHUNK_N_DOCS = 2_000_000
+CHUNK_UNIQUE = 1_500_000
+CHUNK_BOUND_SEC = 120.0
+
+
+@pytest.mark.perf
+def test_chunk_dedup_shape_at_2m_docs(spark):
+    """The chunk-dedup pipeline (explode → chunk assembly → global
+    first-occurrence window → reassembly) at 2M synthetic docs with 25%
+    planted exact duplicates: 4M chunk rows through the chunk_text
+    exchange.  Pins the survivor count exactly (planted dups vanish) and
+    a wall-clock bound that a quadratic or driver-side plan would blow.
+    """
+    import time
+
+    t0 = time.time()
+    # 20 words per doc; docs with id >= CHUNK_UNIQUE repeat earlier text
+    base = spark.range(CHUNK_N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % CHUNK_UNIQUE).alias("id_eff"),
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("t"), ((F.col("id_eff") * 7 + i) % 5000).cast("string")
+                ),
+            )
+        ).alias("pos", "word"),
+    )
+    chunks = (
+        words.withColumn("chunk_pos", F.floor(F.col("pos") / 10).cast("int"))
+        .groupBy("doc_id", "chunk_pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    n_kept = kept.count()
+    # distinct chunk texts: id_eff*7 mod 5000 cycles — count them exactly
+    n_distinct = chunks.select("chunk_text").distinct().count()
+    assert n_kept == n_distinct
+    elapsed = time.time() - t0
+    assert elapsed < CHUNK_BOUND_SEC, f"chunk dedup at 2M docs took {elapsed:.1f}s"

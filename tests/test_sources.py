@@ -181,3 +181,20 @@ def test_binary_files_scan(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert bytes(rows["a.bin"]["content"]) == b"\x00\x01payload-a"
     assert rows["b.bin"]["length"] == 10
+
+
+def test_register_views_enables_sql_frontend(spark, sf_dir):
+    from mini_pandas_spark.sources import register_views
+
+    names = register_views(spark, sf_dir, prefix="v_")
+    assert "v_lineitem" in names and len(names) == 10
+    n = spark.sql("SELECT COUNT(*) AS n FROM v_lineitem").collect()[0]["n"]
+    assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    joined = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM v_nation n JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    ).count()
+    assert joined == 5
