@@ -973,3 +973,70 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(ev, "events", "user_id").unionAll(
         profile(li, "lineitem", "l_orderkey")
     )
+
+
+def null_safe_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark's ``eqNullSafe`` / SQL ``<=>``):
+    both sides derive a nullable bucket key (NULLIF(user_id % 10, 0) /
+    NULLIF(c_custkey % 10, 0)); under <=> the NULL buckets MATCH each
+    other — the semantics regular equi-joins silently drop.  Output is
+    per-bucket match counts with the NULL bucket present.
+
+    Scale: <=> is still hash-joinable (null becomes an ordinary key
+    value), so the plan stays a shuffled/broadcast hash join — no
+    fallback to nested-loop.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("eb")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey") % 10, F.lit(0)).alias("cb"),
+        "c_custkey",
+    )
+    cnt = c.groupBy("cb").agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        e.join(F.broadcast(cnt), F.col("eb").eqNullSafe(F.col("cb")))
+        .groupBy(F.coalesce(F.col("eb"), F.lit(-1)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("n_cust").alias("n_cust"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def daily_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas: daily order revenue (exact decimal
+    sum), previous-day revenue via lag, absolute change, and percent
+    change rounded — the time-series readout every revenue dashboard
+    computes.
+
+    Scale: one aggregation to the day key space (tiny), one window over
+    it — the window runs over the aggregate, never the facts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            "prev_revenue",
+            (
+                F.round(F.col("revenue") - F.col("prev_revenue"), 2) + F.lit(0.0)
+            ).alias("abs_change"),
+            (
+                F.round(
+                    (F.col("revenue") - F.col("prev_revenue"))
+                    / F.col("prev_revenue")
+                    * 100,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pct_change"),
+        )
+        .orderBy("day")
+    )

@@ -729,3 +729,37 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CAP_PER_SOURCE = 15
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 15 docs per source, chosen
+    deterministically by multiplicative hash order (doc_id tiebreak) —
+    the "no domain dominates the corpus" guard of a crawl pipeline,
+    reproducible across runs unlike rand()-ordered sampling.
+
+    Scale: one window shuffle on source; survivor selection is a
+    row_number cutoff, so memory per group is O(1).  The audit output
+    aggregates back to the source key space.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("rn") <= CAP_PER_SOURCE, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.min(F.when(F.col("rn") <= CAP_PER_SOURCE, F.col("doc_id"))).alias(
+                "first_kept_doc"
+            ),
+        )
+        .orderBy("source")
+    )

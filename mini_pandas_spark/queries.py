@@ -2176,3 +2176,57 @@ register(
     GROUP BY e.event_type ORDER BY e.event_type
     """,
 )
+
+register(
+    "cap_per_source",
+    text.cap_per_source,
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 2147483647, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN rn <= 15 THEN doc_id END) AS first_kept_doc
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+
+register(
+    "null_safe_join_demo",
+    relational.null_safe_join_demo,
+    """
+    WITH e AS (SELECT NULLIF(user_id % 10, 0) AS eb FROM events),
+    c AS (SELECT NULLIF(c_custkey % 10, 0) AS cb, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1)
+    SELECT COALESCE(eb, -1) AS bucket, COUNT(*) AS n_events,
+           MIN(n_cust) AS n_cust
+    FROM e JOIN c ON eb IS NOT DISTINCT FROM cb
+    GROUP BY COALESCE(eb, -1) ORDER BY bucket
+    """,
+)
+
+register(
+    "daily_revenue_change",
+    relational.daily_revenue_change,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, revenue,
+           lag(revenue) OVER (ORDER BY d) AS prev_revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY d), 2) + 0.0
+               AS abs_change,
+           round((revenue - lag(revenue) OVER (ORDER BY d))
+                 / lag(revenue) OVER (ORDER BY d) * 100, 4) + 0.0
+               AS pct_change
+    FROM daily ORDER BY day
+    """,
+)
