@@ -573,3 +573,26 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf.assign(pc=[z.tolist() for z in Z]).drop(columns=["v"])
 
     return vec.mapInPandas(project, schema="vec_id long, pc array<double>")
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes): the mean vector
+    of every label, emitted as (label, dimension, value) rows — the
+    prototype computation behind nearest-class-mean classifiers, cluster
+    summaries, and drift monitoring.
+
+    Scale: posexplode fans each vector into 64 (label, pos) partials and
+    the aggregation map-side-combines them — the shuffle carries
+    |labels| × 64 partial sums, independent of corpus size.  No driver
+    state, no collect.
+    """
+    v = _vectors(spark, sf_dir)
+    pos = v.select("label", F.posexplode("v").alias("pos", "val"))
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -2230,3 +2230,19 @@ register(
     FROM daily ORDER BY day
     """,
 )
+
+register(
+    "label_centroids",
+    similarity.label_centroids,
+    """
+    WITH v AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS ve, label FROM embeddings
+    ), p AS (
+        SELECT label, CAST(g.i AS INT) AS pos, ve[g.i + 1] AS val
+        FROM v, LATERAL (SELECT unnest(range(0, 64)) AS i) g
+    )
+    SELECT label, pos, round(AVG(val), 6) + 0.0 AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM p GROUP BY label, pos ORDER BY label, pos
+    """,
+)
