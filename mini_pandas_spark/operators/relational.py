@@ -1040,3 +1040,40 @@ def daily_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def quantile_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-binned feature discretization: global quartile thresholds
+    of order totalprice (exact interpolated percentiles), every order
+    assigned to its quartile bucket, per-bucket counts and exact money
+    mass — the discretization step of a feature pipeline plus its audit.
+
+    Scale: the 1-row threshold aggregate broadcasts onto the fact scan;
+    bucketing is a per-row CASE; the audit aggregates on 4 keys.  At
+    100 TB swap the exact percentile for approx_percentile — the plan
+    shape is unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bin_ = (
+        F.when(p <= F.col("q1"), F.lit("q1"))
+        .when(p <= F.col("q2"), F.lit("q2"))
+        .when(p <= F.col("q3"), F.lit("q3"))
+        .otherwise(F.lit("q4"))
+    )
+    return (
+        o.join(F.broadcast(q))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_value"),
+            (F.round(F.min("o_totalprice"), 2) + F.lit(0.0)).alias("min_value"),
+            (F.round(F.max("o_totalprice"), 2) + F.lit(0.0)).alias("max_value"),
+        )
+        .orderBy("bin")
+    )

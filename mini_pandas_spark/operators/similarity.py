@@ -596,3 +596,33 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+def embedding_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label inertia: mean squared distance of each vector to its
+    label centroid — the cluster-quality readout paired with
+    :func:`label_centroids` (k-means inertia, class compactness, drift
+    monitoring).
+
+    Scale: centroids aggregate to |labels|×64 partials (map-side
+    combine), join back onto the exploded coordinates per (label, pos),
+    distances re-aggregate per vector then per label.  Two bounded-key
+    shuffles plus one vec_id shuffle; no driver state.
+    """
+    v = _vectors(spark, sf_dir)
+    p = v.select("vec_id", "label", F.posexplode("v").alias("pos", "val"))
+    c = p.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    diff = F.col("val") - F.col("cv")
+    d = (
+        p.join(c, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.round(F.avg("dist2"), 6) + F.lit(0.0)).alias("avg_inertia"),
+        )
+        .orderBy("label")
+    )

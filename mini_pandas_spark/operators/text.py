@@ -763,3 +763,49 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing: each
+    document's mean bigram log-probability under the corpus's own bigram
+    distribution — the step up from :func:`unigram_logprob_docs` that
+    catches shuffled/unnatural token order a unigram model cannot see.
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + |V|): all-integer counts, so
+    both engines take ln() of identical rationals.
+
+    Scale: one window shuffle on doc_id builds bigrams, two
+    partial-aggregated count shuffles on the bigram/head keys, a
+    broadcast vocabulary scalar, and the per-doc rollup — the same
+    shapes as the unigram scorer plus the lag window.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.lag("term").over(w).alias("w1"),
+            F.col("term").alias("w2"),
+        )
+        .where(F.col("w1").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.countDistinct("term").alias("v_sz"))
+    logp = F.log(
+        (F.col("c12") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v_sz")).cast("double")
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.avg(logp), 6) + F.lit(0.0)).alias("avg_bigram_logprob"),
+        )
+        .orderBy("doc_id")
+    )

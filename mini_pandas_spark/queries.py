@@ -2246,3 +2246,76 @@ register(
     FROM p GROUP BY label, pos ORDER BY label, pos
     """,
 )
+
+register(
+    "bigram_logprob_docs",
+    text.bigram_logprob_docs,
+    r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        FROM base, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS v_sz
+        FROM (SELECT unnest(ws) AS t FROM base)
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.v_sz))), 6) + 0.0
+               AS avg_bigram_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+)
+
+register(
+    "quantile_binning_orders",
+    relational.quantile_binning_orders,
+    f"""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.5) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q.q1 THEN 'q1'
+                WHEN o_totalprice <= q.q2 THEN 'q2'
+                WHEN o_totalprice <= q.q3 THEN 'q3'
+                ELSE 'q4' END AS bin,
+           COUNT(*) AS n_orders,
+           {_MONEY_SUM.format(col="o_totalprice")} AS total_value,
+           round(MIN(o_totalprice), 2) + 0.0 AS min_value,
+           round(MAX(o_totalprice), 2) + 0.0 AS max_value
+    FROM orders CROSS JOIN q
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "embedding_inertia",
+    similarity.embedding_inertia,
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id, label, CAST(g.i AS INT) AS pos, ve[g.i + 1] AS val
+        FROM v, LATERAL (SELECT unnest(range(0, 64)) AS i) g
+    ), c AS (
+        SELECT label, pos, AVG(val) AS cv FROM p GROUP BY label, pos
+    ), d AS (
+        SELECT p.vec_id, p.label,
+               SUM((p.val - c.cv) * (p.val - c.cv)) AS dist2
+        FROM p JOIN c ON p.label = c.label AND p.pos = c.pos
+        GROUP BY p.vec_id, p.label
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           round(AVG(dist2), 6) + 0.0 AS avg_inertia
+    FROM d GROUP BY label ORDER BY label
+    """,
+)
