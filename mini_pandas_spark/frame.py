@@ -405,6 +405,61 @@ class MiniFrame:
                 raise ValueError("Column not found")
         return self._copy(self.sdf.dropna(subset=cols))
 
+    def drop_duplicates(self, subset=None) -> "MiniFrame":
+        """Deterministic dedup: keeps the first row per key under the
+        frame's current column order (min of the remaining columns as the
+        canonical survivor — NOT Spark's nondeterministic dropDuplicates,
+        whose survivor depends on partitioning)."""
+        cols = subset if subset is not None else self.names
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        for c in cols:
+            if c not in self.names:
+                raise ValueError("Column not found")
+        others = [c for c in self.names if c not in cols]
+        if not others:
+            return self._copy(self.sdf.select(*self.names).distinct())
+        from pyspark.sql.window import Window
+
+        order = [F.col(c).asc_nulls_last() for c in others]
+        if RID in self.sdf.columns:
+            order.append(F.col(RID).asc())
+        w = Window.partitionBy(*cols).orderBy(*order)
+        sdf = (
+            self.sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._copy(sdf, length=None)
+
+    def describe(self) -> dict:
+        """Summary stats for numeric columns (count / mean / min / max),
+        computed in ONE aggregation pass (not pandas' quantile sweep)."""
+        nums = [
+            c
+            for c in self.names
+            if _is_numeric(self._dtypes[c]) and self._dtypes[c] is not bool
+        ]
+        aggs = []
+        for c in nums:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__count"),
+                F.avg(F.col(c)).alias(f"{c}__mean"),
+                F.min(F.col(c)).alias(f"{c}__min"),
+                F.max(F.col(c)).alias(f"{c}__max"),
+            ]
+        if not aggs:
+            return {}
+        row = self.sdf.agg(*aggs).collect()[0].asDict()
+        return {
+            c: {
+                "count": row[f"{c}__count"],
+                "mean": row[f"{c}__mean"],
+                "min": row[f"{c}__min"],
+                "max": row[f"{c}__max"],
+            }
+            for c in nums
+        }
+
     def groupby(self, by) -> "MiniGroupBy":
         by = [by] if isinstance(by, str) else list(by)
         for c in by:

@@ -1077,3 +1077,45 @@ def quantile_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def nested_lineitems_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip: denormalize lineitems into a sorted
+    array<struct> per order (the nested-parquet layout document stores
+    and log pipelines use), aggregate INSIDE the array with a
+    higher-order function (decimal fold — no explode), and report
+    per-priority order/item counts and exact item value mass.  The
+    oracle computes the same numbers from the flat join, proving the
+    nested construction loses nothing.
+
+    Scale: one shuffle to nest (groupBy orderkey), one equi-join to
+    orders, and a tiny aggregation; the HOF fold runs inside the row —
+    no second explode shuffle.  Arrays are per-order (≤7 items) so no
+    group blows memory.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    j = o.join(nested, o.o_orderkey == nested.l_orderkey)
+    item_mass = F.aggregate(
+        "items",
+        F.lit(0).cast("decimal(18,2)"),
+        lambda acc, x: (acc + x["l_extendedprice"].cast("decimal(18,2)")).cast(
+            "decimal(18,2)"
+        ),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.size("items")).cast("long").alias("n_items"),
+            F.sum(item_mass).cast("double").alias("items_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2319,3 +2319,17 @@ register(
     FROM d GROUP BY label ORDER BY label
     """,
 )
+
+register(
+    "nested_lineitems_roundtrip",
+    relational.nested_lineitems_roundtrip,
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS items_value
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)

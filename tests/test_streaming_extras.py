@@ -106,3 +106,66 @@ def test_synthetic_stream_drains_exactly_once(spark):
     b = sorted(tuple(r) for r in q(spark, "unused").collect())
     assert a == b
     assert sum(r[1] for r in a) == 500
+
+
+def test_foreach_batch_upsert_merge(spark, tmp_path):
+    """Upsert-merge (MERGE INTO emulation) via foreachBatch: each
+    micro-batch of per-user purchase totals merges into a keyed parquet
+    "table" — existing keys are replaced by the batch's newer aggregate,
+    new keys are appended.  The canonical streaming→serving-store
+    topology where the sink has no native upsert.
+
+    The merge is a full-outer-style coalesce: target anti-join batch
+    (rows to keep) union the batch itself (rows to upsert), written
+    atomically to a new version directory — at scale this is exactly the
+    copy-on-write MERGE a table format (e.g. a transaction-log table)
+    performs under the hood.
+    """
+    import pathlib
+
+    target_root = str(tmp_path / "serving")
+    versions = []
+
+    def upsert(batch_df, epoch_id):
+        batch = batch_df.select("user_id", "total")
+        if versions:
+            target = spark.read.parquet(versions[-1])
+            keep = target.join(batch, "user_id", "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        out = f"{target_root}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    ev = read_events_stream(spark, SF).where(F.col("event_type") == "purchase")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    q = (
+        totals.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert versions, "no micro-batch arrived"
+    final = spark.read.parquet(versions[-1])
+    # the merged table equals the batch answer computed directly
+    from mini_pandas_spark.sources import load_table
+
+    expect = {
+        r["user_id"]: r["total"]
+        for r in load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+        )
+        .collect()
+    }
+    got = {r["user_id"]: r["total"] for r in final.collect()}
+    assert got == expect
+    # keys are unique after the merge (upsert, not append)
+    assert final.count() == final.select("user_id").distinct().count()
+    assert pathlib.Path(target_root).exists()

@@ -200,3 +200,38 @@ def test_groupby_alias_collision_raises(spark):
         f.groupby("v_sum").agg({"v": "sum"})  # output alias = key name
     with pytest.raises(ValueError):
         f.groupby("size").count()
+
+
+def test_drop_duplicates_deterministic_survivor(spark):
+    from mini_pandas_spark import MiniFrame
+
+    df = MiniFrame.from_dict(
+        spark,
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "v": [3, 1, 9, 9, 2],
+        },
+    )
+    out = df.drop_duplicates(subset="k").sort_values("k")
+    assert out.to_dict() == {"k": ["a", "b"], "v": [1, 2]}
+    # full-row dedup falls back to distinct
+    full = df.drop_duplicates().sort_values(["k", "v"])
+    assert len(full) == 4
+
+
+def test_describe_single_pass(spark):
+    from mini_pandas_spark import MiniFrame
+
+    df = MiniFrame.from_dict(
+        spark,
+        {
+            "s": ["x", "y", "z"],
+            "a": [1, 2, 3],
+            "b": [1.0, 2.0, 4.0],
+            "t": [True, False, True],
+        },
+    )
+    d = df.describe()
+    assert set(d) == {"a", "b"}
+    assert d["a"]["count"] == 3 and d["a"]["min"] == 1 and d["a"]["max"] == 3
+    assert abs(d["b"]["mean"] - 7.0 / 3) < 1e-12
