@@ -1119,3 +1119,108 @@ def nested_lineitems_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (Deequ-style): declarative
+    uniqueness / range / domain / completeness checks over the core
+    tables, one row per constraint with its violation count — the gate a
+    production pipeline runs before promoting a dataset version.
+
+    Scale: every constraint is an aggregate over one scan of its table
+    (uniqueness via count vs distinct-count, the rest via conditional
+    sums); constraints on the same table share the scan.  Output is
+    O(#constraints) regardless of SF.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def report(df: DataFrame, table: str, pairs: list) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        names = []
+        for name, viol in pairs:
+            aggs.append(viol.alias(name))
+            names.append(name)
+        row = df.agg(*aggs)
+        out = None
+        for name in names:
+            r = row.select(
+                F.lit(table).alias("table_name"),
+                F.lit(name).alias("constraint_name"),
+                F.col("n_rows"),
+                F.col(name).cast("long").alias("n_violations"),
+                (F.col(name) == 0).alias("passed"),
+            )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    uniq_orders = F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    reports = [
+        report(
+            o,
+            "orders",
+            [
+                ("unique_orderkey", uniq_orders),
+                (
+                    "positive_totalprice",
+                    F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+                ),
+            ],
+        ),
+        report(
+            c,
+            "customer",
+            [
+                (
+                    "acctbal_not_null",
+                    F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)),
+                ),
+                (
+                    "nationkey_in_range",
+                    F.sum(
+                        F.when(
+                            (F.col("c_nationkey") < 0) | (F.col("c_nationkey") > 24),
+                            1,
+                        ).otherwise(0)
+                    ),
+                ),
+            ],
+        ),
+        report(
+            e,
+            "events",
+            [
+                (
+                    "known_event_type",
+                    F.sum(
+                        F.when(
+                            ~F.col("event_type").isin(
+                                "click", "view", "purchase", "signup", "error"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ),
+                ),
+            ],
+        ),
+        report(
+            li,
+            "lineitem",
+            [
+                (
+                    "discount_in_unit_interval",
+                    F.sum(
+                        F.when(
+                            (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                        ).otherwise(0)
+                    ),
+                ),
+            ],
+        ),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name", "constraint_name")

@@ -83,3 +83,77 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+KMV_K = 256
+_KMV_M = float(1 << 63)  # hash range after the unsigned shift: [0, 2^63)
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketches with SET OPERATIONS: distinct
+    estimates for the events user set and the customer key set, their
+    union, and their intersection (via the merged sketch's Jaccard
+    estimate) — the sketch family that answers |A ∪ B| / |A ∩ B|
+    questions HLL union alone cannot (no native intersection), using
+    only k stored hashes per set (k=256: ~6% std error on distincts;
+    sets smaller than k are EXACT — the sketch holds every hash).
+
+    Estimator: with h uniform on [0, M), E[|S|] ≈ (k-1)·M / h_(k) where
+    h_(k) is the k-th smallest hash; below k distinct values the sketch
+    is exact.  Intersection: ρ = |k-mins of A∪B present in both A and
+    B| / k, |A∩B| ≈ ρ·|A∪B|.
+
+    Scale: each sketch is distinct-then-TakeOrdered(k) — a per-partition
+    k-heap, shuffling only k×partitions rows; merging unions two k-row
+    frames.  Everything stays in DataFrames (1-row aggregate crossJoins,
+    no driver collect).  Rows-only in the driver gate (xxhash64 is
+    engine-specific); accuracy pinned vs exact counts in pytest.
+    """
+    k = KMV_K
+
+    def mins(df: DataFrame) -> DataFrame:
+        h = F.shiftrightunsigned(F.xxhash64(F.col("key")), 1).alias("h")
+        return df.select("key").distinct().select(h).orderBy("h").limit(k)
+
+    def est_stats(m: DataFrame, name: str) -> DataFrame:
+        s = m.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+            (F.col("n") - 1) * F.lit(_KMV_M) / F.col("kth")
+        )
+        return s.select(
+            F.lit(name).alias("set_name"),
+            F.round(est).cast("long").alias("est_distinct"),
+        )
+
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    me, mc = mins(e), mins(c)
+    merged = me.unionByName(mc).select("h").distinct().orderBy("h").limit(k)
+
+    union_stats = merged.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    union_est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.col("n") - 1) * F.lit(_KMV_M) / F.col("kth")
+    )
+    shared = (
+        merged.join(me, "h").join(mc, "h").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    inter_row = (
+        union_stats.crossJoin(F.broadcast(shared))
+        .select(
+            F.lit("intersection").alias("set_name"),
+            F.round(union_est * F.col("n_shared") / F.lit(k))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+    union_row = union_stats.select(
+        F.lit("union").alias("set_name"),
+        F.round(union_est).cast("long").alias("est_distinct"),
+    )
+    return (
+        est_stats(me, "events_users")
+        .unionByName(est_stats(mc, "customers"))
+        .unionByName(union_row)
+        .unionByName(inter_row)
+        .orderBy("set_name")
+    )

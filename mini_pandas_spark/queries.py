@@ -2333,3 +2333,56 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+register(
+    "dq_constraint_report",
+    relational.dq_constraint_report,
+    """
+    WITH o AS (
+        SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT o_orderkey) AS uq,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS pos
+        FROM orders
+    ), c AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nn,
+               SUM(CASE WHEN c_nationkey < 0 OR c_nationkey > 24
+                        THEN 1 ELSE 0 END) AS nk
+        FROM customer
+    ), e AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN event_type NOT IN
+                        ('click','view','purchase','signup','error')
+                        THEN 1 ELSE 0 END) AS ket
+        FROM events
+    ), l AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                        THEN 1 ELSE 0 END) AS disc
+        FROM lineitem
+    )
+    SELECT * FROM (
+        SELECT 'orders' AS table_name, 'unique_orderkey' AS constraint_name,
+               n AS n_rows, CAST(uq AS BIGINT) AS n_violations, uq = 0 AS passed
+        FROM o
+        UNION ALL
+        SELECT 'orders', 'positive_totalprice', n, CAST(pos AS BIGINT),
+               pos = 0 FROM o
+        UNION ALL
+        SELECT 'customer', 'acctbal_not_null', n, CAST(nn AS BIGINT),
+               nn = 0 FROM c
+        UNION ALL
+        SELECT 'customer', 'nationkey_in_range', n, CAST(nk AS BIGINT),
+               nk = 0 FROM c
+        UNION ALL
+        SELECT 'events', 'known_event_type', n, CAST(ket AS BIGINT),
+               ket = 0 FROM e
+        UNION ALL
+        SELECT 'lineitem', 'discount_in_unit_interval', n, CAST(disc AS BIGINT),
+               disc = 0 FROM l
+    ) ORDER BY table_name, constraint_name
+    """,
+)
+
+# KMV estimates are hash-engine-specific: rows-only in the driver gate;
+# pytest pins accuracy + set-algebra bounds vs exact counts.
+register("kmv_set_ops", sketches.kmv_set_ops, None)

@@ -478,3 +478,29 @@ def test_transition_probabilities_sum_to_one(spark, qs):
         by_prev[r.prev_type] += r.p_transition
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_kmv_estimates_within_tolerance(spark, qs):
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    rows = {r.set_name: r.est_distinct for r in qs["kmv_set_ops"](spark, SF).collect()}
+    e = load_table(spark, SF, "events").select(F.col("user_id").alias("key"))
+    c = load_table(spark, SF, "customer").select(F.col("c_custkey").alias("key"))
+    exact_e = e.distinct().count()
+    exact_c = c.distinct().count()
+    exact_u = e.unionByName(c).distinct().count()
+    exact_i = e.distinct().join(c.distinct(), "key").count()
+    # k=256 → ~6% std error on distinct counts; allow ~3 sigma.  The
+    # intersection estimator multiplies union noise by Jaccard-count
+    # noise, so its band is wider.
+    for name, exact in [
+        ("events_users", exact_e),
+        ("customers", exact_c),
+        ("union", exact_u),
+    ]:
+        assert abs(rows[name] - exact) <= max(10, 0.25 * exact), (name, rows[name], exact)
+    assert rows["intersection"] <= 2 * min(rows["events_users"], rows["customers"])
+    assert rows["union"] >= 0.8 * max(rows["events_users"], rows["customers"])
+    assert abs(rows["intersection"] - exact_i) <= max(20, 0.8 * exact_i)
