@@ -809,3 +809,49 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation flagship: chunk-level exact dedup
+    (:func:`~mini_pandas_spark.operators.dedup.chunk_dedup_docs`) →
+    token-count quality gate on the DEDUPED text → language-mixture
+    rebalance over the survivors → deterministic train/val/test split,
+    reported as (lang, split) doc and token counts.  Every stage is a
+    previously-oracled operator; this query pins that they COMPOSE —
+    the whole cleaning funnel as one Catalyst plan.
+
+    Scale: the union of the stages' own shapes (chunk exchange, tiny
+    broadcast aggregates, hash projections); nothing new is added by
+    composition — that is the point of declarative staging.
+    """
+    from .dedup import chunk_dedup_docs
+
+    deduped = chunk_dedup_docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = deduped.join(d, "doc_id").select(
+        "doc_id", "lang", token_count("dedup_text").alias("n_tok")
+    )
+    gated = base.where((F.col("n_tok") >= 10) & (F.col("n_tok") <= 500))
+    cnt = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = cnt.agg(F.min("n_lang").alias("min_lang"))
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
+        REBALANCE_SCALE
+    )
+    kept = (
+        gated.join(F.broadcast(cnt), "lang")
+        .join(F.broadcast(mn))
+        .where(h * F.col("n_lang") < F.col("min_lang") * F.lit(REBALANCE_SCALE))
+    )
+    hs = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    split = (
+        F.when(hs < 8, F.lit("train")).when(hs < 9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        kept.select("lang", split.alias("split"), "n_tok")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )

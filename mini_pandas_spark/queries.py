@@ -2386,3 +2386,49 @@ register(
 # KMV estimates are hash-engine-specific: rows-only in the driver gate;
 # pytest pins accuracy + set-algebra bounds vs exact counts.
 register("kmv_set_ops", sketches.kmv_set_ops, None)
+
+register(
+    "corpus_curation_pipeline",
+    text.corpus_curation_pipeline,
+    r"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(g.i AS INT) AS chunk_pos,
+               array_to_string(words[(g.i*10+1):(g.i*10+10)], ' ') AS chunk_text
+        FROM base,
+             LATERAL (SELECT unnest(range(0, CAST(ceil(len(words)/10.0)
+                                                  AS BIGINT))) AS i) g
+    ), ranked AS (
+        SELECT doc_id, chunk_pos, chunk_text,
+               row_number() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_pos) AS rn
+        FROM chunks
+    ), deduped AS (
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_pos) AS dedup_text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), gated AS (
+        SELECT dd.doc_id, d.lang,
+               len(regexp_split_to_array(trim(dd.dedup_text), '\s+')) AS n_tok
+        FROM deduped dd JOIN documents d USING (doc_id)
+        WHERE len(regexp_split_to_array(trim(dd.dedup_text), '\s+'))
+              BETWEEN 10 AND 500
+    ), cnt AS (
+        SELECT lang, COUNT(*) AS n_lang FROM gated GROUP BY lang
+    ), mn AS (SELECT MIN(n_lang) AS min_lang FROM cnt),
+    kept AS (
+        SELECT g.doc_id, g.lang, g.n_tok
+        FROM gated g JOIN cnt USING (lang) CROSS JOIN mn
+        WHERE ((g.doc_id * 2654435761) % 2147483647 % 1000000) * cnt.n_lang
+              < mn.min_lang * 1000000
+    )
+    SELECT lang,
+           CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
