@@ -157,3 +157,63 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inter_row)
         .orderBy("set_name")
     )
+
+
+MG_CAPACITY = 256
+HH_TOP = 20
+
+
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over document tokens via per-partition Misra-Gries
+    summaries: each Arrow batch partition keeps a 256-counter summary
+    (any token with global frequency > N/256 is guaranteed to survive),
+    the merged candidate set is then re-counted EXACTLY with one JVM
+    explode pass restricted to candidates, and the top 20 are emitted.
+    This is the two-phase candidates→verify shape that finds frequent
+    items at 100 TB without a full-vocabulary shuffle.
+
+    Scale: the Python pass ships one ≤256-row summary per partition; the
+    verify pass semi-joins the (broadcast) candidate set before the
+    aggregation, so the shuffle carries only candidate tokens.  Oracle:
+    the exact top-20 (MG guarantee makes candidates ⊇ true top-20 at
+    this corpus's skew).
+    """
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def mg_partials(batches):
+        import pandas as pd
+
+        cap = 256
+        counters: dict = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < cap:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for t2 in counters:
+                            counters[t2] -= 1
+                            if counters[t2] == 0:
+                                dead.append(t2)
+                        for t2 in dead:
+                            del counters[t2]
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "bound": list(counters.values())}
+        )
+
+    candidates = (
+        d.mapInPandas(mg_partials, "token string, bound long")
+        .select("token")
+        .distinct()
+    )
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(HH_TOP)
+    )

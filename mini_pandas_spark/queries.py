@@ -2432,3 +2432,15 @@ register(
     FROM kept GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+# The MG candidate pass guarantees candidates ⊇ tokens with freq > N/256;
+# the verify pass recounts exactly, so the oracle is the plain top-20.
+register(
+    "heavy_hitters_tokens",
+    sketches.heavy_hitters_tokens,
+    rf"""
+    SELECT term AS token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+    GROUP BY term ORDER BY n DESC, token LIMIT 20
+    """,
+)

@@ -151,3 +151,26 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Join strategy hints: MERGE forces sort-merge, SHUFFLE_HASH forces
+    a shuffled hash join, BROADCAST forces broadcast — the manual
+    overrides for when statistics mislead the planner at scale."""
+    from mini_pandas_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cases = [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, node in cases:
+        plan = (
+            o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert node in plan, f"hint {hint} did not produce {node}:\n{plan[:500]}"

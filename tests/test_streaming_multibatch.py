@@ -152,3 +152,49 @@ def test_drop_duplicates_within_watermark_evicts_old_keys(spark, tmp_path):
         "2024-01-01 13:05:00",
         "2024-01-01 13:10:00",
     ]
+
+
+def test_update_mode_emits_only_changed_groups(spark, tmp_path):
+    """Update output mode: each micro-batch appends ONLY the groups whose
+    aggregate changed — the mode a serving-store writer consumes.  The
+    union of updates, keeping each key's LAST emitted value, must equal
+    the batch answer; and the total emitted rows must be the per-batch
+    changed-group counts, not |groups| × batches."""
+    d = str(tmp_path / "upd")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00", "2024-01-01 10:20"], base)
+    _write(f"{d}/b.parquet", ["2024-01-01 10:40"], base + 1)  # updates 10:00 win
+    _write(f"{d}/c.parquet", ["2024-01-01 12:30"], base + 2)  # new 12:00 win
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "n")
+    )
+    emitted = []
+
+    def collect_updates(batch_df, epoch_id):
+        emitted.extend((epoch_id, r["w"], r["n"]) for r in batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(collect_updates)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = {}
+    for _, w, n in emitted:
+        last[w] = n
+    assert last == {"2024-01-01 10:00:00": 3, "2024-01-01 12:00:00": 1}
+    # update mode re-emits the 10:00 window when batch b lands, but never
+    # re-emits an unchanged group: strictly fewer rows than complete mode
+    # (which would emit 1 + 1 + 2 + ... group rows every batch)
+    assert 2 <= len(emitted) <= 4
