@@ -1,0 +1,77 @@
+"""Engine-surface pins beyond the query registry: observe() metrics,
+parameterized SQL, and mapInArrow — small but real API surfaces a user
+switching engines expects to work."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_observe_collects_metrics_inline(spark):
+    """df.observe attaches metric aggregates to a named observation that
+    materializes with the action — pipeline telemetry without a second
+    scan."""
+    from pyspark.sql import Observation
+
+    from mini_pandas_spark.sources import load_table
+
+    obs = Observation("orders_metrics")
+    o = load_table(spark, SF, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("mass"),
+    )
+    n_rows = o.count()
+    got = obs.get
+    assert got["n"] == n_rows
+    assert got["mass"] > 0
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named parameters — injection-safe SQL frontend."""
+    from mini_pandas_spark.sources import register_views
+
+    register_views(spark, SF, prefix="ps_")
+    out = spark.sql(
+        "SELECT COUNT(*) AS n FROM ps_orders WHERE o_totalprice > :floor",
+        args={"floor": 100.0},
+    ).collect()[0]["n"]
+    direct = spark.sql(
+        "SELECT COUNT(*) AS n FROM ps_orders WHERE o_totalprice > 100.0"
+    ).collect()[0]["n"]
+    assert out == direct > 0
+
+
+def test_map_in_arrow_roundtrip(spark):
+    """mapInArrow: zero-copy Arrow batches in and out — the lowest-level
+    Python exchange; the batch transform must preserve row counts and
+    see real Arrow RecordBatches."""
+    from mini_pandas_spark.sources import load_table
+
+    def double_price(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            assert isinstance(batch, pa.RecordBatch)
+            t = pa.Table.from_batches([batch])
+            doubled = pc.multiply(t.column("o_totalprice"), 2.0)
+            out = pa.table({"o_orderkey": t.column("o_orderkey"), "doubled": doubled})
+            for b in out.to_batches():
+                yield b
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    out = o.mapInArrow(double_price, "o_orderkey long, doubled double")
+    rows = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doubled").cast("decimal(18,2)")).cast("double").alias("s"),
+    ).collect()[0]
+    expect = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 2)
+        .cast("double")
+        .alias("s"),
+    ).collect()[0]
+    assert rows["n"] == expect["n"]
+    assert abs(rows["s"] - expect["s"]) < 1e-6
