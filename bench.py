@@ -49,6 +49,11 @@ HEADLINE = [
     "word_count_top20",
     "boilerplate_shingle_stats",
     "dedup_exact",
+    "cohort_retention",
+    "dq_constraint_report",
+    "bigram_logprob_docs",
+    "heavy_hitters_tokens",
+    "corpus_curation_pipeline",
     "chunk_dedup_docs",
     "lang_mixture_rebalance",
     "winsorize_events",
