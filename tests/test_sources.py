@@ -198,3 +198,51 @@ def test_register_views_enables_sql_frontend(spark, sf_dir):
         """
     ).count()
     assert joined == 5
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: rewriting ONE partition's data must
+    leave sibling partitions untouched (static overwrite would drop
+    them) — the incremental-backfill write pattern."""
+    from mini_pandas_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_type")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    before = spark.read.parquet(out).count()
+    assert before == e.count()
+
+    patched = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("value", F.lit(0.0))
+    )
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(out)
+    assert back.count() == before  # siblings intact
+    clicks = back.where(F.col("event_type") == "click")
+    assert clicks.where(F.col("value") != 0.0).count() == 0  # patched
+    others = back.where(F.col("event_type") != "click")
+    assert others.where(F.col("value") == 0.0).count() == 0  # untouched
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema read across files written with evolving schemas: the
+    union schema comes back, with nulls where a file lacked a column."""
+    out = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{out}/gen=1"
+    )
+    spark.range(2).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v1", "v2", "gen"}
+    assert merged.count() == 5
+    assert merged.where(F.col("v2").isNull()).count() == 3
