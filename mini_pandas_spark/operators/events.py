@@ -623,3 +623,36 @@ def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bin-and-residual: per-user activity
+    spans [first_ts, last_ts] joined against daily 02:00–04:00 audit
+    windows, counting overlapping users per day.  Instead of a raw range
+    join (O(spans × windows) nested loop), each span EXPLODES into its
+    covered days — the bin key — so the match becomes an equi-join on
+    day plus a residual overlap predicate.  This is the standard
+    interval-join decomposition at scale: shuffle on the bin, residual
+    filter inside the bin.
+
+    Scale: rows after the explode = span-days (bounded by corpus
+    duration), shuffled on the day key; no CartesianProduct, no
+    BroadcastNestedLoopJoin (plan-lint enforced).
+    """
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(F.min("ts").alias("s"), F.max("ts").alias("t"))
+    days = spans.select(
+        "user_id",
+        "s",
+        "t",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("t"))).alias("d"),
+    )
+    day_ts = F.col("d").cast("timestamp_ntz")
+    win_start = day_ts + F.expr("INTERVAL 2 HOURS")
+    win_end = day_ts + F.expr("INTERVAL 4 HOURS")
+    return (
+        days.where((F.col("s") < win_end) & (win_start < F.col("t")))
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_users_overlapping"))
+        .orderBy("day")
+    )

@@ -2444,3 +2444,23 @@ register(
     GROUP BY term ORDER BY n DESC, token LIMIT 20
     """,
 )
+
+register(
+    "interval_overlap_join",
+    events.interval_overlap_join,
+    """
+    WITH spans AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) AS t FROM events GROUP BY 1
+    ), days AS (
+        SELECT user_id, s, t, CAST(g.d AS DATE) AS d
+        FROM spans,
+             LATERAL (SELECT unnest(generate_series(CAST(s AS DATE),
+                                    CAST(t AS DATE), INTERVAL 1 DAY)) AS d) g
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS n_users_overlapping
+    FROM days
+    WHERE s < CAST(d AS TIMESTAMP) + INTERVAL 4 HOUR
+      AND CAST(d AS TIMESTAMP) + INTERVAL 2 HOUR < t
+    GROUP BY d ORDER BY day
+    """,
+)
