@@ -656,3 +656,40 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users_overlapping"))
         .orderBy("day")
     )
+
+
+DECAY_LAMBDA = 0.1  # per-day exponential decay rate
+
+
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: per user, the exponentially
+    decayed sum of event values at the corpus horizon —
+    Σ value·exp(−λ·age_days) — plus the undecayed exact sum for
+    reference.  The standard feature when "recent activity matters
+    more"; computed in closed form (no recursive EWMA, whose weights
+    explode over unbounded history).
+
+    Scale: the horizon is a broadcast 1-row aggregate; the decay is a
+    per-row expression folded into one groupBy on user_id.  Rounded to 4
+    dp (+0.0): both engines evaluate the same IEEE exp() inputs, and
+    summation-order noise (~1e-13) sits far below the rounding grain —
+    the same discipline the ln()-based LM scorers use.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("h"))
+    # exact integer microsecond age on both engines, then one double
+    # division — identical IEEE inputs into exp()
+    age_days = F.expr("timestampdiff(MICROSECOND, ts, h)") / F.lit(86400000000.0)
+    decayed = F.col("value") * F.exp(-F.lit(DECAY_LAMBDA) * age_days)
+    return (
+        e.join(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum(decayed), 4) + F.lit(0.0)).alias("decayed_value"),
+            decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias(
+                "exact_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -2464,3 +2464,18 @@ register(
     GROUP BY d ORDER BY day
     """,
 )
+
+register(
+    "time_decayed_user_value",
+    events.time_decayed_user_value,
+    """
+    WITH h AS (SELECT MAX(ts) AS h FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value * exp(-0.1 * date_diff('microsecond', ts, h.h)
+                                  / 86400000000.0)),
+                 4) + 0.0 AS decayed_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS exact_value
+    FROM events CROSS JOIN h
+    GROUP BY user_id ORDER BY user_id
+    """,
+)

@@ -198,3 +198,54 @@ def test_update_mode_emits_only_changed_groups(spark, tmp_path):
     # re-emits an unchanged group: strictly fewer rows than complete mode
     # (which would emit 1 + 1 + 2 + ... group rows every batch)
     assert 2 <= len(emitted) <= 4
+
+
+def test_stream_stream_left_outer_null_pads_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: a left row with no right match
+    within the time bound is held in state and emitted null-padded only
+    after BOTH watermarks pass its join window — the semantics that
+    distinguish outer from inner stream joins."""
+    dl = str(tmp_path / "l")
+    dr = str(tmp_path / "r")
+    os.makedirs(dl)
+    os.makedirs(dr)
+    base = int(time.time()) - 100
+    # left: key 'a' and 'b'; right: only 'a' within the 30-min bound
+    _write(f"{dl}/1.parquet", ["2024-01-01 10:00"], base, ["a"])
+    _write(f"{dr}/1.parquet", ["2024-01-01 10:10"], base, ["a"])
+    _write(f"{dl}/2.parquet", ["2024-01-01 10:05"], base + 1, ["b"])
+    _write(f"{dr}/2.parquet", ["2024-01-01 10:20"], base + 1, ["c"])  # no b
+    # spacers advance event time far past b's window on BOTH sides
+    for i, t_ in ((3, "2024-01-01 13:00"), (4, "2024-01-01 14:00")):
+        _write(f"{dl}/{i}.parquet", [t_], base + i, ["zl"])
+        _write(f"{dr}/{i}.parquet", [t_], base + i, ["zr"])
+
+    def stream(d, tcol, kcol):
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 minute")
+            .select(F.col("ts").alias(tcol), F.col("event_type").alias(kcol))
+        )
+
+    j = stream(dl, "lts", "k").join(
+        stream(dr, "rts", "rk"),
+        F.expr("k = rk AND rts BETWEEN lts AND lts + INTERVAL 30 MINUTES"),
+        "leftOuter",
+    ).select(
+        "k",
+        F.date_format("lts", "yyyy-MM-dd HH:mm:ss").alias("l"),
+        F.date_format("rts", "yyyy-MM-dd HH:mm:ss").alias("r"),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ss_louter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["k"], r["l"]): r["r"] for r in spark.table("ss_louter").collect()}
+    assert rows[("a", "2024-01-01 10:00:00")] == "2024-01-01 10:10:00"  # matched
+    assert rows[("b", "2024-01-01 10:05:00")] is None  # null-padded after expiry
