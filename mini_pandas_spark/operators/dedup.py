@@ -577,3 +577,52 @@ def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs under trigram COUNT-vector cosine ≥ 0.8 —
+    the multiset companion to :func:`ngram_jaccard_pairs` (Jaccard sees
+    sets; cosine over counts also catches repetition-skewed rewrites).
+    Dot products and squared norms are exact integer sums, so only the
+    final sqrt/divide touches floats (sqrt is correctly rounded IEEE —
+    engine-identical).
+
+    Scale: same self-join-on-gram shape as the Jaccard baseline —
+    quadratic in matching pairs, the documented small-data baseline;
+    the LSH family is the 100 TB path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .withColumn("w3", F.lead("w1", 2).over(w))
+        .where(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("gram"))
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    nrm = cnt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    dots = (
+        cnt.alias("a")
+        .join(
+            cnt.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(cos, 6) + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2479,3 +2479,30 @@ register(
     GROUP BY user_id ORDER BY user_id
     """,
 )
+
+register(
+    "trigram_cosine_pairs",
+    dedup.trigram_cosine_pairs,
+    r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS gram
+        FROM base, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) g
+    ), cnt AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), nrm AS (
+        SELECT doc_id, sqrt(SUM(c*c)) AS nrm FROM cnt GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.c*b.c) AS dot
+        FROM cnt a JOIN cnt b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+    FROM dots JOIN nrm na ON doc_a = na.doc_id JOIN nrm nb ON doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)

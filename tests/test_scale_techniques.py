@@ -174,3 +174,46 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
             .toString()
         )
         assert node in plan, f"hint {hint} did not produce {node}:\n{plan[:500]}"
+
+
+def test_sorted_write_produces_skippable_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Data clustering for scan skip: writing lineitem sorted by
+    l_shipdate yields parquet files whose shipdate min/max ranges are
+    narrow and (largely) disjoint — the physical property that lets a
+    date-predicate scan skip most files/row groups at 100 TB.  The
+    unsorted write's per-file ranges each span ~the whole history."""
+    import pyarrow.parquet as pq
+
+    from mini_pandas_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_orderkey")
+    unsorted_dir = str(tmp_path / "unsorted")
+    sorted_dir = str(tmp_path / "sorted")
+    li.repartition(4).write.parquet(unsorted_dir)
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(sorted_dir)
+    )
+
+    def file_ranges(d):
+        import glob
+
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # l_shipdate
+                st = col.statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    total_span = lambda spans: sum(
+        (mx - mn).total_seconds() for mn, mx in spans
+    )
+    un = file_ranges(unsorted_dir)
+    so = file_ranges(sorted_dir)
+    assert len(so) >= 4
+    # sorted files cover disjoint slices: summed span ≈ one history;
+    # unsorted files each span ~everything: summed span ≈ 4 histories
+    assert total_span(so) < 0.5 * total_span(un)
