@@ -693,3 +693,44 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: mean/min/max seconds between
+    consecutive events (time-ordered, event_id tiebreak) — the sequence
+    features behind session modeling and bot detection.
+
+    Determinism: gaps are exact integer microsecond differences; the
+    only float op is one division (and the rounded mean), identical on
+    both engines.  Scale: one window shuffle on user_id, then a per-user
+    aggregate — the same single-exchange shape as sessionization.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.round(F.avg("gap_us") / F.lit(1e6), 4) + F.lit(0.0)).alias(
+                "avg_gap_s"
+            ),
+            (F.round(F.min("gap_us") / F.lit(1e6), 6) + F.lit(0.0)).alias(
+                "min_gap_s"
+            ),
+            (F.round(F.max("gap_us") / F.lit(1e6), 6) + F.lit(0.0)).alias(
+                "max_gap_s"
+            ),
+        )
+        .orderBy("user_id")
+    )

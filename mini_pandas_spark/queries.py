@@ -2506,3 +2506,24 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+register(
+    "inter_arrival_stats",
+    events.inter_arrival_stats,
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           round(AVG(gap_us) / 1e6, 4) + 0.0 AS avg_gap_s,
+           round(MIN(gap_us) / 1e6, 6) + 0.0 AS min_gap_s,
+           round(MAX(gap_us) / 1e6, 6) + 0.0 AS max_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
