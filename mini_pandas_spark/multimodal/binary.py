@@ -282,3 +282,70 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_batches,
         schema="doc_id long, frame_idx int, ts_ms int, frame_bytes int",
     )
+
+
+EMB_DIM = 16
+EMB_TOP_K = 5
+
+
+def multimodal_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval plumbing: binary payloads →
+    feature extraction (deterministic byte-histogram "embedding" — a
+    clearly-marked stand-in for a real vision encoder, same stub policy
+    as the decoders) → brute-force cosine top-5 neighbors for the first
+    3 payloads.  Closes the loop from opaque bytes to similarity search
+    with real Spark plumbing at every step (Arrow mapInPandas extract,
+    JVM-side scoring join).
+
+    Scale: extraction is a narrow Arrow pass; scoring broadcasts the
+    3-query side and streams the corpus once — the cosine_topk shape.
+    Rows-only in the driver gate (the embedding is engine-internal);
+    pytest pins determinism and self-similarity.
+    """
+    d = _with_payload(spark, sf_dir)
+
+    def embed(batches):
+        import numpy as np
+        import pandas as pd
+
+        dim = 16
+        for pdf in batches:
+            out = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype("float64")
+                n = float(np.linalg.norm(hist))
+                out.append(
+                    (int(i), [float(x) for x in hist], n if n > 0 else 1.0)
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "emb", "nrm"])
+
+    vecs = d.mapInPandas(embed, "doc_id long, emb array<double>, nrm double")
+    queries = vecs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    from ..functions import dot
+
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= EMB_TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

@@ -2527,3 +2527,15 @@ register(
     GROUP BY user_id ORDER BY user_id
     """,
 )
+
+# Streaming sliding windows share the batch query's oracle (AvailableNow
+# over static input == batch), same policy as streaming_hourly_counts.
+register(
+    "streaming_sliding_counts",
+    _stream_windows.streaming_sliding_counts,
+    REGISTRY["events_sliding"][1],
+)
+
+# Byte-histogram embeddings are engine-internal: rows-only; pytest pins
+# determinism + neighbor sanity.
+register("multimodal_embedding_ann", _binary.multimodal_embedding_ann, None)

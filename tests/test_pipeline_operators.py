@@ -504,3 +504,18 @@ def test_kmv_estimates_within_tolerance(spark, qs):
     assert rows["intersection"] <= 2 * min(rows["events_users"], rows["customers"])
     assert rows["union"] >= 0.8 * max(rows["events_users"], rows["customers"])
     assert abs(rows["intersection"] - exact_i) <= max(20, 0.8 * exact_i)
+
+
+def test_multimodal_embedding_ann_deterministic_and_sane(spark, qs):
+    """Two runs produce identical neighbor sets; similarities are valid
+    cosines; each query returns exactly top-5 with ranks 1..5."""
+    a = qs["multimodal_embedding_ann"](spark, SF).collect()
+    b = qs["multimodal_embedding_ann"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in a:
+        assert 0.0 <= r.sim <= 1.0 + 1e-9
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
