@@ -1224,3 +1224,65 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("table_name", "constraint_name")
+
+
+def spend_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing windows: each market segment's customers ranked
+    by total spend with percent_rank and cume_dist — the two analytic
+    functions (beyond rank/ntile) a percentile-based segmentation uses.
+    Output keeps the top 5 spenders per segment for bounded size.
+
+    Scale: one aggregation on custkey, one window shuffle on segment.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(money_sum("o_totalprice").alias("spent"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spent").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "spent",
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("spent").desc(), F.col("c_custkey").asc()
+            )
+        )
+        .cast("int")
+        .alias("top_rn"),
+    )
+    return (
+        ranked.where(F.col("top_rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "spent", "pct_rank", "cume")
+        .orderBy("c_mktsegment", F.col("spent").desc(), "c_custkey")
+    )
+
+
+def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: slope / intercept / r² of daily
+    revenue against the day index (regr_slope family — the SQL-standard
+    trend fit a dashboard computes without leaving the engine).
+
+    Scale: the regression inputs aggregate to one row of sufficient
+    statistics (sums and cross-products) — a single map-side-combined
+    pass over the daily aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    x = F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).cast("double")
+    return daily.select(F.col("revenue").alias("y"), x.alias("x")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.round(F.regr_slope("y", "x"), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept("y", "x"), 2) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2("y", "x"), 6) + F.lit(0.0)).alias("r2"),
+    )

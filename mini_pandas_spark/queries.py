@@ -2539,3 +2539,53 @@ register(
 # Byte-histogram embeddings are engine-internal: rows-only; pytest pins
 # determinism + neighbor sanity.
 register("multimodal_embedding_ann", _binary.multimodal_embedding_ann, None)
+
+register(
+    "spend_percentile_ranks",
+    relational.spend_percentile_ranks,
+    f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               {_MONEY_SUM.format(col="o.o_totalprice")} AS spent
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ), ranked AS (
+        SELECT c_mktsegment, c_custkey, spent,
+               round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY spent, c_custkey), 6) + 0.0
+                   AS pct_rank,
+               round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY spent, c_custkey), 6) + 0.0
+                   AS cume,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY spent DESC, c_custkey) AS top_rn
+        FROM spend
+    )
+    SELECT c_mktsegment, c_custkey, spent, pct_rank, cume
+    FROM ranked WHERE top_rn <= 5
+    ORDER BY c_mktsegment, spent DESC, c_custkey
+    """,
+)
+
+register(
+    "revenue_trend_regression",
+    relational.revenue_trend_regression,
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {_MONEY_SUM.format(col="o_totalprice")} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_days,
+           round(regr_slope(revenue,
+                 CAST(date_diff('day', DATE '1992-01-01', d) AS DOUBLE)), 4)
+               + 0.0 AS slope,
+           round(regr_intercept(revenue,
+                 CAST(date_diff('day', DATE '1992-01-01', d) AS DOUBLE)), 2)
+               + 0.0 AS intercept,
+           round(regr_r2(revenue,
+                 CAST(date_diff('day', DATE '1992-01-01', d) AS DOUBLE)), 6)
+               + 0.0 AS r2
+    FROM daily
+    """,
+)
