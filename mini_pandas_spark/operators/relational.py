@@ -1286,3 +1286,25 @@ def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_intercept("y", "x"), 2) + F.lit(0.0)).alias("intercept"),
         (F.round(F.regr_r2("y", "x"), 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg surface: per region, the comma-joined sorted
+    list of its nation names plus the count — the denormalized label
+    column BI exports ask for.  Sorting inside the aggregate
+    (array_sort before array_join) makes the string deterministic
+    regardless of partitioning.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nation_csv"
+            ),
+        )
+        .orderBy("r_name")
+    )

@@ -2589,3 +2589,14 @@ register(
     FROM daily
     """,
 )
+
+register(
+    "region_nation_list",
+    relational.region_nation_list,
+    """
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nation_csv
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)

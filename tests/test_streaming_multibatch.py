@@ -249,3 +249,41 @@ def test_stream_stream_left_outer_null_pads_after_watermark(spark, tmp_path):
     rows = {(r["k"], r["l"]): r["r"] for r in spark.table("ss_louter").collect()}
     assert rows[("a", "2024-01-01 10:00:00")] == "2024-01-01 10:10:00"  # matched
     assert rows[("b", "2024-01-01 10:05:00")] is None  # null-padded after expiry
+
+
+def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
+    """Append output mode for windowed aggregation: a window row is
+    emitted exactly once, and only after the watermark passes the window
+    end — the mode that feeds append-only sinks (files, logs).  Windows
+    still open when the stream drains are NOT emitted."""
+    d = str(tmp_path / "appendw")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00", "2024-01-01 10:20"], base)
+    # advances watermark past 11:00 (10-min delay): finalizes the 10:00 win
+    _write(f"{d}/b.parquet", ["2024-01-01 11:30"], base + 1)
+    # one more batch so the new watermark takes effect; 11:00 win finalizes
+    _write(f"{d}/c.parquet", ["2024-01-01 13:00"], base + 2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("append_final")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["w"]: r["n"] for r in spark.table("append_final").collect()}
+    assert got.get("2024-01-01 10:00:00") == 2  # finalized and emitted once
+    assert got.get("2024-01-01 11:00:00") == 1  # finalized by batch c
+    assert "2024-01-01 13:00:00" not in got  # still open at drain: withheld
