@@ -48,6 +48,19 @@ EMPTY_OK_ZERO_ROWS = [
     "rfm_features",
     "snapshot_diff",
     "mad_anomaly_events",
+    "cap_per_source",
+    "daily_revenue_change",
+    "bigram_logprob_docs",
+    "embedding_inertia",
+    "trigram_cosine_pairs",
+    "interval_overlap_join",
+    "time_decayed_user_value",
+    "inter_arrival_stats",
+    "heavy_hitters_tokens",
+    "label_centroids",
+    "spend_percentile_ranks",
+    "region_nation_list",
+    "corpus_curation_pipeline",
 ]
 
 
