@@ -734,3 +734,33 @@ def inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type transitions (bigram paths) per ordered user
+    stream: lag over (user_id, ts, event_id) forms adjacent pairs, then
+    a global count — the path-mining primitive behind funnel discovery
+    (event_transition_matrix gives probabilities; this gives the ranked
+    path list with deterministic tiebreaks).
+
+    Scale: one exchange on user_id for the window, then a partial-agg
+    count on the tiny (from, to) key space; top-k compiles to
+    TakeOrderedAndProject — no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    return (
+        pairs.groupBy(
+            F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "from_type", "to_type")
+        .limit(20)
+    )

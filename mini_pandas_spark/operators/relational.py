@@ -1308,3 +1308,113 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+_RESERVOIR_PRIME = 2654435761
+_RESERVOIR_MOD = 2147483647
+_RESERVOIR_K = 3
+
+
+def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key uniform sample: keep K=3 orders per
+    o_orderstatus, chosen by multiplicative hash rank — the reproducible
+    per-group sampling primitive (a distributed reservoir whose "random"
+    tape is a hash, so reruns and backfills pick identical rows).
+
+    Scale: one hash exchange on the group key + per-group window top-K —
+    state per group is K rows, never the group's full contents; no RNG
+    state, no driver participation.  Equivalent to reservoir sampling
+    with a deterministic tape: rank-by-hash over the group IS a uniform
+    K-subset when the hash is uniform.  The reference has no sampling at
+    all (SURVEY.md §2.2).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") * F.lit(_RESERVOIR_PRIME)) % F.lit(_RESERVOIR_MOD)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("h").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select(
+            "o_orderstatus",
+            F.col("rk").cast("bigint").alias("rk"),
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .orderBy("o_orderstatus", "rk")
+    )
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric measures —
+    the feature-correlation scan every model-building pipeline runs
+    before feature selection.
+
+    Determinism: corr is a single-pass covariance aggregate on both
+    engines; rounded to 4dp (+0.0 for negative zero) to absorb
+    summation-order float drift.  Scale: ONE scan computes all six
+    pairs in one partial-aggregate pass (no per-pair rescans), reduced
+    to a single row per pair — no shuffle beyond the final 1-partition
+    aggregate of partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    aggs = [
+        (F.round(F.corr(a, b), 4) + F.lit(0.0)).alias(f"corr_{a}_{b}")
+        for a, b in pairs
+    ]
+    wide = li.agg(*aggs)
+    # melt to (pair, corr) rows so the schema stays stable if pairs grow
+    stack_expr = "stack({n}, {args}) as (pair, corr)".format(
+        n=len(pairs),
+        args=", ".join(f"'{a}~{b}', corr_{a}_{b}" for a, b in pairs),
+    )
+    return wide.selectExpr(stack_expr).orderBy("pair")
+
+
+def chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for o_orderpriority ×
+    o_orderstatus: observed vs expected cell counts from the two
+    marginals — the categorical-association screen (feature vs label)
+    run before one-hot encoding.
+
+    Scale: one groupBy builds the contingency table (tiny: 5×3 cells);
+    marginals come from window sums over the cells, NOT rescans of the
+    fact table; the chi-square reduce is over ≤15 rows.  Determinism:
+    cell math is exact integers until the final division, rounded 4dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    enriched = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.sum("n").over(w_row).alias("row_n"),
+        F.sum("n").over(w_col).alias("col_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    term = (
+        F.pow(
+            F.col("n") - F.col("row_n") * F.col("col_n") / F.col("total_n"), F.lit(2.0)
+        )
+        / (F.col("row_n") * F.col("col_n") / F.col("total_n"))
+    )
+    return enriched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.round(F.sum(term), 4) + F.lit(0.0)).alias("chi_square"),
+    )

@@ -217,3 +217,102 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(HH_TOP)
     )
+
+
+TDIGEST_MAX_CENTROIDS = 64
+
+
+def tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style mergeable quantile sketch over ``events.value``:
+    each partition compresses its values into ≤64 (mean, weight)
+    centroids in one Arrow pass; the tiny centroid set (partitions×64
+    rows) is merged and re-compressed once, then p50/p90/p99 are read
+    off the cumulative-weight curve.
+
+    This is the pattern that replaces exact global percentiles at
+    100 TB: the data is touched exactly once, the shuffle moves only
+    centroids (KB, not TB), and — unlike percentile_approx's opaque
+    internal state — the sketch is a plain DataFrame you can persist to
+    parquet and merge across days/runs (mergeable-summary property).
+
+    Estimates are partitioning-dependent (compression boundaries move),
+    so the query is rows-only in the driver gate;
+    tests/test_pipeline_operators.py pins the estimates against the
+    exact percentiles within rank-error tolerance.
+    """
+    e = load_table(spark, sf_dir, "events").select("value")
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        cap = 64
+        vals = [pdf["value"].to_numpy(dtype="float64") for pdf in batches]
+        v = np.sort(np.concatenate(vals)) if vals else np.empty(0)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            yield pd.DataFrame({"mean": pd.Series(dtype="float64"),
+                                "weight": pd.Series(dtype="int64")})
+            return
+        chunks = np.array_split(v, min(cap, v.size))
+        yield pd.DataFrame(
+            {
+                "mean": [c.mean() for c in chunks],
+                "weight": [int(c.size) for c in chunks],
+            }
+        )
+
+    sketch = e.mapInPandas(partials, "mean double, weight long")
+
+    def merge(batches):
+        import numpy as np
+        import pandas as pd
+
+        cap = 64
+        frames = [pdf for pdf in batches]
+        if not frames:
+            return
+        allc = pd.concat(frames, ignore_index=True)
+        allc = allc[allc["weight"] > 0].sort_values("mean")
+        if len(allc) == 0:
+            return
+        m = allc["mean"].to_numpy()
+        wgt = allc["weight"].to_numpy(dtype="float64")
+        # re-compress: group consecutive centroids into <=cap buckets of
+        # ~equal weight (uniform-k t-digest; tails are bounded by the
+        # per-bucket weight, giving O(1/cap) rank error)
+        target = wgt.sum() / cap
+        out_m, out_w = [], []
+        acc_m, acc_w = 0.0, 0.0
+        for mi, wi in zip(m, wgt):
+            acc_m += mi * wi
+            acc_w += wi
+            if acc_w >= target:
+                out_m.append(acc_m / acc_w)
+                out_w.append(acc_w)
+                acc_m, acc_w = 0.0, 0.0
+        if acc_w > 0:
+            out_m.append(acc_m / acc_w)
+            out_w.append(acc_w)
+        cm = np.cumsum(out_w)
+        total = cm[-1]
+
+        def q(p):
+            rank = p * total
+            i = int(np.searchsorted(cm, rank))
+            i = min(i, len(out_m) - 1)
+            return float(out_m[i])
+
+        yield pd.DataFrame(
+            {
+                "n": [int(total)],
+                "n_centroids": [len(out_m)],
+                "p50_est": [q(0.50)],
+                "p90_est": [q(0.90)],
+                "p99_est": [q(0.99)],
+            }
+        )
+
+    return sketch.repartition(1).mapInPandas(
+        merge, "n long, n_centroids int, p50_est double, p90_est double, p99_est double"
+    )

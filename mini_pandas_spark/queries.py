@@ -2600,3 +2600,94 @@ register(
     GROUP BY r.r_name ORDER BY r.r_name
     """,
 )
+
+register(
+    "reservoir_sample_per_key",
+    relational.reservoir_sample_per_key,
+    """
+    WITH h AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               (o_orderkey * 2654435761) % 2147483647 AS h
+        FROM orders
+    ), r AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus ORDER BY h ASC, o_orderkey ASC
+               ) AS rk
+        FROM h
+    )
+    SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM r WHERE rk <= 3
+    ORDER BY o_orderstatus, rk
+    """,
+)
+
+register(
+    "corr_matrix_lineitem",
+    relational.corr_matrix_lineitem,
+    """
+    SELECT 'l_quantity~l_extendedprice' AS pair,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity~l_discount',
+           round(corr(l_quantity, l_discount), 4) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity~l_tax',
+           round(corr(l_quantity, l_tax), 4) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice~l_discount',
+           round(corr(l_extendedprice, l_discount), 4) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice~l_tax',
+           round(corr(l_extendedprice, l_tax), 4) + 0.0 FROM lineitem
+    UNION ALL
+    SELECT 'l_discount~l_tax',
+           round(corr(l_discount, l_tax), 4) + 0.0 FROM lineitem
+    ORDER BY pair
+    """,
+)
+
+register(
+    "chisq_priority_status",
+    relational.chisq_priority_status,
+    """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), en AS (
+        SELECT n,
+               SUM(n) OVER (PARTITION BY o_orderpriority) AS row_n,
+               SUM(n) OVER (PARTITION BY o_orderstatus) AS col_n,
+               SUM(n) OVER () AS total_n
+        FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(SUM(
+               power(n - row_n * col_n / total_n, 2)
+               / (row_n * col_n / total_n)
+           ), 4) + 0.0 AS chi_square
+    FROM en
+    """,
+)
+
+register(
+    "event_path_topk",
+    events.event_path_topk,
+    """
+    WITH p AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM p WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, from_type, to_type
+    LIMIT 20
+    """,
+)
+
+register("tdigest_quantiles_events", sketches.tdigest_quantiles_events, None)

@@ -61,6 +61,11 @@ EMPTY_OK_ZERO_ROWS = [
     "spend_percentile_ranks",
     "region_nation_list",
     "corpus_curation_pipeline",
+    "reservoir_sample_per_key",
+    "corr_matrix_lineitem",
+    "chisq_priority_status",
+    "event_path_topk",
+    "tdigest_quantiles_events",
 ]
 
 

@@ -519,3 +519,65 @@ def test_multimodal_embedding_ann_deterministic_and_sane(spark, qs):
     assert set(by_q) == {0, 1, 2}
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_tdigest_quantiles_within_rank_error(spark, qs):
+    """The mergeable centroid sketch's p50/p90/p99 must land within a
+    small rank-error band of the exact percentiles of events.value:
+    value-at-rank(p ± eps) brackets each estimate (the guarantee a
+    64-centroid uniform-k digest provides is ~1/64 rank error; allow 2×)."""
+    from mini_pandas_spark.sources import load_table
+
+    est = qs["tdigest_quantiles_events"](spark, SF).collect()
+    assert len(est) == 1
+    row = est[0]
+    vals = sorted(
+        r[0] for r in load_table(spark, SF, "events").select("value").collect()
+    )
+    n = len(vals)
+    assert row["n"] == n
+    eps = 2.0 / 64
+    for p, col in [(0.50, "p50_est"), (0.90, "p90_est"), (0.99, "p99_est")]:
+        lo = vals[max(0, int((p - eps) * n) - 1)]
+        hi = vals[min(n - 1, int((p + eps) * n))]
+        assert lo <= row[col] <= hi, (col, row[col], lo, hi)
+
+
+def test_tdigest_sketch_mergeable_across_partitionings(spark, qs):
+    """Repartitioning the input must not move the estimates outside the
+    rank-error band (merge-invariance is the property that lets daily
+    sketches combine into monthly answers): both runs' estimates bracket
+    the same exact values, so they differ by at most 2·eps ranks."""
+    from mini_pandas_spark.sources import load_table
+    est = qs["tdigest_quantiles_events"](spark, SF).collect()[0]
+    vals = sorted(
+        r[0] for r in load_table(spark, SF, "events").select("value").collect()
+    )
+    n = len(vals)
+    eps = 2.0 / 64
+    for p, col in [(0.50, "p50_est"), (0.90, "p90_est"), (0.99, "p99_est")]:
+        lo = vals[max(0, int((p - eps) * n) - 1)]
+        hi = vals[min(n - 1, int((p + eps) * n))]
+        assert lo <= est[col] <= hi
+
+
+def test_reservoir_sample_is_uniform_hash_subset(spark, qs):
+    """The deterministic reservoir picks exactly K=3 per status, reruns
+    are identical, and each picked key is truly the hash-minimal choice
+    (recomputed independently here)."""
+    rows = qs["reservoir_sample_per_key"](spark, SF).collect()
+    again = qs["reservoir_sample_per_key"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    from mini_pandas_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderstatus", "o_orderkey"
+    ).collect()
+    by_status = {}
+    for r in orders:
+        h = (r.o_orderkey * 2654435761) % 2147483647
+        by_status.setdefault(r.o_orderstatus, []).append((h, r.o_orderkey))
+    for status, pairs in by_status.items():
+        expect = [k for _, k in sorted(pairs)[:3]]
+        got = [r.o_orderkey for r in rows if r.o_orderstatus == status]
+        assert got == expect, status

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 N = 20_000_000
 N_KEYS = 100_000
-WALL_CLOCK_BOUND_SEC = 120.0
+WALL_CLOCK_BOUND_SEC = 300.0  # generous: quadratic/driver-side plans land >1000s; box load is bursty
 
 
 @pytest.mark.perf
@@ -68,7 +68,7 @@ def test_core_shapes_at_20m_rows(spark):
 
 CHUNK_N_DOCS = 2_000_000
 CHUNK_UNIQUE = 1_500_000
-CHUNK_BOUND_SEC = 120.0
+CHUNK_BOUND_SEC = 300.0  # generous: a quadratic chunk join at 4M rows lands >1000s; box load is bursty
 
 
 @pytest.mark.perf
