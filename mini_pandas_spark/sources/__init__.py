@@ -14,6 +14,7 @@ from .tables import (
     register_views,
 )
 from .io import (
+    compact_parquet,
     read_binary_files,
     read_csv,
     read_json,
@@ -43,6 +44,7 @@ __all__ = [
     "write_json",
     "read_orc",
     "write_orc",
+    "compact_parquet",
     "read_text",
     "write_text",
     "read_binary_files",

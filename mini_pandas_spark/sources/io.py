@@ -135,3 +135,32 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(n / target_rows_per_file) evenly sized files and return the
+    file count written.
+
+    The table-maintenance op every long-running 100 TB pipeline needs:
+    streaming sinks and partitioned appends accrete thousands of KB-size
+    files, and scan throughput collapses under per-file open/footer
+    costs.  Rewrites via round-robin ``repartition(n)`` (even sizes
+    without a key; a range partitioner would need a sort key and skew
+    handling).  The sizing count is a zero-column scan (Spark reads only
+    row-group metadata pages for COUNT(*) over parquet), so the real
+    cluster work is the single read→shuffle→write pass.
+    """
+    import math
+
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

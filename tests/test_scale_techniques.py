@@ -217,3 +217,28 @@ def test_sorted_write_produces_skippable_rowgroup_stats(spark, sf_dir, tmp_path)
     # sorted files cover disjoint slices: summed span ≈ one history;
     # unsorted files each span ~everything: summed span ≈ 4 histories
     assert total_span(so) < 0.5 * total_span(un)
+
+
+def test_compact_parquet_reduces_file_count_preserving_data(spark, tmp_path):
+    """Small-file compaction: 32 tiny files → ceil(10k/4k)=3 even files,
+    byte-identical data.  The maintenance pass that keeps scan throughput
+    alive after streaming sinks accrete thousands of small files."""
+    import glob
+
+    from mini_pandas_spark.sources import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+    n_files = compact_parquet(spark, src, dst, target_rows_per_file=4_000)
+    assert n_files == 3
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 3
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+    # even sizing: no output file holds more than ~half again the target
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 6_000

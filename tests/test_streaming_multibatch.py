@@ -287,3 +287,81 @@ def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
     assert got.get("2024-01-01 10:00:00") == 2  # finalized and emitted once
     assert got.get("2024-01-01 11:00:00") == 1  # finalized by batch c
     assert "2024-01-01 13:00:00" not in got  # still open at drain: withheld
+
+
+def test_session_window_update_mode_grows_sessions(spark, tmp_path):
+    """Session windows across micro-batches: Spark REJECTS update mode
+    for session aggregations (merging sessions makes per-key updates
+    ill-defined — pinned here so the engine's supported-mode matrix is
+    executable documentation), and COMPLETE mode over a session that
+    spans micro-batches must equal the one-shot batch answer, including
+    the cross-batch session merge."""
+    from mini_pandas_spark.streaming.windows import _stream_partitions
+
+    d = str(tmp_path / "sess_upd")
+    os.makedirs(d)
+    base = int(time.time()) - 100
+    # one user: batch1 starts a session, batch2 extends it within the
+    # 30-min gap, batch3 opens a separate later session
+    _write(f"{d}/a.parquet", ["2024-01-01 10:00", "2024-01-01 10:10"], base)
+    _write(f"{d}/b.parquet", ["2024-01-01 10:25"], base + 1)
+    _write(f"{d}/c.parquet", ["2024-01-01 15:00"], base + 2)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+            "n",
+        )
+    )
+    # (a) update mode is rejected up front — supported-mode matrix pin
+    import pyspark.errors
+
+    with _stream_partitions(spark):
+        with pytest.raises(
+            pyspark.errors.exceptions.captured.AnalysisException,
+            match="STREAMING_OUTPUT_MODE",
+        ):
+            (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName("sess_upd_rejected")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # (b) complete mode across 3 micro-batches == one-shot batch
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sess_complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = sorted(tuple(r) for r in spark.table("sess_complete").collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.schema(SCHEMA)
+        .parquet(d)
+        .groupBy(F.session_window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    assert final == want, (final, want)
