@@ -68,6 +68,9 @@ HEADLINE = [
     "multimodal_resize",
     "streaming_hourly_counts",
     "stream_static_enrich",
+    "event_path_topk",
+    "reservoir_sample_per_key",
+    "tdigest_quantiles_events",
 ]
 
 
