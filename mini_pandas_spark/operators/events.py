@@ -764,3 +764,60 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "from_type", "to_type")
         .limit(20)
     )
+
+
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each pair of event types, the
+    number of users exhibiting BOTH, plus Jaccard affinity
+    n_both / (n_a + n_b − n_both) — frequent-itemset mining at the
+    pair level (the k=2 Apriori step, which at 100 TB is the only level
+    run exactly; higher k runs on these survivors).
+
+    Scale: the self-join is over the per-user DISTINCT type sets
+    (|users| × |types| rows, NOT raw events), and the type universe is
+    tiny, so the pair expansion is bounded by |types|² per user; the
+    marginals broadcast (one row per type).  Determinism: integer
+    counts; one rounded division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        both.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_users").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_users").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_both")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2691,3 +2691,28 @@ register(
 )
 
 register("tdigest_quantiles_events", sketches.tdigest_quantiles_events, None)
+
+register(
+    "cooccurrence_pairs",
+    events.cooccurrence_pairs,
+    """
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), marg AS (
+        SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1
+    )
+    SELECT type_a, type_b, n_both, ma.n_users AS n_a, mb.n_users AS n_b,
+           round(n_both / (ma.n_users + mb.n_users - n_both), 4) + 0.0
+               AS jaccard
+    FROM pairs
+    JOIN marg ma ON ma.event_type = type_a
+    JOIN marg mb ON mb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)

@@ -66,6 +66,7 @@ EMPTY_OK_ZERO_ROWS = [
     "chisq_priority_status",
     "event_path_topk",
     "tdigest_quantiles_events",
+    "cooccurrence_pairs",
 ]
 
 

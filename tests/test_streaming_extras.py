@@ -169,3 +169,50 @@ def test_foreach_batch_upsert_merge(spark, tmp_path):
     # keys are unique after the merge (upsert, not append)
     assert final.count() == final.select("user_id").distinct().count()
     assert pathlib.Path(target_root).exists()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a file-source stream with a checkpoint
+    processes batch 1, STOPS, new files land, and a NEW query object
+    restarted from the same checkpoint processes ONLY the unseen files —
+    the file-source offset log survives the restart, so the sink holds
+    each input row exactly once.  This is the recovery contract a
+    100 TB ingestion pipeline leans on after every executor/driver loss.
+    """
+    import time as _t
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = int(_t.time()) - 100
+
+    def write(path, ids, mtime):
+        pdf = pd.DataFrame({"id": ids})
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    write(f"{src}/a.parquet", [1, 2, 3], base)
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r["id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+    # stream is fully stopped; stage two more files, restart from ckpt
+    write(f"{src}/b.parquet", [4, 5], base + 1)
+    write(f"{src}/c.parquet", [6], base + 2)
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4, 5, 6], got  # a.parquet NOT reprocessed
