@@ -1418,3 +1418,100 @@ def chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         (F.round(F.sum(term), 4) + F.lit(0.0)).alias("chi_square"),
     )
+
+
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-custkey
+    (count, revenue-sum) MV built from the base partition (orders with
+    o_orderkey % 5 != 0) is refreshed with the delta partition
+    (% 5 == 0) by ALGEBRAIC MERGE — union the MV with the delta's
+    partial aggregate and re-aggregate — never rescanning the base fact
+    rows.  The oracle is the from-scratch aggregate over ALL rows:
+    equality IS the correctness proof of the merge algebra.
+
+    At 100 TB this is the difference between a nightly full recompute
+    and touching only the day's delta: count/sum/min/max are mergeable,
+    so refresh cost is O(|delta| + |MV|).  (avg is derived sum/count at
+    read time; non-algebraic aggs need sketches — see kmv_set_ops /
+    tdigest_quantiles_events.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 5 != 0)
+    delta = o.where(F.col("o_orderkey") % 5 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        # keep the MV column DECIMAL (not double): partial sums must stay
+        # exact so the merge re-sum is associative across refreshes
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+
+    mv = partial(base)  # the stored MV (in production: read from parquet)
+    refreshed = (
+        mv.unionByName(partial(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue").alias("revenue"),
+        )
+    )
+    return refreshed.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("o_custkey")
+
+
+_Z_BITS = 8
+
+
+def _interleave_expr(xcol: str, ycol: str) -> F.Column:
+    """Bit-interleave two 8-bit values into a 16-bit Morton (z-order)
+    code: x bits land at even positions, y bits at odd ones."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col(xcol), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(F.col(ycol), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve bucketing of orders on the two most common
+    filter dimensions, (customer, order date): interleave the low 8 bits
+    of each into a 16-bit z-value and report per-bucket (z >> 10) counts
+    and the min/max span of BOTH dims.
+
+    Why it matters at 100 TB: sorting a table by the z-curve before
+    writing gives every file a bounded range in EVERY interleaved
+    dimension simultaneously (unlike a single-column sort, which makes
+    the second dimension's per-file span as wide as the table) — so
+    min/max row-group stats prune scans for filters on either dim.  The
+    bucket spans this query emits are exactly the per-file stats a
+    z-sorted write would produce; the curve math is integer-exact and
+    oracle-checked bit for bit.  See
+    tests/test_scale_techniques.py::test_zorder_write_bounds_both_dims
+    for the layout effect on real parquet footers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    prepared = o.select(
+        (F.col("o_custkey") % 256).alias("xk"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256).alias("yk"),
+    )
+    z = prepared.withColumn("z", _interleave_expr("xk", "yk"))
+    return (
+        z.groupBy((F.col("z") / F.lit(1024)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xk").alias("x_min"),
+            F.max("xk").alias("x_max"),
+            F.min("yk").alias("y_min"),
+            F.max("yk").alias("y_max"),
+        )
+        .orderBy("z_bucket")
+    )

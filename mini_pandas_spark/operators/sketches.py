@@ -316,3 +316,64 @@ def tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.repartition(1).mapInPandas(
         merge, "n long, n_centroids int, p50_est double, p90_est double, p99_est double"
     )
+
+
+def tdigest_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quantile sketches: one ≤64-centroid digest per
+    event_type via applyInPandas — the grouped variant of
+    tdigest_quantiles_events (global).  At 100 TB the shuffle moves raw
+    values once into key groups, each group compresses independently,
+    and the stored per-key digests answer later percentile queries (and
+    coarser-key rollups, by merging digests) without rescanning.
+
+    Rows-only (estimates are partitioning/compression dependent);
+    tests/test_pipeline_operators.py pins every key's estimates inside
+    the rank-error band of its exact per-key percentiles.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def digest(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cap = 64
+        key = pdf["event_type"].iloc[0]
+        v = np.sort(pdf["value"].to_numpy(dtype="float64"))
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64"),
+                 "p50_est": pd.Series(dtype="float64"),
+                 "p90_est": pd.Series(dtype="float64"),
+                 "p99_est": pd.Series(dtype="float64")}
+            )
+        chunks = np.array_split(v, min(cap, v.size))
+        means = np.array([c.mean() for c in chunks])
+        wgt = np.array([c.size for c in chunks], dtype="float64")
+        cm = np.cumsum(wgt)
+        total = cm[-1]
+
+        def q(p):
+            i = int(np.searchsorted(cm, p * total))
+            return float(means[min(i, len(means) - 1)])
+
+        return pd.DataFrame(
+            {
+                "event_type": [key],
+                "n": [int(total)],
+                "p50_est": [q(0.50)],
+                "p90_est": [q(0.90)],
+                "p99_est": [q(0.99)],
+            }
+        )
+
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(
+            digest,
+            "event_type string, n long, p50_est double, p90_est double, "
+            "p99_est double",
+        )
+        .orderBy("event_type")
+    )

@@ -2716,3 +2716,38 @@ register(
     ORDER BY type_a, type_b
     """,
 )
+
+register(
+    "incremental_mv_refresh",
+    relational.incremental_mv_refresh,
+    f"""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_MONEY_SUM.format(col="o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+
+register(
+    "zorder_curve_orders",
+    relational.zorder_curve_orders,
+    """
+    WITH prepared AS (
+        SELECT o_custkey % 256 AS xk,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) % 256 AS yk
+        FROM orders
+    ), zv AS (
+        SELECT xk, yk, (((xk >> 0) & 1) << 0) + (((yk >> 0) & 1) << 1) + (((xk >> 1) & 1) << 2) + (((yk >> 1) & 1) << 3) + (((xk >> 2) & 1) << 4) + (((yk >> 2) & 1) << 5) + (((xk >> 3) & 1) << 6) + (((yk >> 3) & 1) << 7) + (((xk >> 4) & 1) << 8) + (((yk >> 4) & 1) << 9) + (((xk >> 5) & 1) << 10) + (((yk >> 5) & 1) << 11) + (((xk >> 6) & 1) << 12) + (((yk >> 6) & 1) << 13) + (((xk >> 7) & 1) << 14) + (((yk >> 7) & 1) << 15) AS z
+        FROM prepared
+    )
+    SELECT CAST(z // 1024 AS BIGINT) AS z_bucket, COUNT(*) AS n,
+           MIN(xk) AS x_min, MAX(xk) AS x_max,
+           MIN(yk) AS y_min, MAX(yk) AS y_max
+    FROM zv
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register("tdigest_by_event_type", sketches.tdigest_by_event_type, None)

@@ -67,6 +67,9 @@ EMPTY_OK_ZERO_ROWS = [
     "event_path_topk",
     "tdigest_quantiles_events",
     "cooccurrence_pairs",
+    "incremental_mv_refresh",
+    "zorder_curve_orders",
+    "tdigest_by_event_type",
 ]
 
 

@@ -581,3 +581,25 @@ def test_reservoir_sample_is_uniform_hash_subset(spark, qs):
         expect = [k for _, k in sorted(pairs)[:3]]
         got = [r.o_orderkey for r in rows if r.o_orderstatus == status]
         assert got == expect, status
+
+
+def test_grouped_tdigest_within_rank_error_per_key(spark, qs):
+    """Every event_type's digest estimates sit inside the rank-error
+    band of that key's exact sorted values."""
+    from mini_pandas_spark.sources import load_table
+
+    rows = {r["event_type"]: r for r in qs["tdigest_by_event_type"](spark, SF).collect()}
+    data = load_table(spark, SF, "events").select("event_type", "value").collect()
+    by_key = {}
+    for r in data:
+        by_key.setdefault(r.event_type, []).append(r.value)
+    assert set(rows) == set(by_key)
+    eps = 2.0 / 64
+    for key, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        assert rows[key]["n"] == n
+        for p, col in [(0.50, "p50_est"), (0.90, "p90_est"), (0.99, "p99_est")]:
+            lo = vals[max(0, int((p - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((p + eps) * n))]
+            assert lo <= rows[key][col] <= hi, (key, col)
