@@ -1515,3 +1515,60 @@ def zorder_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+def lateral_topn_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for each order status, the top-3
+    orders by price via a per-row dependent subquery with ORDER BY +
+    LIMIT — the SQL-dialect twin of the window row_number pattern
+    (topk_orders / window_rank_orders).  Catalyst decorrelates the
+    lateral into a row_number window + broadcast join — two scans total,
+    never |statuses| rescans — so the shape survives 100 TB (the
+    DataFrame window variant stays the leaner plan; this pins the SQL
+    dialect's decorrelation).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_lat_orders")
+    return spark.sql(
+        """
+        SELECT s.o_orderstatus, l.o_orderkey, l.price_cents
+        FROM (SELECT DISTINCT o_orderstatus FROM sqlv_lat_orders) s,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM sqlv_lat_orders o
+            WHERE o.o_orderstatus = s.o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) l
+        ORDER BY o_orderstatus, price_cents DESC, o_orderkey
+        """
+    )
+
+
+_CK_P1 = 2654435761
+_CK_P2 = 40503
+_CK_MOD = 2147483647
+
+
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: each row maps to a bounded
+    arithmetic hash of its business key + money value, summed per status
+    and globally — the replica-reconciliation primitive (compare two
+    copies of a 100 TB table by exchanging ONE row per partition key, no
+    data movement).  Commutative sum ⇒ partitioning/order invariant;
+    pure integer arithmetic ⇒ bit-identical on any engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_h = (
+        (F.col("o_orderkey") * F.lit(_CK_P1)) % F.lit(_CK_MOD)
+        + (cents("o_totalprice") * F.lit(_CK_P2)) % F.lit(_CK_MOD)
+    ) % F.lit(_CK_MOD)
+    per_status = (
+        o.select("o_orderstatus", row_h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("h") % F.lit(_CK_MOD)).alias("checksum"),
+        )
+    )
+    return per_status.orderBy("o_orderstatus")

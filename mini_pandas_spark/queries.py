@@ -2751,3 +2751,38 @@ register(
 )
 
 register("tdigest_by_event_type", sketches.tdigest_by_event_type, None)
+
+register(
+    "lateral_topn_per_status",
+    relational.lateral_topn_per_status,
+    """
+    SELECT s.o_orderstatus, l.o_orderkey, l.price_cents
+    FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+    LATERAL (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o
+        WHERE o.o_orderstatus = s.o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) l
+    ORDER BY o_orderstatus, price_cents DESC, o_orderkey
+    """,
+)
+
+register(
+    "table_checksum_orders",
+    relational.table_checksum_orders,
+    """
+    WITH h AS (
+        SELECT o_orderstatus,
+               ((o_orderkey * 2654435761) % 2147483647
+                + (CAST(round(o_totalprice * 100) AS BIGINT) * 40503)
+                  % 2147483647) % 2147483647 AS h
+        FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(h) % 2147483647 AS BIGINT) AS checksum
+    FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)

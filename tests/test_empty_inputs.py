@@ -70,6 +70,8 @@ EMPTY_OK_ZERO_ROWS = [
     "incremental_mv_refresh",
     "zorder_curve_orders",
     "tdigest_by_event_type",
+    "lateral_topn_per_status",
+    "table_checksum_orders",
 ]
 
 
