@@ -821,3 +821,80 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly DISTINCT user counts — the two-phase distinct-aggregate
+    shape (partial distinct per partition before the exchange; Spark
+    expands COUNT(DISTINCT) into a two-stage plan, keeping the shuffle
+    at |window × distinct users|, not |events|).  The exact companion to
+    hll_rollup_customers' sketch path: run this where exactness is
+    mandatory, the HLL rollup where a 2% error buys a 100× smaller
+    shuffle at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("hour")
+    )
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the
+    user's EARLIEST preceding NON-purchase event type within a 7-day
+    lookback — marketing attribution as one window pass (no
+    per-purchase rescans): purchases and touches interleave in a single
+    (user, time) ordering and a range-frame min picks the first touch.
+
+    The argmin travels as a zero-padded sortable tag
+    (sec:event_id:type) so lexicographic MIN is the numeric argmin on
+    both engines; purchases carry a NULL tag, which aggregate MIN
+    skips — that is how "touches only" lives inside a frame that
+    physically contains every row.  Scale: ONE exchange on user_id; the
+    range frame's state is bounded by the lookback horizon.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    ).withColumn(
+        "touch_tag",
+        F.when(
+            F.col("event_type") != "purchase",
+            F.concat_ws(
+                ":",
+                F.lpad(F.col("sec").cast("string"), 12, "0"),
+                F.lpad(F.col("event_id").cast("string"), 10, "0"),
+                F.col("event_type"),
+            ),
+        ),
+    )
+    seven_days = 7 * 24 * 3600
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-seven_days, -1)
+    attributed = (
+        base.withColumn("ft", F.min("touch_tag").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.element_at(F.split(F.col("ft"), ":"), 3), F.lit("(none)")
+            ).alias("first_touch_type"),
+        )
+    )
+    return (
+        attributed.groupBy("first_touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("first_touch_type")
+    )

@@ -2786,3 +2786,45 @@ register(
     FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
+
+register(
+    "events_hourly_unique_users",
+    events.events_hourly_unique_users,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "first_touch_attribution",
+    events.first_touch_attribution,
+    """
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec,
+               CASE WHEN event_type <> 'purchase' THEN
+                   lpad(CAST(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                             AS VARCHAR), 12, '0')
+                   || ':' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                   || ':' || event_type
+               END AS touch_tag
+        FROM events
+    ), attributed AS (
+        SELECT event_type,
+               MIN(touch_tag) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING
+               ) AS ft
+        FROM base
+    )
+    SELECT CASE WHEN ft IS NULL THEN '(none)'
+                ELSE split_part(ft, ':', 3) END AS first_touch_type,
+           COUNT(*) AS n_purchases
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)

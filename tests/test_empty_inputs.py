@@ -72,6 +72,8 @@ EMPTY_OK_ZERO_ROWS = [
     "tdigest_by_event_type",
     "lateral_topn_per_status",
     "table_checksum_orders",
+    "events_hourly_unique_users",
+    "first_touch_attribution",
 ]
 
 
