@@ -898,3 +898,84 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("first_touch_type")
     )
+
+
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over events.value: open/close are the values
+    of the first/last event in the hour (deterministic argmin/argmax via
+    the unique sec·10⁶+event_id order key — plain min_by would be
+    nondeterministic under ties), high/low are plain min/max — the
+    time-series downsampling shape every metrics store runs.
+
+    Scale: ONE partial-aggregated groupBy on the hour key; min_by/max_by
+    carry (value, key) pairs through the combiner, so the shuffle is
+    |hours| rows regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    key = (
+        F.unix_timestamp(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+        + F.col("event_id")
+    )
+    return (
+        e.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value"),
+            key.alias("ok"),
+        )
+        .groupBy("h")
+        .agg(
+            F.min_by("value", "ok").alias("open"),
+            F.max_by("value", "ok").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("hour")
+    )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps &
+    islands): distinct active days → day_index − row_number is constant
+    within a run of consecutive days, so one groupBy per (user, island)
+    counts streaks — the engagement metric behind "7-day streak" badges
+    and retention cohorts.
+
+    Scale: the distinct and both windows share ONE user_id exchange
+    (day ordering is within-partition), and state is |active days|, not
+    |events|.  All-integer arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = days.withColumn(
+        "island", F.col("day_idx") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

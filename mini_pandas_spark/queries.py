@@ -2828,3 +2828,44 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+register(
+    "ohlc_hourly_value",
+    events.ohlc_hourly_value,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           arg_min(value, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          * 1000000 + event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          * 1000000 + event_id) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "activity_streaks",
+    events.activity_streaks,
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+        FROM events
+    ), islands AS (
+        SELECT user_id, day_idx,
+               day_idx - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day_idx
+               ) AS island
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS len
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)

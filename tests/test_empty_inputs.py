@@ -74,6 +74,8 @@ EMPTY_OK_ZERO_ROWS = [
     "table_checksum_orders",
     "events_hourly_unique_users",
     "first_touch_attribution",
+    "ohlc_hourly_value",
+    "activity_streaks",
 ]
 
 
