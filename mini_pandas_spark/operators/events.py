@@ -780,7 +780,11 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; one rounded division.
     """
     e = load_table(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct()
+    # the distinct per-user type set feeds three consumers (both join
+    # sides + the marginals); persist it once instead of re-running the
+    # scan + distinct shuffle 3x — at 100 TB this frame is |users|x|types|,
+    # orders of magnitude under the raw event volume
+    ut = e.select("user_id", "event_type").distinct().persist()
     a = ut.alias("a")
     b = ut.alias("b")
     both = (
