@@ -296,3 +296,41 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     assert sum(s[1] for s in z_spans) / 8 <= 160
     # and x-skipping survives too: mean x-span far below the 255 domain
     assert sum(s[0] for s in x_spans) / 8 <= 64
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE shrinks the 32 configured shuffle partitions down to a
+    handful when the shuffled data is tiny — the runtime re-plan that
+    keeps small-aggregate stages from scheduling thousands of empty
+    tasks on a 1000-executor cluster."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.range(10_000)
+        .select((F.col("id") % 5).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.collect()  # materialize so AQE finalizes the plan
+    final = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final, final
+
+
+def test_max_records_per_file_governs_output_sizes(spark, tmp_path):
+    """maxRecordsPerFile splits writer output at the row bound — the
+    file-size governance knob that pairs with compact_parquet: one caps
+    growth at write time, the other repairs fragmentation after."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "capped")
+    (
+        spark.range(10_000)
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 3_000)
+        .parquet(out)
+    )
+    files = glob.glob(f"{out}/part-*.parquet")
+    counts = sorted(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert len(files) == 4 and max(counts) <= 3_000 and sum(counts) == 10_000
