@@ -626,3 +626,41 @@ def embedding_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the 3
+    most-similar corpus vectors with a DIFFERENT label — the pairs that
+    teach an embedding model the most (high similarity, wrong class).
+
+    Same broadcast-query/one-corpus-pass shape as cosine_topk; the label
+    inequality rides the join condition, so mismatched pairs are never
+    scored.  At 100 TB the corpus side swaps to the IVF/LSH candidate
+    generator (similarity.py) — scoring only bucket-mates — while this
+    exact form stays the recall oracle.
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    q = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    scored = (
+        vec.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "query_label", "neg_id", "neg_label", "sim", "rk")
+    )

@@ -855,3 +855,76 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+MIXTURE_ALPHA = 0.5
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights: per source, sampling
+    weight ∝ n_tokens^α (α=0.5) normalized to 1 — the DoReMi/
+    temperature-sampling mixture math that upsamples small domains for
+    training without letting the largest domain dominate.
+
+    Scale: one partial-agg pass to per-source token counts (|sources|
+    rows), then the normalizer arrives via a broadcast crossJoin of the
+    1-row total — no driver collect, no second corpus scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    powered = per_source.withColumn(
+        "p", F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA))
+    )
+    total = powered.agg(F.sum("p").alias("p_total"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.round(F.col("p") / F.col("p_total"), 6) + F.lit(0.0)).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: corpus-level chars-per-token
+    and tokens-per-doc — the stats that decide whether a tokenizer
+    under-serves a language (high fertility = more tokens per content
+    unit = higher serving cost for that language).
+
+    One scan, one tiny-key aggregate; ratios of exact integer sums.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            (
+                F.round(F.col("n_chars") / F.col("n_tokens"), 4) + F.lit(0.0)
+            ).alias("chars_per_token"),
+            (
+                F.round(F.col("n_tokens") / F.col("n_docs"), 4) + F.lit(0.0)
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )

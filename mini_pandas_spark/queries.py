@@ -2869,3 +2869,66 @@ register(
     FROM streaks GROUP BY user_id ORDER BY user_id
     """,
 )
+
+register(
+    "hard_negative_mining",
+    similarity.hard_negative_mining,
+    _VEC_CTE
+    + """
+    , q AS (SELECT vec_id AS query_id, label AS query_label, ve AS qv
+            FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, query_label, vec_id AS neg_id, label AS neg_label,
+               round(list_dot_product(qv, ve)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(ve, ve))),
+                     6) AS sim
+        FROM v CROSS JOIN q
+        WHERE label != query_label
+    )
+    SELECT query_id, query_label, neg_id, neg_label, sim, rk FROM (
+        SELECT query_id, query_label, neg_id, neg_label, sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neg_id) AS INTEGER
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+
+register(
+    "source_mixture_weights",
+    text.source_mixture_weights,
+    f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), powered AS (
+        SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p / SUM(p) OVER (), 6) + 0.0 AS mix_weight
+    FROM powered ORDER BY source
+    """,
+)
+
+register(
+    "tokenizer_fertility_by_lang",
+    text.tokenizer_fertility_by_lang,
+    f"""
+    WITH per_doc AS (
+        SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+               len({_TOKENS}) AS n_tokens
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 4) + 0.0
+               AS chars_per_token,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) + 0.0
+               AS tokens_per_doc
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)

@@ -76,6 +76,9 @@ EMPTY_OK_ZERO_ROWS = [
     "first_touch_attribution",
     "ohlc_hourly_value",
     "activity_streaks",
+    "hard_negative_mining",
+    "source_mixture_weights",
+    "tokenizer_fertility_by_lang",
 ]
 
 
