@@ -664,3 +664,70 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "query_label", "neg_id", "neg_label", "sim", "rk")
     )
+
+
+def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: embeddings compress to int8 per dimension
+    against corpus-wide min/max (4× memory over float32, 8× over the
+    float64 compute form), and top-k runs entirely on the quantized
+    vectors — the memory-bound regime's answer at 100 TB, where the
+    index must fit in RAM and a ~1-bit precision loss is acceptable.
+
+    The global min/max calibration arrives via broadcast crossJoin (no
+    driver collect); scoring reuses the broadcast-query/one-pass-corpus
+    shape.  Rows-only (quantization is engine-arithmetic specific);
+    tests pin top-k overlap vs the exact cosine_topk and the
+    determinism of the quantization grid.
+    """
+    vec = _vectors(spark, sf_dir)
+    # corpus-wide calibration: one flat pass over all components
+    comp = vec.select(F.explode("v").alias("c"))
+    grid = comp.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    qvec = (
+        vec.crossJoin(F.broadcast(grid))
+        .select(
+            "vec_id",
+            F.transform(
+                "v",
+                lambda x: F.round(
+                    (x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254.0 - 127.0
+                ).cast("int"),
+            ).alias("qv8"),
+        )
+    )
+    def inrm(col):
+        return F.aggregate(
+            F.transform(col, lambda a: (a * a).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # precompute norms once per vector (norm-in-the-row discipline, same
+    # as _vectors_with_norm) so each pair costs ONE array traversal
+    qvec = qvec.withColumn("qn", F.sqrt(inrm(F.col("qv8"))))
+    q = qvec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv8").alias("query_qv8"),
+        F.col("qn").alias("query_qn"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    # int dot products: exact integer math on the quantized grid, so
+    # ties and ordering are deterministic
+    paired = qvec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    idot = F.aggregate(
+        F.zip_with("qv8", "query_qv8", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(idot / (F.col("qn") * F.col("query_qn")), 6).alias("qsim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "qsim", "rk")
+    )

@@ -2932,3 +2932,5 @@ register(
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )
+
+register("int8_quantized_topk", similarity.int8_quantized_topk, None)

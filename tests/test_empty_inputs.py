@@ -79,6 +79,7 @@ EMPTY_OK_ZERO_ROWS = [
     "hard_negative_mining",
     "source_mixture_weights",
     "tokenizer_fertility_by_lang",
+    "int8_quantized_topk",
 ]
 
 

@@ -603,3 +603,23 @@ def test_grouped_tdigest_within_rank_error_per_key(spark, qs):
             lo = vals[max(0, int((p - eps) * n) - 1)]
             hi = vals[min(n - 1, int((p + eps) * n))]
             assert lo <= rows[key][col] <= hi, (key, col)
+
+
+def test_int8_quantized_topk_overlap_and_determinism(spark, qs):
+    """Scalar-quantized top-k must (a) be deterministic across runs
+    (integer grid math), and (b) recover most of the exact cosine top-5
+    per query — the precision/memory tradeoff is real but bounded."""
+    a = qs["int8_quantized_topk"](spark, SF).collect()
+    b = qs["int8_quantized_topk"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact = qs["cosine_topk"](spark, SF).collect()
+    q_exact, q_quant = {}, {}
+    for r in exact:
+        q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in a:
+        q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(q_exact) == set(q_quant)
+    overlaps = [
+        len(q_exact[k] & q_quant[k]) / 5.0 for k in q_exact
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.6, overlaps

@@ -334,3 +334,29 @@ def test_max_records_per_file_governs_output_sizes(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     counts = sorted(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert len(files) == 4 and max(counts) <= 3_000 and sum(counts) == 10_000
+
+
+def test_zstd_codec_roundtrip_and_size(spark, tmp_path):
+    """Compression codec choice is a first-order 100 TB cost knob: zstd
+    writes must round-trip exactly and compress a repetitive column
+    materially better than uncompressed."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        "id", F.concat(F.lit("the same boilerplate line "), (F.col("id") % 7)).alias("t")
+    )
+    raw = str(tmp_path / "raw")
+    zst = str(tmp_path / "zstd")
+    df.coalesce(1).write.option("compression", "uncompressed").parquet(raw)
+    df.coalesce(1).write.option("compression", "zstd").parquet(zst)
+
+    def bytes_of(d):
+        return sum(_os.path.getsize(f) for f in glob.glob(f"{d}/part-*.parquet"))
+
+    assert bytes_of(zst) < 0.5 * bytes_of(raw), (bytes_of(zst), bytes_of(raw))
+    a = sorted(tuple(r) for r in spark.read.parquet(raw).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(zst).collect())
+    assert a == b
