@@ -983,3 +983,33 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour exact percentile bands (p10/p50/p90 of value) — the
+    time-series envelope behind latency/telemetry dashboards.  Spark's
+    ``percentile`` and ANSI percentile_cont share the same linear
+    interpolation, so the bands are oracle-exact after rounding.
+
+    Scale: percentile is a full-sort-per-group aggregate — fine at
+    |hour| granularity (each group ≈ events/hour); at extreme group
+    cardinality swap in tdigest_by_event_type's sketch shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.expr("percentile(value, 0.1)"), 4) + F.lit(0.0)).alias("p10"),
+            (F.round(F.expr("percentile(value, 0.5)"), 4) + F.lit(0.0)).alias("p50"),
+            (F.round(F.expr("percentile(value, 0.9)"), 4) + F.lit(0.0)).alias("p90"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "p10",
+            "p50",
+            "p90",
+        )
+        .orderBy("hour")
+    )

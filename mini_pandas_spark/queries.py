@@ -2934,3 +2934,20 @@ register(
 )
 
 register("int8_quantized_topk", similarity.int8_quantized_topk, None)
+
+register(
+    "hourly_value_bands",
+    events.hourly_value_bands,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(*) AS n,
+           round(percentile_cont(0.1) WITHIN GROUP (ORDER BY value), 4)
+               + 0.0 AS p10,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+               + 0.0 AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4)
+               + 0.0 AS p90
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)

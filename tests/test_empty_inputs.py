@@ -80,6 +80,7 @@ EMPTY_OK_ZERO_ROWS = [
     "source_mixture_weights",
     "tokenizer_fertility_by_lang",
     "int8_quantized_topk",
+    "hourly_value_bands",
 ]
 
 
