@@ -1013,3 +1013,36 @@ def hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def error_proximity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-proximity correlation: for each purchase, how many SAME-
+    USER error events occurred within ±5 minutes — then the histogram of
+    purchases by nearby-error count (incident-correlation shape: "are
+    failures clustered around conversions?").
+
+    One user_id exchange; the ±range window carries a conditional sum,
+    so errors and purchases interleave in a single ordered pass with
+    state bounded by the 10-minute horizon.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-300, 300)
+    nearby_err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).over(w)
+    purchases = (
+        base.withColumn("n_nearby_errors", nearby_err)
+        .where(F.col("event_type") == "purchase")
+    )
+    return (
+        purchases.groupBy("n_nearby_errors")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("n_nearby_errors")
+    )

@@ -1572,3 +1572,83 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_status.orderBy("o_orderstatus")
+
+
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: rank customers by revenue, add
+    cumulative share of total, and report how deep the 50% / 80% / 95%
+    revenue lines reach — the 80/20 concentration readout behind
+    account-tiering decisions.
+
+    Scale: one partial-agg groupBy to per-customer revenue, ONE global
+    window ordered by (revenue desc, custkey) for the cumsum — at
+    extreme |customers| the global cumsum becomes two passes
+    (per-partition partials + broadcast offsets); at this shape the
+    single window is the right plan.  Exact cents end-to-end; one
+    rounded division at the output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey"))
+    total = per_cust.agg(F.sum("rev_cents").alias("total_cents"))
+    ranked = (
+        per_cust.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_share",
+            F.sum("rev_cents").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / F.col("total_cents"),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(F.when(F.col("cum_share") >= 0.5, F.col("rk"))).alias("n_for_50pct"),
+        F.min(F.when(F.col("cum_share") >= 0.8, F.col("rk"))).alias("n_for_80pct"),
+        F.min(F.when(F.col("cum_share") >= 0.95, F.col("rk"))).alias("n_for_95pct"),
+    )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer, customer→nation) via left-anti joins — the
+    constraint layer a lake has to run itself (no FK enforcement in
+    parquet).
+
+    Scale: each edge is an anti join that broadcasts the smaller key
+    set (dims) or shuffles once (orders); counts reduce to one row.
+    Every edge shares the stack-melted output schema, so new edges are
+    one line each.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(edge, child, ckey, parent, pkey):
+        # one lazy 1-row branch per edge; the union stays a single plan
+        # (no driver-side .count() loop — 5 actions become 1)
+        return (
+            child.select(F.col(ckey).alias("k"))
+            .join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    edges = [
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        orphans("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
+        orphans("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]
+    report = edges[0]
+    for e in edges[1:]:
+        report = report.unionByName(e)
+    return report.orderBy("fk_edge")

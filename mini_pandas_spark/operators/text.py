@@ -928,3 +928,39 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length: the n_chars value at which
+    HALF the corpus's TOKENS sit in shorter-or-equal docs — corpus
+    planning math (an unweighted median over-represents short docs; the
+    training cost lives where the tokens are).
+
+    Window cumsum over (n_chars, doc_id) ordering; all-integer until the
+    final threshold compare, so both engines pick the identical row.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        token_count("text").alias("wt"),
+    )
+    w = Window.orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_doc.agg(F.sum("wt").alias("total_wt"))
+    cum = per_doc.crossJoin(F.broadcast(total)).withColumn(
+        "cum_wt", F.sum("wt").over(w)
+    )
+    return (
+        cum.where(F.col("cum_wt") * 2 >= F.col("total_wt"))
+        .orderBy("n_chars", "doc_id")
+        .limit(1)
+        .select(
+            F.col("n_chars").alias("weighted_median_chars"),
+            F.col("cum_wt").alias("tokens_at_or_below"),
+            F.col("total_wt").alias("total_tokens"),
+        )
+    )

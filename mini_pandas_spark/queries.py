@@ -2951,3 +2951,107 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+register(
+    "pareto_customers",
+    relational.pareto_customers,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT SUM(rev_cents) AS total_cents FROM per_cust),
+    ranked AS (
+        SELECT o_custkey, rev_cents,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS rk,
+               CAST(SUM(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / (SELECT total_cents FROM tot) AS cum_share
+        FROM per_cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           MIN(CASE WHEN cum_share >= 0.5 THEN rk END) AS n_for_50pct,
+           MIN(CASE WHEN cum_share >= 0.8 THEN rk END) AS n_for_80pct,
+           MIN(CASE WHEN cum_share >= 0.95 THEN rk END) AS n_for_95pct
+    FROM ranked
+    """,
+)
+
+register(
+    "referential_integrity_audit",
+    relational.referential_integrity_audit,
+    """
+    SELECT 'customer->nation' AS fk_edge,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    ORDER BY fk_edge
+    """,
+)
+
+register(
+    "error_proximity_counts",
+    events.error_proximity_counts,
+    """
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+        FROM events
+    ), counted AS (
+        SELECT event_type,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 300 PRECEDING AND 300 FOLLOWING
+               ) AS n_nearby_errors
+        FROM base
+    )
+    SELECT CAST(n_nearby_errors AS BIGINT) AS n_nearby_errors,
+           COUNT(*) AS n_purchases
+    FROM counted WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "weighted_median_doc_length",
+    text.weighted_median_doc_length,
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               len({_TOKENS}) AS wt
+        FROM documents
+    ), tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_wt FROM per_doc),
+    cum AS (
+        SELECT n_chars, doc_id,
+               CAST(SUM(wt) OVER (
+                   ORDER BY n_chars, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_wt,
+               (SELECT total_wt FROM tot) AS total_wt
+        FROM per_doc
+    )
+    SELECT n_chars AS weighted_median_chars,
+           cum_wt AS tokens_at_or_below,
+           total_wt AS total_tokens
+    FROM cum WHERE cum_wt * 2 >= total_wt
+    ORDER BY n_chars, doc_id LIMIT 1
+    """,
+)

@@ -81,6 +81,10 @@ EMPTY_OK_ZERO_ROWS = [
     "tokenizer_fertility_by_lang",
     "int8_quantized_topk",
     "hourly_value_bands",
+    "pareto_customers",
+    "referential_integrity_audit",
+    "error_proximity_counts",
+    "weighted_median_doc_length",
 ]
 
 
