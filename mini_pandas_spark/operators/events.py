@@ -1046,3 +1046,107 @@ def error_proximity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("n_nearby_errors")
     )
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity scoring: Shannon entropy (bits) of each user's
+    event-type distribution, reported for the 20 most-diverse users
+    (unique-key tiebreak on user_id for cross-engine determinism).
+
+    Entropy is computed from exact integer counts via
+    H = log2(N) - (sum c_i*log2(c_i)) / N, so the only floating point is
+    the per-type log2 terms (<= ~6 per user) — partial-agg friendly:
+    the (user, type) count reduces map-side, then one small per-user agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+            "sum_clog"
+        ),
+    )
+    entropy = F.log2(F.col("n_events").cast("double")) - F.col("sum_clog") / F.col(
+        "n_events"
+    ).cast("double")
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            (F.round(entropy, 4) + F.lit(0.0)).alias("entropy_bits"),
+        )
+        .orderBy(F.col("entropy_bits").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: per (event_type, hour-of-day) activity count
+    and mean value, plus the lift of that hour's mean over the event
+    type's all-day mean — the diurnal-pattern readout behind load
+    forecasting and anomaly baselines.
+
+    One groupBy to 24 x |event_type| cells, then a tiny window over
+    event_type re-derives the overall mean from the exact per-cell sums
+    (no second scan of the fact table).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type")
+    overall_mean = F.sum("sum_value").over(w) / F.sum("n").over(w).cast("double")
+    hour_mean = F.col("sum_value") / F.col("n").cast("double")
+    return cells.select(
+        "event_type",
+        "hod",
+        "n",
+        (F.round(hour_mean, 4) + F.lit(0.0)).alias("avg_value"),
+        (F.round(hour_mean / overall_mean, 4) + F.lit(0.0)).alias("lift"),
+    ).orderBy("event_type", "hod")
+
+
+def time_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: per user, seconds from their first
+    event of any kind to their first purchase, summarized as exact
+    count/min/max plus interpolated quartiles and p90 — the activation-
+    latency metric of growth analytics.
+
+    Single groupBy pass computes both firsts (conditional min), then one
+    1-row percentile aggregate; percentile interpolation over bigint
+    seconds is deterministic cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    per_user = (
+        e.select("user_id", "event_type", sec.alias("sec"))
+        .groupBy("user_id")
+        .agg(
+            F.min("sec").alias("first_sec"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias(
+                "first_purchase_sec"
+            ),
+        )
+        .where(F.col("first_purchase_sec").isNotNull())
+        .select(
+            (F.col("first_purchase_sec") - F.col("first_sec")).alias("latency_sec")
+        )
+    )
+    pct = lambda p: F.expr(f"percentile(latency_sec, {p})")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("latency_sec").alias("min_sec"),
+        (F.round(pct(0.25), 4) + F.lit(0.0)).alias("p25_sec"),
+        (F.round(pct(0.5), 4) + F.lit(0.0)).alias("p50_sec"),
+        (F.round(pct(0.9), 4) + F.lit(0.0)).alias("p90_sec"),
+        F.max("latency_sec").alias("max_sec"),
+    )

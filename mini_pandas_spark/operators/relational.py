@@ -1652,3 +1652,107 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         report = report.unionByName(e)
     return report.orderBy("fk_edge")
+
+
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality readout
+    that pairs with ``pareto_customers``' concentration curve.
+
+    Uses the rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over revenue cents sorted ascending (unique-key tiebreak on custkey),
+    so everything stays in exact integer/decimal arithmetic until one final
+    division.  Plan: partial-agg groupBy to per-customer cents, one global
+    row_number window (at extreme |customers|: two-pass partial cumsums),
+    then a 1-row aggregate; sum(i*x) goes through DECIMAL(38,0) because it
+    overflows bigint at scale and DuckDB widens to HUGEINT.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents"), F.col("o_custkey"))
+    ranked = per_cust.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("rk") * F.col("rev_cents")).cast("decimal(38,0)")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    gini = (2.0 * six - (n + 1.0) * sx) / (n * sx)
+    return agg.select(
+        "n",
+        (F.round(gini, 6) + F.lit(0.0)).alias("gini"),
+    ).withColumnRenamed("n", "n_customers")
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over part: the parts not dominated on
+    (minimize retail price, maximize size) — the classic multi-criteria
+    shortlist operator.
+
+    Scalable decomposition: (1) exact reduction to one row per distinct
+    price with the max size at that price (map-side combine, tiny output);
+    (2) frontier test on the reduced set with two running-max windows over
+    integer price cents — strictly-cheaper max size and cheaper-or-equal
+    max size; (3) semi-join back to recover every part on a frontier
+    point.  The full table is never globally sorted — only the distinct
+    price list is, and at 100 TB that reduction output is bounded by the
+    price domain, not the row count.
+
+    A part is dominated iff some other part has (price < p and size >= s)
+    or (price <= p and size > s).
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        cents("p_retailprice").alias("price_cents"), F.col("p_size")
+    )
+    per_price = pts.groupBy("price_cents").agg(F.max("p_size").alias("max_size"))
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_leq = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frontier = (
+        per_price.withColumn("max_lt", F.max("max_size").over(w_lt))
+        .withColumn("max_leq", F.max("max_size").over(w_leq))
+        .where(
+            (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("max_size")))
+            & (F.col("max_leq") <= F.col("max_size"))
+        )
+        .select("price_cents", F.col("max_size").alias("p_size"))
+    )
+    return (
+        part.withColumn("price_cents", cents("p_retailprice"))
+        .join(F.broadcast(frontier), ["price_cents", "p_size"], "left_semi")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def brand_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / geometric / harmonic mean retail price per brand — the
+    three Pythagorean means in one partial-agg pass (geometric via
+    exp(mean(ln x)), harmonic via n/sum(1/x)); the skew diagnostic for
+    price distributions (AM >= GM >= HM, gaps widen with spread).
+    """
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    agg = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(p).alias("s"),
+        F.sum(F.log(p)).alias("slog"),
+        F.sum(F.lit(1.0) / p).alias("sinv"),
+    )
+    n = F.col("n_parts").cast("double")
+    return agg.select(
+        "p_brand",
+        "n_parts",
+        (F.round(F.col("s") / n, 4) + F.lit(0.0)).alias("mean_price"),
+        (F.round(F.exp(F.col("slog") / n), 4) + F.lit(0.0)).alias("geo_mean_price"),
+        (F.round(n / F.col("sinv"), 4) + F.lit(0.0)).alias("harm_mean_price"),
+    ).orderBy("p_brand")

@@ -964,3 +964,41 @@ def weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_wt").alias("total_tokens"),
         )
     )
+
+
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per language: average per-document
+    token Shannon entropy (bits) and average type-token ratio — low-entropy
+    documents are the boilerplate/spam tail that corpus curation drops.
+
+    Per-document entropy uses exact integer counts via
+    H = log2(N) - sum(c*log2(c))/N.  Plan: one explode of the token array,
+    (doc, token) count with map-side combine, per-doc fold, then a tiny
+    per-lang average — no driver-side loops, shuffles keyed on doc_id
+    scale horizontally with the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    cnt = tok.groupBy("lang", "doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("lang", "doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+            "sclog"
+        ),
+    )
+    entropy = F.log2(F.col("n").cast("double")) - F.col("sclog") / F.col("n").cast(
+        "double"
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n").cast("double")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.avg(entropy), 4) + F.lit(0.0)).alias("avg_entropy_bits"),
+            (F.round(F.avg(ttr), 4) + F.lit(0.0)).alias("avg_ttr"),
+        )
+        .orderBy("lang")
+    )

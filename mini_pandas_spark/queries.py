@@ -2805,9 +2805,9 @@ register(
     """
     WITH base AS (
         SELECT user_id, event_id, event_type,
-               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
                CASE WHEN event_type <> 'purchase' THEN
-                   lpad(CAST(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   lpad(CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                              AS VARCHAR), 12, '0')
                    || ':' || lpad(CAST(event_id AS VARCHAR), 10, '0')
                    || ':' || event_type
@@ -2834,11 +2834,11 @@ register(
     events.ohlc_hourly_value,
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           arg_min(value, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           arg_min(value, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                           * 1000000 + event_id) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           arg_max(value, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                           * 1000000 + event_id) AS close,
            COUNT(*) AS n
     FROM events
@@ -3013,7 +3013,7 @@ register(
     """
     WITH base AS (
         SELECT user_id, event_type,
-               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
         FROM events
     ), counted AS (
         SELECT event_type,
@@ -3053,5 +3053,154 @@ register(
            total_wt AS total_tokens
     FROM cum WHERE cum_wt * 2 >= total_wt
     ORDER BY n_chars, doc_id LIMIT 1
+    """,
+)
+
+register(
+    "user_event_entropy",
+    events.user_event_entropy,
+    """
+    WITH per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               COUNT(*) AS n_types,
+               SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sum_clog
+        FROM per_type GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(log2(CAST(n_events AS DOUBLE)) - sum_clog / n_events, 4)
+               + 0.0 AS entropy_bits
+    FROM per_user
+    ORDER BY entropy_bits DESC, user_id LIMIT 20
+    """,
+)
+
+register(
+    "hour_of_day_profile",
+    events.hour_of_day_profile,
+    """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               COUNT(*) AS n,
+               SUM(value) AS sum_value
+        FROM events GROUP BY event_type, 2
+    )
+    SELECT event_type, hod, n,
+           round(sum_value / n, 4) + 0.0 AS avg_value,
+           round((sum_value / n) /
+                 (SUM(sum_value) OVER (PARTITION BY event_type)
+                  / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)),
+                 4) + 0.0 AS lift
+    FROM cells ORDER BY event_type, hod
+    """,
+)
+
+register(
+    "time_to_purchase_latency",
+    events.time_to_purchase_latency,
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS first_sec,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   END) AS first_purchase_sec
+        FROM events GROUP BY user_id
+    ), lat AS (
+        SELECT first_purchase_sec - first_sec AS latency_sec
+        FROM per_user WHERE first_purchase_sec IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_users,
+           MIN(latency_sec) AS min_sec,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY latency_sec), 4)
+               + 0.0 AS p25_sec,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_sec), 4)
+               + 0.0 AS p50_sec,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY latency_sec), 4)
+               + 0.0 AS p90_sec,
+           MAX(latency_sec) AS max_sec
+    FROM lat
+    """,
+)
+
+register(
+    "gini_revenue_customers",
+    relational.gini_revenue_customers,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev_cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey)
+                    AS BIGINT) AS rk
+        FROM per_cust
+    ), agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(rev_cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(rk * rev_cents AS DECIMAL(38,0))) AS DOUBLE) AS six
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6) + 0.0 AS gini
+    FROM agg
+    """,
+)
+
+register(
+    "skyline_parts",
+    relational.skyline_parts,
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE (b.p_retailprice < a.p_retailprice AND b.p_size >= a.p_size)
+           OR (b.p_retailprice <= a.p_retailprice AND b.p_size > a.p_size)
+    )
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+
+register(
+    "brand_price_means",
+    relational.brand_price_means,
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+           round(SUM(p_retailprice) / COUNT(*), 4) + 0.0 AS mean_price,
+           round(exp(SUM(ln(p_retailprice)) / COUNT(*)), 4) + 0.0
+               AS geo_mean_price,
+           round(COUNT(*) / SUM(1.0 / p_retailprice), 4) + 0.0
+               AS harm_mean_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+
+register(
+    "token_entropy_by_lang",
+    text.token_entropy_by_lang,
+    f"""
+    WITH tok AS (
+        SELECT lang, doc_id, unnest({_TOKENS}) AS token FROM documents
+    ), cnt AS (
+        SELECT lang, doc_id, token, COUNT(*) AS c
+        FROM tok GROUP BY lang, doc_id, token
+    ), per_doc AS (
+        SELECT lang, doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS n_distinct,
+               SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sclog
+        FROM cnt GROUP BY lang, doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           round(AVG(log2(CAST(n AS DOUBLE)) - sclog / n), 4) + 0.0
+               AS avg_entropy_bits,
+           round(AVG(CAST(n_distinct AS DOUBLE) / n), 4) + 0.0 AS avg_ttr
+    FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )

@@ -85,6 +85,13 @@ EMPTY_OK_ZERO_ROWS = [
     "referential_integrity_audit",
     "error_proximity_counts",
     "weighted_median_doc_length",
+    "user_event_entropy",
+    "hour_of_day_profile",
+    "time_to_purchase_latency",
+    "gini_revenue_customers",
+    "skyline_parts",
+    "brand_price_means",
+    "token_entropy_by_lang",
 ]
 
 
