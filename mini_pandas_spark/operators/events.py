@@ -1150,3 +1150,55 @@ def time_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(pct(0.9), 4) + F.lit(0.0)).alias("p90_sec"),
         F.max("latency_sec").alias("max_sec"),
     )
+
+
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) next to that day's DAU —
+    the engagement ratio pair behind stickiness dashboards.
+
+    Windowed COUNT(DISTINCT) does not decompose into a range frame, so
+    the scalable trick is bounded expansion: reduce to distinct
+    (user, day) presence rows (partial-agg, tiny), then explode each
+    presence onto the <=7 calendar days it keeps the user "active" for,
+    and count distinct users per contributed day.  The expansion factor
+    is the window length — constant — so the shuffle stays proportional
+    to |users|·|days|, never to raw event volume.  Days with zero events
+    inside the observed range still appear via the presence of
+    contributions from earlier days.
+    """
+    e = load_table(spark, sf_dir, "events")
+    presence = (
+        e.select(
+            "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .distinct()
+    )
+    bounds = presence.agg(F.max("day").alias("max_day"))
+    contrib = (
+        presence.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        )
+        .select(
+            "user_id", "day", F.date_add(F.col("day"), F.col("off")).alias("wday")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("wday") <= F.col("max_day"))
+    )
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = presence.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            (F.round(F.coalesce("dau", F.lit(0)).cast("double") / F.col("wau"), 4) + F.lit(0.0)).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

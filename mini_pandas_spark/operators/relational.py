@@ -1756,3 +1756,49 @@ def brand_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.exp(F.col("slog") / n), 4) + F.lit(0.0)).alias("geo_mean_price"),
         (F.round(n / F.col("sinv"), 4) + F.lit(0.0)).alias("harm_mean_price"),
     ).orderBy("p_brand")
+
+
+def order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: does each order's header total agree
+    with the sum of its line items?  Classifies every order as matched /
+    mismatched / missing-lines and reports counts plus the total absolute
+    discrepancy — the data-quality audit run after every ingest of a
+    header/detail pair.
+
+    Exact integer cents end-to-end (the comparison is equality on cents,
+    never float).  Plan: partial-agg groupBy on lineitem to per-order
+    cents, then ONE shuffle join with orders on the shared key; both
+    sides partition on o_orderkey so AQE can co-locate, and the final
+    rollup is a 3-row aggregate.  (The synthetic fixture's totals are
+    independent of its line items, so most orders land in 'mismatch' —
+    the operator's job is attribution, not absolution.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents("l_extendedprice")).alias("line_cents")
+    )
+    joined = o.select(
+        "o_orderkey", cents("o_totalprice").alias("hdr_cents")
+    ).join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    status = (
+        F.when(F.col("line_cents").isNull(), F.lit("missing_lines"))
+        .when(F.col("line_cents") == F.col("hdr_cents"), F.lit("matched"))
+        .otherwise(F.lit("mismatched"))
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(
+                F.abs(F.col("hdr_cents") - F.col("line_cents")), F.lit(0)
+            ).alias("abs_diff_cents"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("abs_diff_cents").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("total_abs_diff_cents"),
+        )
+        .orderBy("status")
+    )

@@ -3204,3 +3204,57 @@ register(
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )
+
+register(
+    "order_revenue_reconciliation",
+    relational.order_revenue_reconciliation,
+    """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), classified AS (
+        SELECT CASE
+                 WHEN line_cents IS NULL THEN 'missing_lines'
+                 WHEN line_cents = CAST(round(o_totalprice * 100) AS BIGINT)
+                     THEN 'matched'
+                 ELSE 'mismatched'
+               END AS status,
+               COALESCE(abs(CAST(round(o_totalprice * 100) AS BIGINT)
+                            - line_cents), 0) AS abs_diff_cents
+        FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    )
+    SELECT status, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(abs_diff_cents AS DECIMAL(38,0))) AS DOUBLE)
+               AS total_abs_diff_cents
+    FROM classified GROUP BY status ORDER BY status
+    """,
+)
+
+register(
+    "rolling_weekly_active_users",
+    events.rolling_weekly_active_users,
+    """
+    WITH presence AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), bounds AS (SELECT MAX(day) AS max_day FROM presence),
+    contrib AS (
+        SELECT user_id, day + CAST(o.off AS INT) AS wday
+        FROM presence, (SELECT unnest(generate_series(0, 6)) AS off) o
+        WHERE day + CAST(o.off AS INT) <= (SELECT max_day FROM bounds)
+    ), wau AS (
+        SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+        FROM contrib GROUP BY wday
+    ), dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau
+        FROM presence GROUP BY day
+    )
+    SELECT strftime(wau.day, '%Y-%m-%d') AS day,
+           COALESCE(dau.dau, 0) AS dau,
+           wau.wau,
+           round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / wau.wau, 4) + 0.0
+               AS stickiness
+    FROM wau LEFT JOIN dau ON wau.day = dau.day
+    ORDER BY day
+    """,
+)

@@ -92,6 +92,8 @@ EMPTY_OK_ZERO_ROWS = [
     "skyline_parts",
     "brand_price_means",
     "token_entropy_by_lang",
+    "order_revenue_reconciliation",
+    "rolling_weekly_active_users",
 ]
 
 
