@@ -71,6 +71,9 @@ HEADLINE = [
     "event_path_topk",
     "reservoir_sample_per_key",
     "tdigest_quantiles_events",
+    "token_entropy_by_lang",
+    "rolling_weekly_active_users",
+    "order_revenue_reconciliation",
 ]
 
 
