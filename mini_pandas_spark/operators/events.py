@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import decimal_sum
+from ..functions import cents, decimal_sum
 from ..sources import load_table
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -1202,3 +1202,83 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #2: assemble a per-user FEATURE-STORE table from
+    the raw event stream in one logical plan — activity volume, session
+    count (30-min gap sessionization), distinct active days, exact
+    purchase revenue cents, behavioral entropy, mean inter-arrival
+    seconds, and recency vs the corpus horizon.  This is the offline
+    feature-build job that sits in front of every churn/propensity model.
+
+    Plan shape: ONE scan of events feeds (a) a lag-window sessionizer and
+    (b) a (user, type) count — both keyed on user_id so the exchanges
+    co-locate; the global horizon enters as a broadcast 1-row aggregate,
+    never a driver scalar.  All means derive from exact integer
+    sums/spans (span/(n-1) mean inter-arrival), so floats appear only in
+    the final rounded projection.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        sec.alias("sec"),
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    sess = base.withColumn(
+        "new_sess",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) <= 1800, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("day").alias("days_active"),
+        F.sum("new_sess").alias("n_sessions"),
+        F.min("sec").alias("first_sec"),
+        F.max("sec").alias("last_sec"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(
+                F.lit(0)
+            )
+        ).alias("purchase_cents"),
+    )
+    per_type = base.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ent = per_type.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+        ).alias("sum_clog"),
+    )
+    horizon = base.agg(F.max("sec").alias("horizon_sec"))
+    joined = per_user.join(ent, "user_id").crossJoin(F.broadcast(horizon))
+    entropy = F.log2(F.col("n_events").cast("double")) - F.col("sum_clog") / F.col(
+        "n_events"
+    ).cast("double")
+    mean_gap = F.when(
+        F.col("n_events") > 1,
+        (F.col("last_sec") - F.col("first_sec")).cast("double")
+        / (F.col("n_events") - 1).cast("double"),
+    )
+    return joined.select(
+        "user_id",
+        "n_events",
+        "days_active",
+        "n_sessions",
+        "n_types",
+        "purchase_cents",
+        (F.round(entropy, 4) + F.lit(0.0)).alias("entropy_bits"),
+        (F.round(mean_gap, 2) + F.lit(0.0)).alias("mean_gap_sec"),
+        F.floor(
+            (F.col("horizon_sec") - F.col("last_sec")) / F.lit(86400.0)
+        ).alias("recency_days"),
+    ).orderBy("user_id")

@@ -3258,3 +3258,51 @@ register(
     ORDER BY day
     """,
 )
+
+register(
+    "user_feature_store",
+    events.user_feature_store,
+    """
+    WITH base AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+               CAST(ts AS DATE) AS day
+        FROM events
+    ), sess AS (
+        SELECT *,
+               CASE WHEN sec - LAG(sec) OVER (
+                        PARTITION BY user_id ORDER BY sec, event_id
+                    ) <= 1800 THEN 0 ELSE 1 END AS new_sess
+        FROM base
+    ), per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT day) AS days_active,
+               CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               MIN(sec) AS first_sec,
+               MAX(sec) AS last_sec,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase_cents
+        FROM sess GROUP BY user_id
+    ), per_type AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM base GROUP BY user_id, event_type
+    ), ent AS (
+        SELECT user_id, COUNT(*) AS n_types,
+               SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sum_clog
+        FROM per_type GROUP BY user_id
+    ), horizon AS (SELECT MAX(sec) AS horizon_sec FROM base)
+    SELECT p.user_id, p.n_events, p.days_active, p.n_sessions, e.n_types,
+           p.purchase_cents,
+           round(log2(CAST(p.n_events AS DOUBLE)) - e.sum_clog / p.n_events, 4)
+               + 0.0 AS entropy_bits,
+           round(CASE WHEN p.n_events > 1 THEN
+                     CAST(p.last_sec - p.first_sec AS DOUBLE)
+                     / (p.n_events - 1) END, 2) + 0.0 AS mean_gap_sec,
+           CAST(floor((h.horizon_sec - p.last_sec) / 86400.0) AS BIGINT)
+               AS recency_days
+    FROM per_user p JOIN ent e USING (user_id), horizon h
+    ORDER BY p.user_id
+    """,
+)

@@ -94,6 +94,7 @@ EMPTY_OK_ZERO_ROWS = [
     "token_entropy_by_lang",
     "order_revenue_reconciliation",
     "rolling_weekly_active_users",
+    "user_feature_store",
 ]
 
 
