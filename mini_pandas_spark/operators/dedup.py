@@ -626,3 +626,73 @@ def trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered similarity join: exact word-3-gram
+    Jaccard >= 0.8 pairs, but candidates are generated ONLY from each
+    document's rare-first *prefix* instead of its full shingle set.
+
+    Algorithm (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08 — prefix filtering):
+    1. order all shingles globally by (document frequency asc, shingle) —
+       rarest first, a total order;
+    2. each document keeps only its first ``sz - ceil(t*sz) + 1``
+       shingles under that order (its prefix): any pair with
+       J >= t MUST share a prefix shingle, so joining prefixes loses
+       no true pair;
+    3. candidate pairs from the prefix self-join are verified with the
+       exact intersection count (re-join on the full shingle table,
+       restricted to candidates) — same output as
+       :func:`ngram_jaccard_pairs`, pinned by pytest.
+
+    Scale: the full-shingle self-join explodes on boilerplate shingles
+    shared by thousands of documents; the prefix join only collides on
+    *rare* shingles (high-frequency ones sort last and drop out of
+    prefixes), cutting candidate volume by orders of magnitude at equal
+    recall — the third 100 TB near-dup path next to MinHash-LSH and
+    SimHash, and unlike those it is *exact* (no recall loss).  Shuffles:
+    one groupBy for document frequency, one prefix self-join on rare keys
+    (AQE skew split on), one verify join over candidates only.
+    """
+    t = 0.8
+    sh = _shingle_table(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    wsz = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1282,3 +1282,148 @@ def user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("horizon_sec") - F.col("last_sec")) / F.lit(86400.0)
         ).alias("recency_days"),
     ).orderBy("user_id")
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
+    per-user purchase metric is adjusted by a pre-exposure covariate
+    (the user's non-purchase activity count) before bucket means are
+    compared — Y' = Y - θ·(X - E[X]), θ = cov(X,Y)/var(X) — shrinking
+    metric variance without biasing the treatment/control delta (E[X] is
+    assignment-independent).
+
+    Determinism: θ enters through EXACT integer sums (ΣX, ΣY, ΣXY, ΣX²
+    as DECIMAL(38,0) of per-user longs — order-free), with a single
+    double division; the adjusted means replay the identical expression
+    tree in the oracle.  Scale: one user-keyed aggregation, one 2-row
+    bucket aggregation, a broadcast of the 1-row global moments — no
+    per-row Python anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.select("user_id", bucket.alias("bucket"), "event_type", "value")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", cents("value")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    per_bucket = per_user.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(dec(F.col("x"))).alias("sxb"),
+        F.sum(dec(F.col("y"))).alias("syb"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    mean_y = F.col("syb").cast("double") / F.col("n_users")
+    mean_xb = F.col("sxb").cast("double") / F.col("n_users")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    adj = mean_y - theta * (mean_xb - mean_x)
+    return (
+        per_bucket.join(F.broadcast(glob))
+        .select(
+            "bucket",
+            "n_users",
+            (F.round(mean_y, 6) + F.lit(0.0)).alias("mean_purchase_cents"),
+            (F.round(adj, 6) + F.lit(0.0)).alias("cuped_adj_purchase_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR interpolation — the companion to
+    :func:`locf_gap_fill` for continuous metrics: silent hours on the
+    densified (event_type, hour) grid get the straight-line value between
+    the nearest observed hours (edges clamp to the nearest observation).
+
+    The grid carries an exact integer hour index (position in the spine)
+    so the interpolation fraction is a ratio of small integers — no
+    timezone-dependent epoch math, identical in both engines.
+
+    Scale: identical shape to LOCF — raw events aggregate to the
+    (type, hour) grain first; the two ignore-nulls windows (previous /
+    next observation) run over the tiny rolled-up grid.  State per
+    window is one row; the only data-scale shuffle is the initial
+    aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.posexplode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("idx", "hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(hourly, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        "idx",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("idx")), ignorenulls=True)
+        .over(wp)
+        .alias("pi"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("idx")), ignorenulls=True)
+        .over(wn)
+        .alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pi")) * F.lit(1.0) / (F.col("ni") - F.col("pi"))
+    )
+    value = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return j.select(
+        F.date_format("hour", _FMT).alias("hour"),
+        "event_type",
+        F.col("v").isNull().alias("filled"),
+        (F.round(value, 6) + F.lit(0.0)).alias("value_interp"),
+    )

@@ -1802,3 +1802,162 @@ def order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 longs ≈ 8 KB; ~1% fp at ~3k keys, k=2
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-filter join: revenue of orders placed by
+    BUILDING-segment customers in low-key nations, where the fact scan is
+    pre-filtered by an 8 KB Bloom filter built from the dimension's keys
+    before the exact join runs.
+
+    This is the runtime-filter pattern Spark itself applies in
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` (and engines like
+    Trino/Snowflake apply as "dynamic filters"), made explicit as an
+    operator:
+    1. one small job aggregates the qualifying customer keys' k=2 xxhash64
+       bit positions (distinct positions only — a few thousand longs);
+    2. the driver packs them into a 1024-word bitmap shipped back as a
+       one-row broadcast frame (~8 KB: constant size regardless of fact
+       scale, unlike a broadcast hash join's full key set);
+    3. the fact table filters rows through the bitmap (two shifts + ANDs,
+       whole-stage codegen) BEFORE the exact semi join that removes the
+       ~1% false positives.
+
+    Semantics are exactly the plain semi join (oracle = plain SQL IN);
+    the Bloom stage is pure physical optimization.  At 100 TB the value
+    is: when the dimension key set is too large to broadcast, the shuffle
+    of the fact side ships only bloom-surviving rows — the 8 KB bitmap
+    rides the closure to every executor while a shuffle-hash semi join
+    would move the full fact table.  A pytest pins bloom-passed counts
+    strictly between the true match count and the table count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 10)
+    ).select("c_custkey")
+
+    def positions(col: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_BITS)) for seed in (1, 2)
+        ]
+
+    prows = (
+        keys.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in prows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement wrap into signed longs for the Spark literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bmdf = spark.createDataFrame([(words,)], "bm array<bigint>")
+
+    probed = o.join(F.broadcast(bmdf))
+    for i, p in enumerate(positions(F.col("o_custkey"))):
+        probed = probed.withColumn(f"__p{i}", p).withColumn(
+            f"__w{i}", F.element_at(F.col("bm"), (F.col(f"__p{i}") / 64).cast("int") + 1)
+        )
+    bloom_pass = F.expr(
+        "(shiftright(__w0, cast(__p0 % 64 as int)) & 1) = 1 "
+        "AND (shiftright(__w1, cast(__p1 % 64 as int)) & 1) = 1"
+    )
+    return (
+        probed.where(bloom_pass)
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+        # exact semi join kills the Bloom's false positives
+        .join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def bloom_prefilter_counts(spark: SparkSession, sf_dir: str):
+    """Diagnostic companion to :func:`bloom_filter_join` used by the
+    pytest pin: returns (total_orders, bloom_passed, true_matches)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 10)
+    ).select("c_custkey")
+    total = o.count()
+    true_matches = o.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "semi"
+    ).count()
+    # reuse the registered query's bitmap by re-deriving it
+    prows = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(_BLOOM_BITS))
+                        for s in (1, 2)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in prows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bmdf = spark.createDataFrame([(words,)], "bm array<bigint>")
+    probed = o.join(F.broadcast(bmdf))
+    for i, seed in enumerate((1, 2)):
+        pcol = F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(seed)), F.lit(_BLOOM_BITS))
+        probed = probed.withColumn(f"__p{i}", pcol).withColumn(
+            f"__w{i}", F.element_at(F.col("bm"), (F.col(f"__p{i}") / 64).cast("int") + 1)
+        )
+    bloom_passed = probed.where(
+        F.expr(
+            "(shiftright(__w0, cast(__p0 % 64 as int)) & 1) = 1 "
+            "AND (shiftright(__w1, cast(__p1 % 64 as int)) & 1) = 1"
+        )
+    ).count()
+    return total, bloom_passed, true_matches
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group customers by the
+    (c_mktsegment, c_nationkey) quasi-identifier tuple and report, per
+    segment, how many equivalence classes fall below k=10 members and how
+    many individuals sit in those re-identifiable classes — the
+    release-gate check privacy-aware data publishing runs before sharing
+    "anonymized" extracts (Sweeney, IJUFKS 2002).
+
+    Scale: two cascaded aggregations, each keyed on a tiny domain
+    (segment × nation, then segment) — map-side partials everywhere; the
+    quasi-identifier grouping is the only data-scale shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k = 10
+    classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_classes"),
+            F.min("class_size").alias("min_class_size"),
+            F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("n_customers_at_risk"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1002,3 +1002,40 @@ def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, K=5 docs per language,
+    weight = n_chars — Efraimidis–Spirakis A-Res with a *deterministic
+    random tape*: u_i comes from a multiplicative hash of doc_id instead
+    of an RNG, so reruns and backfills select identical rows (the same
+    reproducibility contract as reservoir_sample_per_key, extended to
+    weighted draws).
+
+    A-Res keeps the K items with the largest key u_i^(1/w_i); ranking by
+    ln(u_i)/w_i is the monotone-equivalent form that both engines
+    evaluate identically (single ln + divide on exact rational inputs;
+    the key is rounded to 12 dp before ranking with a doc_id tiebreak to
+    absorb any last-ulp libm divergence).
+
+    Scale: per-row key computation (no RNG state, no driver), then ONE
+    hash exchange on lang + a per-group top-K window holding K rows of
+    state — the distributed weighted reservoir.  Larger-weight documents
+    are proportionally likelier to be drawn, the property token-budgeted
+    corpus subsampling needs (sampling documents uniformly under-samples
+    long documents' tokens).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # u in (0, 1): (h+1) / (MOD+1), h = doc_id*PRIME mod MOD in [0, MOD)
+    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
+    key = F.round(F.log((h + 1) / F.lit(2147483648.0)) / F.col("n_chars"), 12)
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )

@@ -455,6 +455,22 @@ register(
     """,
 )
 
+register(
+    "prefix_filter_jaccard_pairs",
+    dedup.prefix_filter_jaccard_pairs,
+    # Exact algorithm (prefix filtering is lossless for J >= t), so the
+    # oracle is the same as the exact baseline's.
+    _SHINGLES_CTE
+    + """
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+)
+
 # sketch-based dedup: xxhash64 permutations are not expressible in DuckDB —
 # rows-only checks; pytest pins minhash_lsh_pairs == ngram_jaccard_pairs.
 register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, None)
@@ -1790,6 +1806,56 @@ register(
 )
 
 register(
+    "interpolate_linear_events",
+    events.interpolate_linear_events,
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS hour
+    ), grid AS (
+        SELECT s.hour,
+               date_diff('hour', (SELECT lo FROM bounds), s.hour) AS idx,
+               t.event_type
+        FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), wnd AS (
+        SELECT g.hour, g.event_type, g.idx, h.v,
+               last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN h.v IS NOT NULL THEN g.idx END IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+               first_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN h.v IS NOT NULL THEN g.idx END IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        FROM grid g LEFT JOIN hourly h
+          ON g.hour = h.hour AND g.event_type = h.event_type
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           v IS NULL AS filled,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((idx - pi) * 1.0 / (ni - pi))
+                 END, 6) + 0.0 AS value_interp
+    FROM wnd
+    """,
+)
+
+register(
     "systematic_weighted_sample",
     text.systematic_weighted_sample,
     """
@@ -1986,6 +2052,42 @@ register(
 )
 
 register(
+    "weighted_reservoir_docs",
+    text.weighted_reservoir_docs,
+    """
+    SELECT lang, rk, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY round(ln(((doc_id * 2654435761) % 2147483647 + 1)
+                                     / 2147483648.0) / n_chars, 12) DESC,
+                            doc_id ASC
+               ) AS rk
+        FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+
+register(
+    "bloom_filter_join",
+    relational.bloom_filter_join,
+    # Semantics = plain semi join; the Bloom stage is physical-only, so
+    # the oracle carries no bloom.
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_MONEY_SUM.format(col="o_totalprice")} AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 10
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+register(
     "training_manifest",
     text.training_manifest,
     rf"""
@@ -2111,6 +2213,65 @@ register(
                  / COUNT(*), 6) + 0.0 AS conversion_rate,
            CAST(SUM(purch_value) AS DOUBLE) AS total_purchase_value
     FROM pu GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+register(
+    "k_anonymity_audit",
+    relational.k_anonymity_audit,
+    """
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_classes,
+           MIN(class_size) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_customers_at_risk
+    FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "cuped_adjusted_lift",
+    events.cuped_adjusted_lift,
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS bucket,
+               CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+               SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        FROM pu
+    ), b AS (
+        SELECT bucket, COUNT(*) AS n_users,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sxb,
+               SUM(CAST(y AS DECIMAL(38,0))) AS syb
+        FROM pu GROUP BY bucket
+    )
+    SELECT bucket, n_users,
+           round(CAST(syb AS DOUBLE) / n_users, 6) + 0.0
+               AS mean_purchase_cents,
+           round(CAST(syb AS DOUBLE) / n_users
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(sxb AS DOUBLE) / n_users
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+               AS cuped_adj_purchase_cents
+    FROM b, g ORDER BY bucket
     """,
 )
 

@@ -95,6 +95,12 @@ EMPTY_OK_ZERO_ROWS = [
     "order_revenue_reconciliation",
     "rolling_weekly_active_users",
     "user_feature_store",
+    "prefix_filter_jaccard_pairs",
+    "bloom_filter_join",
+    "weighted_reservoir_docs",
+    "cuped_adjusted_lift",
+    "k_anonymity_audit",
+    "interpolate_linear_events",
 ]
 
 

@@ -623,3 +623,45 @@ def test_int8_quantized_topk_overlap_and_determinism(spark, qs):
         len(q_exact[k] & q_quant[k]) / 5.0 for k in q_exact
     ]
     assert sum(overlaps) / len(overlaps) >= 0.6, overlaps
+
+
+def test_prefix_filter_jaccard_equals_exact(spark, qs):
+    """Prefix filtering is LOSSLESS for J >= t (any qualifying pair must
+    share a rare-first prefix shingle): the PPJoin-style query must
+    produce exactly the exact baseline's pairs, and its candidate join
+    must be an equi-join (no cartesian)."""
+    exact = sorted(tuple(r) for r in qs["ngram_jaccard_pairs"](spark, SF).collect())
+    df = qs["prefix_filter_jaccard_pairs"](spark, SF)
+    pf = sorted(tuple(r) for r in df.collect())
+    assert len(exact) > 0
+    assert pf == exact
+    from mini_pandas_spark import plans
+
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_bounds(spark):
+    """The Bloom stage must pass every true match (no false negatives —
+    a Bloom filter's defining guarantee) while pruning most of the fact
+    table before the exact join."""
+    from mini_pandas_spark.operators.relational import bloom_prefilter_counts
+
+    total, bloom_passed, true_matches = bloom_prefilter_counts(spark, SF)
+    assert true_matches <= bloom_passed  # zero false negatives
+    assert bloom_passed < total * 0.2  # real pruning (8 KB filter)
+
+
+def test_weighted_reservoir_bias(spark, qs):
+    """Efraimidis-Spirakis keys must favor heavier (longer) documents:
+    the sampled docs' mean n_chars should exceed the corpus mean."""
+    rows = qs["weighted_reservoir_docs"](spark, SF).collect()
+    assert len(rows) > 0
+    from mini_pandas_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, SF, "documents").where(F.col("n_chars") > 0)
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
