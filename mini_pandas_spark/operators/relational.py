@@ -1961,3 +1961,91 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition planner: split ``o_totalprice`` into 16
+    buckets of ~equal row count and report each bucket's row count and
+    exact [lo, hi] cent bounds — the boundary table a 100 TB
+    ``repartitionByRange`` / range-bucketed layout is driven by (Spark
+    samples to estimate these; this is the exact version).
+
+    Scalable formulation: NO global sort/ntile (a single-partition window
+    over the fact table is the classic scale-killer).  The fact table
+    first aggregates to (distinct value -> count) — orders of magnitude
+    smaller — then ONE tiny window over the distinct values assigns
+    ``bucket = floor(cum_rows_before * B / n)``.  Ties never straddle a
+    bucket (a property ntile cannot give), so the assignment is
+    deterministic under any parallelism.
+    """
+    b = 16
+    o = load_table(spark, sf_dir, "orders")
+    vals = (
+        o.select(cents("o_totalprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    assigned = (
+        vals.join(F.broadcast(tot))
+        .withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("cum_before") * F.lit(b) / F.col("n")).cast("int"),
+        )
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily order-revenue series:
+    cusum_i = Σ_{j<=i} x_j − i·μ (cumulative deviation from the global
+    mean), with days flagged where |cusum| exceeds 2σ·√n — the classic
+    drift detector for metric monitoring (Page, Biometrika 1954).
+
+    Determinism: the running sum is EXACT integer cents (order-fixed
+    window over unique dates); μ and σ come from exact global moments
+    (Σx, Σx² as DECIMAL(38,0)) with the same double expression tree in
+    the oracle — no float accumulation anywhere.
+
+    Scale: the fact table aggregates to the daily grain first (the only
+    data-scale shuffle); the CUSUM window runs over O(days) rows.  The
+    single-partition window over days is bounded by the calendar, not
+    the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    glob = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("day")
+    mu = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mu * mu
+    joined = (
+        daily.join(F.broadcast(glob))
+        .withColumn("run", F.sum("x").over(w))
+        .withColumn("i", F.row_number().over(wi).cast("bigint"))
+    )
+    cusum = F.col("run").cast("double") - F.col("i") * mu
+    thresh = F.lit(2.0) * F.sqrt(var) * F.sqrt(F.col("n").cast("double"))
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("rev_cents"),
+        (F.round(cusum, 4) + F.lit(0.0)).alias("cusum"),
+        (F.abs(cusum) > thresh).alias("drift_flag"),
+    ).orderBy("day")

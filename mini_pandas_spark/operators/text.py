@@ -1039,3 +1039,81 @@ def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rk", "doc_id", "n_chars")
         .orderBy("lang", "rk")
     )
+
+
+def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build (the search-engine primitive):
+    per token, document frequency, total term frequency, and the first
+    10 postings (ascending doc_ids) — reported for the 50
+    highest-df tokens.
+
+    Scale: explode → (token, doc) partial counts → token rollup; both
+    aggregations get map-side combine, and the posting arrays are
+    BOUNDED (slice 10) so no group's state grows with corpus size.  At
+    100 TB the full posting lists would write out partitioned by token
+    range instead of truncating — the shuffle shape is identical.
+    Determinism: collect_list order is nondeterministic, so postings are
+    sort_array'd before slicing; top-50 carries the token tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    per_token = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        per_token.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 50)
+        .select("rk", "token", "df", "total_tf", "postings")
+        .orderBy("rk")
+    )
+
+
+def ses_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α=0.3) over each source's daily
+    document-character volume: an ORDERED-fold aggregate — state s_t =
+    α·x_t + (1−α)·s_{t−1} — expressed as a higher-order-function
+    ``aggregate`` over a date-sorted array, entirely JVM-side.
+
+    This pins the engine's ability to run inherently sequential per-key
+    recurrences without Python: collect the (small) per-key series into
+    a sorted array, fold with ``F.aggregate``.  Scale: the fold state is
+    one double per key and the array is O(days) per key — bounded by the
+    calendar; the data-scale work is the daily pre-aggregation.
+    Determinism: identical left-to-right fold (DuckDB ``list_reduce``
+    seeds from the first element exactly like the slice+init form here).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # synthesize a per-source "day" from doc_id so the series is dense and
+    # deterministic (documents carry no timestamp column)
+    day = (F.col("doc_id") % 30).cast("int")
+    daily = (
+        d.groupBy("source", day.alias("day"))
+        .agg(F.sum("n_chars").alias("x"))
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("day").alias("day"), F.col("x").cast("double").alias("x"))
+        )
+    )
+    xs = F.transform(arr, lambda s: s.getField("x"))
+    alpha = 0.3
+    ses = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return (
+        daily.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.round(ses, 6) + F.lit(0.0)).alias("ses_forecast"),
+        )
+        .select("source", "n_days", "ses_forecast")
+        .orderBy("source")
+    )

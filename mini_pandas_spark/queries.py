@@ -2217,6 +2217,100 @@ register(
 )
 
 register(
+    "range_partition_planner",
+    relational.range_partition_planner,
+    """
+    WITH vals AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+    a AS (
+        SELECT v, cnt,
+               COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS cum_before
+        FROM vals
+    )
+    SELECT CAST(FLOOR(cum_before * 16 / n) AS INT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MIN(v) AS lo_cents,
+           MAX(v) AS hi_cents
+    FROM a, tot GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "cusum_changepoints",
+    relational.cusum_changepoints,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM daily
+    ), wnd AS (
+        SELECT day, x,
+               CAST(SUM(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS run,
+               ROW_NUMBER() OVER (ORDER BY day) AS i
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           x AS rev_cents,
+           round(CAST(run AS DOUBLE) - i * (CAST(sx AS DOUBLE) / n), 4) + 0.0
+               AS cusum,
+           abs(CAST(run AS DOUBLE) - i * (CAST(sx AS DOUBLE) / n))
+               > 2.0 * sqrt(CAST(sxx AS DOUBLE) / n
+                            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                     * sqrt(CAST(n AS DOUBLE)) AS drift_flag
+    FROM wnd, g ORDER BY day
+    """,
+)
+
+register(
+    "inverted_index_topdf",
+    text.inverted_index_topdf,
+    rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), per_token AS (
+        SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+               (list(doc_id ORDER BY doc_id))[1:10] AS postings
+        FROM per_doc GROUP BY token
+    )
+    SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS rk,
+               token, df, total_tf, postings
+        FROM per_token
+    ) WHERE rk <= 50 ORDER BY rk
+    """,
+)
+
+register(
+    "ses_forecast_revenue",
+    text.ses_forecast_revenue,
+    """
+    WITH daily AS (
+        SELECT source, CAST(doc_id % 30 AS INT) AS day,
+               CAST(SUM(n_chars) AS DOUBLE) AS x
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_days,
+           round(list_reduce(list(x ORDER BY day), (acc, x) -> acc * 0.7 + x * 0.3),
+                 6) + 0.0 AS ses_forecast
+    FROM daily GROUP BY source ORDER BY source
+    """,
+)
+
+register(
     "k_anonymity_audit",
     relational.k_anonymity_audit,
     """

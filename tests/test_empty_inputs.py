@@ -101,6 +101,10 @@ EMPTY_OK_ZERO_ROWS = [
     "cuped_adjusted_lift",
     "k_anonymity_audit",
     "interpolate_linear_events",
+    "range_partition_planner",
+    "cusum_changepoints",
+    "inverted_index_topdf",
+    "ses_forecast_revenue",
 ]
 
 
