@@ -74,6 +74,14 @@ HEADLINE = [
     "token_entropy_by_lang",
     "rolling_weekly_active_users",
     "order_revenue_reconciliation",
+    "prefix_filter_jaccard_pairs",
+    "bloom_filter_join",
+    "weighted_reservoir_docs",
+    "cuped_adjusted_lift",
+    "interpolate_linear_events",
+    "range_partition_planner",
+    "cusum_changepoints",
+    "inverted_index_topdf",
 ]
 
 

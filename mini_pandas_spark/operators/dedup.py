@@ -654,45 +654,61 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash, and unlike those it is *exact* (no recall loss).  Shuffles:
     one groupBy for document frequency, one prefix self-join on rare keys
     (AQE skew split on), one verify join over candidates only.
+
+    Plan economy: the per-doc distinct shingle ARRAY is built narrowly
+    (shingles() on the token array — no explode+distinct shuffle, no
+    collect_set re-shuffle) and persisted; only the global
+    document-frequency count and the prefix ranking touch exploded rows
+    (the irreducible shuffles — df is a global property).  Verification
+    intersects the two per-doc arrays (array_intersect on strings —
+    exact), the never-touch-the-text-again shape of minhash_lsh_pairs.
     """
     t = 0.8
-    sh = _shingle_table(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    wsz = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(wdoc))
-        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+    d = load_table(spark, sf_dir, "documents")
+    docsets = (
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
+        .select("doc_id", shingles(F.col("__ts")).alias("ss"))
+        .withColumn("sz", F.size("ss"))
+        .persist()
     )
-    prefix = ranked.where(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
-    ).select("doc_id", "shingle")
+    # Candidate generation runs on 8-byte xxhash64 shingle keys (the
+    # global order (df asc, hash asc) is still a total order, and any
+    # order is valid for prefix filtering) — shuffled bytes drop ~3×
+    # vs raw ~25-char shingle strings.  A cross-shingle hash collision
+    # (~|shingles|²/2⁶⁴ ≈ 1e-8 here) could only ADD a candidate, which
+    # exact verification removes.
+    exploded = docsets.select(
+        "doc_id", "sz", F.explode("ss").alias("shingle")
+    ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix = (
+        exploded.join(freq, "h")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
+        .select("doc_id", "h")
+    )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"), F.col("sz").alias("sz_a")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b")))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= t)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
     )
