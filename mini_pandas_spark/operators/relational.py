@@ -2049,3 +2049,66 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cusum, 4) + F.lit(0.0)).alias("cusum"),
         (F.abs(cusum) > thresh).alias("drift_flag"),
     ).orderBy("day")
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts are nodes;
+    an edge = two parts bought together in ≥2 distinct orders) — the
+    graph-analytics cohesion metric, computed with the degree-oriented
+    wedge join (Suri & Vassilvitskii, WWW'11 "MapReduce clustering
+    coefficient"): orient every undirected edge from its (degree, id)-
+    smaller endpoint, join wedges (u→v, u→w) against oriented edges
+    (v→w) so each triangle is counted exactly once AND the wedge
+    fan-out is bounded by the smaller degree — high-degree hubs never
+    expand quadratically, the property that keeps the join feasible on a
+    100 TB co-occurrence graph.
+
+    Output: one row (n_nodes, n_edges, n_triangles).  Oracle: the same
+    count via the a<b<c closed-wedge join on the undirected edge set
+    (orientation changes the join cost, never the count).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = pairs.filter(F.col("cnt") >= 2).select("pa", "pb")
+    nodes = edges.select(F.col("pa").alias("node")).union(
+        edges.select(F.col("pb").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # orientation key: (degree, id) — a total order; 1e7 > max partkey
+    withdeg = (
+        edges.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+        .withColumn("ka", F.col("da") * F.lit(10_000_000) + F.col("pa"))
+        .withColumn("kb", F.col("db") * F.lit(10_000_000) + F.col("pb"))
+    )
+    oriented = withdeg.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v"), F.col("kv"))
+    wedges = (
+        e1.alias("x")
+        .join(e1.alias("y"), (F.col("x.u") == F.col("y.u")) & (F.col("x.kv") < F.col("y.kv")))
+        .select(F.col("x.v").alias("wv"), F.col("y.v").alias("ww"))
+    )
+    closing = oriented.select(F.col("u").alias("wv"), F.col("v").alias("ww"))
+    # one declarative plan: three 1-row aggregates stitched by broadcast —
+    # no driver-side counts
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(
+            F.broadcast(
+                wedges.join(closing, ["wv", "ww"]).agg(
+                    F.count(F.lit(1)).alias("n_triangles")
+                )
+            )
+        )
+    )

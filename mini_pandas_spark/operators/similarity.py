@@ -731,3 +731,61 @@ def int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "qsim", "rk")
     )
+
+
+TRUNC_DIM = 16
+
+
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al.,
+    NeurIPS'22): per query, how many of the exact top-5 cosine neighbors
+    survive when embeddings are truncated to their first 16 of 64
+    dimensions — the measurement that decides whether a cheap
+    truncated-vector index can front the full-dimension ranker.
+
+    Plan shape: ONE pass over the corpus scores BOTH similarities (full
+    and truncated arrays are precomputed as columns — never sliced
+    inside the per-element lambda, the Catalyst duplication pitfall);
+    the two rank windows share the query_id exchange; the overlap is a
+    tiny per-query aggregate.  Scale: same broadcast-query /
+    stream-corpus-once shape as cosine_topk — at 100 TB the truncated
+    pass would run against a 4× smaller index file.
+    """
+    vec = _vectors(spark, sf_dir)
+    both = (
+        vec.withColumn("vt", F.slice("v", 1, TRUNC_DIM))
+        .withColumn("nf", F.sqrt(sq_norm(F.col("v"))))
+        .withColumn("nt", F.sqrt(sq_norm(F.col("vt"))))
+    )
+    q = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qt"),
+        F.col("nf").alias("qnf"),
+        F.col("nt").alias("qnt"),
+    )
+    scored = (
+        both.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnf") * F.col("nf")), 6).alias("sf_"),
+            F.round(dot(F.col("qt"), F.col("vt")) / (F.col("qnt") * F.col("nt")), 6).alias("st_"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("sf_").desc(), F.col("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.col("st_").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rkf", F.row_number().over(wf))
+        .withColumn("rkt", F.row_number().over(wt))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rkf") <= TOP_K) & (F.col("rkt") <= TOP_K), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_common")
+        )
+        .orderBy("query_id")
+    )

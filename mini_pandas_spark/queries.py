@@ -2217,6 +2217,56 @@ register(
 )
 
 register(
+    "matryoshka_overlap",
+    similarity.matryoshka_overlap,
+    _VEC_CTE
+    + """
+    , vv AS (SELECT vec_id, ve, ve[1:16] AS vt FROM v),
+    q AS (SELECT vec_id AS query_id, ve AS qv, vt AS qt FROM vv WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_dot_product(qv, ve)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))),
+                     6) AS sf_,
+               round(list_dot_product(qt, vt)
+                     / (sqrt(list_dot_product(qt, qt)) * sqrt(list_dot_product(vt, vt))),
+                     6) AS st_
+        FROM vv CROSS JOIN q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sf_ DESC, neighbor_id) AS rkf,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY st_ DESC, neighbor_id) AS rkt
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rkf <= 5 AND rkt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common
+    FROM ranked GROUP BY query_id ORDER BY query_id
+    """,
+)
+
+register(
+    "triangle_count_copurchase",
+    relational.triangle_count_copurchase,
+    """
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    ), edges AS (SELECT pa, pb FROM pairs WHERE cnt >= 2),
+    nodes AS (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+    SELECT (SELECT COUNT(DISTINCT node) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM edges e1
+              JOIN edges e2 ON e1.pb = e2.pa
+              JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+    """,
+)
+
+register(
     "range_partition_planner",
     relational.range_partition_planner,
     """

@@ -105,6 +105,8 @@ EMPTY_OK_ZERO_ROWS = [
     "cusum_changepoints",
     "inverted_index_topdf",
     "ses_forecast_revenue",
+    "matryoshka_overlap",
+    "triangle_count_copurchase",
 ]
 
 
