@@ -1427,3 +1427,56 @@ def interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("filled"),
         (F.round(value, 6) + F.lit(0.0)).alias("value_interp"),
     )
+
+
+def ks_statistic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the control and
+    treatment buckets' purchase-value distributions: D = max |F₁(v) −
+    F₂(v)| over the pooled value grid — the nonparametric
+    did-the-experiment-shift-the-distribution test (metric means can
+    agree while shapes diverge).
+
+    Implementation: purchase values in exact cents aggregate to
+    (value → per-bucket counts); running-sum windows over the distinct
+    value grid build both empirical CDFs in ONE pass (the sorted-merge
+    formulation); D is a max — associative and order-free, so the
+    result is deterministic despite double CDF values.  Scale: the
+    window runs over distinct values, not raw events; the raw scan
+    aggregates first.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    pv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(cents("value").alias("v"), bucket.alias("bucket"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("bucket") == "control", 1).otherwise(0))
+            .cast("long")
+            .alias("c_ctrl"),
+            F.sum(F.when(F.col("bucket") == "treatment", 1).otherwise(0))
+            .cast("long")
+            .alias("c_trt"),
+        )
+    )
+    tot = pv.agg(
+        F.sum("c_ctrl").alias("n_ctrl"), F.sum("c_trt").alias("n_trt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdfs = (
+        pv.join(F.broadcast(tot))
+        .withColumn("cum_ctrl", F.sum("c_ctrl").over(w))
+        .withColumn("cum_trt", F.sum("c_trt").over(w))
+    )
+    gap = F.abs(
+        F.col("cum_ctrl").cast("double") / F.col("n_ctrl")
+        - F.col("cum_trt").cast("double") / F.col("n_trt")
+    )
+    return cdfs.groupBy("n_ctrl", "n_trt").agg(
+        (F.round(F.max(gap), 6) + F.lit(0.0)).alias("ks_stat")
+    )

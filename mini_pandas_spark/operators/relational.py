@@ -2112,3 +2112,151 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchases: for every
+    part, the top-3 recommended parts by co-occurrence cosine
+    sim(i,j) = cooc(i,j) / √(n_i·n_j), on pairs co-bought in ≥2 orders —
+    the classic Amazon-style neighborhood recommender (Linden et al.,
+    IEEE Internet Computing '03).
+
+    Scale: the pair expansion joins per-order DISTINCT part lists (never
+    raw lineitems); the ≥2-support filter is the k=2 Apriori prune that
+    bounds the candidate set; marginal counts broadcast.  Determinism:
+    integer counts, one rounded division, (sim, id) tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    cnt = po.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    cooc = (
+        po.alias("a")
+        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    sym = cooc.union(
+        cooc.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cooc")
+    )
+    joined = (
+        sym.join(cnt.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(cnt.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb")
+        .withColumn(
+            "sim",
+            F.round(F.col("cooc") / F.sqrt(F.col("na") * F.col("nb")), 6),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("sim").desc(), F.col("pb").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("pa").alias("part"),
+            "rk",
+            F.col("pb").alias("rec_part"),
+            "sim",
+        )
+        .orderBy("part", "rk")
+    )
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the order–part bipartite graph:
+    score(i,j) = Σ_{shared orders o} 1/ln(|o|) — shared SMALL baskets
+    are stronger evidence of affinity than shared huge ones (Adamic &
+    Adar, Social Networks 2003).  Top-20 predicted links.
+
+    Determinism: each order's 1/ln weight is rounded to 9 dp and summed
+    as DECIMAL(18,9) — exact and order-free — because a plain double sum
+    over shuffled partitions is run-to-run nondeterministic.  Scale:
+    weights attach to the per-order part lists before the pair
+    expansion; orders with one part contribute nothing and drop early.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    osz = po.groupBy("o").agg(F.count(F.lit(1)).alias("sz")).filter(F.col("sz") >= 2)
+    wpo = po.join(osz, "o").withColumn(
+        "wt", F.round(F.lit(1.0) / F.log(F.col("sz")), 9).cast("decimal(18,9)")
+    )
+    aa = (
+        wpo.alias("a")
+        .join(
+            wpo.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(F.sum(F.col("a.wt")).cast("double"), 6).alias("aa_score"),
+        )
+    )
+    w = Window.orderBy(F.col("aa_score").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return (
+        aa.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 20)
+        .select("rk", "pa", "pb", "n_shared", "aa_score")
+        .orderBy("rk")
+    )
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift bins: order prices of the LAST
+    order-year vs all prior years, binned by global price deciles, with
+    the per-bin PSI term (p−q)·ln(p/q) (Laplace-smoothed) — the ML
+    monitoring metric for "did the serving distribution drift from
+    training?".
+
+    Scale: decile boundaries come from the same value-level cumulative
+    trick as range_partition_planner (no global row sort); everything
+    else is two tiny aggregations.  Determinism: integer bin counts,
+    smoothed ratios and ln on a fixed expression tree, per-bin values
+    only (a float total would sum in nondeterministic order; consumers
+    can decimal-sum the rounded terms).
+    """
+    b = 10
+    o = load_table(spark, sf_dir, "orders")
+    priced = o.select(
+        cents("o_totalprice").alias("v"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    maxy = priced.agg(F.max("yr").alias("maxy"))
+    vals = priced.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    buckets = (
+        vals.join(F.broadcast(tot))
+        .withColumn("cum_before", F.coalesce(F.sum("cnt").over(wv), F.lit(0)))
+        .withColumn(
+            "bucket", F.floor(F.col("cum_before") * F.lit(b) / F.col("n")).cast("int")
+        )
+        .select("v", "bucket")
+    )
+    binned = (
+        priced.join(F.broadcast(maxy))
+        .join(buckets, "v")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("yr") < F.col("maxy"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_early"),
+            F.sum(F.when(F.col("yr") == F.col("maxy"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+    )
+    totals = binned.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    p = (F.col("n_early") + 1).cast("double") / (F.col("te") + b).cast("double")
+    q = (F.col("n_late") + 1).cast("double") / (F.col("tl") + b).cast("double")
+    return (
+        binned.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_early",
+            "n_late",
+            (F.round((p - q) * F.log(p / q), 8) + F.lit(0.0)).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -2217,6 +2217,135 @@ register(
 )
 
 register(
+    "item_item_recs",
+    relational.item_item_recs,
+    """
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    cnt AS (SELECT p, COUNT(*) AS n FROM po GROUP BY p),
+    cooc AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cooc
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT pa, pb, cooc FROM cooc
+            UNION ALL SELECT pb, pa, cooc FROM cooc),
+    j AS (
+        SELECT s.pa, s.pb, round(s.cooc / sqrt(ca.n * cb.n), 6) AS sim
+        FROM sym s JOIN cnt ca ON s.pa = ca.p JOIN cnt cb ON s.pb = cb.p
+    )
+    SELECT pa AS part, rk, pb AS rec_part, sim FROM (
+        SELECT pa, pb, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY pa
+                   ORDER BY sim DESC, pb ASC) AS BIGINT) AS rk
+        FROM j
+    ) WHERE rk <= 3 ORDER BY part, rk
+    """,
+)
+
+register(
+    "adamic_adar_links",
+    relational.adamic_adar_links,
+    """
+    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    osz AS (SELECT o, COUNT(*) AS sz FROM po GROUP BY o HAVING COUNT(*) >= 2),
+    wpo AS (
+        SELECT po.o, po.p,
+               CAST(round(1.0 / ln(sz), 9) AS DECIMAL(18,9)) AS wt
+        FROM po JOIN osz ON po.o = osz.o
+    ),
+    aa AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_shared,
+               round(CAST(SUM(a.wt) AS DOUBLE), 6) AS aa_score
+        FROM wpo a JOIN wpo b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT rk, pa, pb, n_shared, aa_score FROM (
+        SELECT pa, pb, n_shared, aa_score,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY aa_score DESC, pa ASC, pb ASC) AS BIGINT) AS rk
+        FROM aa
+    ) WHERE rk <= 20 ORDER BY rk
+    """,
+)
+
+register(
+    "psi_price_drift",
+    relational.psi_price_drift,
+    """
+    WITH priced AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               year(o_orderdate) AS yr
+        FROM orders
+    ),
+    maxy AS (SELECT MAX(yr) AS maxy FROM priced),
+    vals AS (SELECT v, COUNT(*) AS cnt FROM priced GROUP BY v),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+    buckets AS (
+        SELECT v,
+               CAST(FLOOR(COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) * 10 / n) AS INT) AS bucket
+        FROM vals, tot
+    ),
+    binned AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN yr < maxy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_early,
+               CAST(SUM(CASE WHEN yr = maxy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late
+        FROM priced CROSS JOIN maxy JOIN buckets ON priced.v = buckets.v
+        GROUP BY bucket
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+               CAST(SUM(n_late) AS BIGINT) AS tl
+        FROM binned
+    )
+    SELECT bucket, n_early, n_late,
+           round((CAST(n_early + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE)
+                  - CAST(n_late + 1 AS DOUBLE) / CAST(tl + 10 AS DOUBLE))
+                 * ln((CAST(n_early + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE))
+                      / (CAST(n_late + 1 AS DOUBLE) / CAST(tl + 10 AS DOUBLE))),
+                 8) + 0.0 AS psi_term
+    FROM binned CROSS JOIN totals ORDER BY bucket
+    """,
+)
+
+register(
+    "ks_statistic_values",
+    events.ks_statistic_values,
+    """
+    WITH pv AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_ctrl,
+               CAST(SUM(CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+                        THEN 0 ELSE 1 END) AS BIGINT) AS c_trt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_ctrl) AS BIGINT) AS n_ctrl,
+               CAST(SUM(c_trt) AS BIGINT) AS n_trt
+        FROM pv
+    ),
+    cdfs AS (
+        SELECT v,
+               CAST(SUM(c_ctrl) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_ctrl,
+               CAST(SUM(c_trt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_trt
+        FROM pv
+    )
+    SELECT n_ctrl, n_trt,
+           round(MAX(abs(CAST(cum_ctrl AS DOUBLE) / n_ctrl
+                         - CAST(cum_trt AS DOUBLE) / n_trt)), 6) + 0.0 AS ks_stat
+    FROM cdfs CROSS JOIN tot GROUP BY n_ctrl, n_trt
+    """,
+)
+
+register(
     "matryoshka_overlap",
     similarity.matryoshka_overlap,
     _VEC_CTE

@@ -107,6 +107,10 @@ EMPTY_OK_ZERO_ROWS = [
     "ses_forecast_revenue",
     "matryoshka_overlap",
     "triangle_count_copurchase",
+    "item_item_recs",
+    "adamic_adar_links",
+    "psi_price_drift",
+    "ks_statistic_values",
 ]
 
 
