@@ -1117,3 +1117,115 @@ def ses_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_days", "ses_forecast")
         .orderBy("source")
     )
+
+
+def geo_mean_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom vectorized AGGREGATE (pandas_udf GROUPED_AGG — the one UDF
+    flavor the rest of the registry didn't exercise): per-language
+    geometric mean of (1 + n_chars), computed inside an Arrow-batched
+    Python aggregate that receives each group's values as one Series.
+
+    Determinism contract for float UDAFs: the group's log values are
+    SORTED and folded sequentially left-to-right — bit-identical to the
+    oracle's ``list_reduce(list(... ORDER BY ...))`` — because both
+    numpy pairwise summation and unsorted input would drift in the last
+    bits across partitionings.  Scale: GROUPED_AGG ships each group
+    through Arrow once; group count is |langs|, group size is bounded by
+    the per-lang corpus — for unbounded groups, switch to the two-level
+    exact-decimal log-sum the built-in aggregates use.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo(v):
+        # self-contained: imports inside (driver cwd unknown on workers)
+        import math
+
+        import numpy as np
+
+        # ln(1+x) — NOT log1p: the oracle's ln(1 + n_chars) must see the
+        # bit-identical function on both engines
+        xs = np.sort(np.log(1.0 + v.to_numpy(dtype="float64")))
+        acc = 0.0
+        for x in xs:
+            acc += float(x)
+        return float(math.exp(acc / len(xs)))
+
+    # `from __future__ import annotations` stringifies inline hints, which
+    # pandas_udf's inference rejects — attach real type objects instead
+    # (Series -> scalar == GROUPED_AGG)
+    _geo.__annotations__ = {"v": pd.Series, "return": float}
+    geo_mean = pandas_udf(_geo, "double")
+
+    d = load_table(spark, sf_dir, "documents")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() — the count comes from a second (tiny)
+    # aggregation joined on the 5-row lang key
+    gm = d.groupBy("lang").agg(
+        (F.round(geo_mean(F.col("n_chars")), 6) + F.lit(0.0)).alias("geo_mean_chars")
+    )
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return cnt.join(gm, "lang").select("lang", "n_docs", "geo_mean_chars").orderBy("lang")
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup diagnostics report: per source, document count, distinct
+    content count (md5 groups), duplicate count and duplicate rate — the
+    per-domain health metric a corpus-curation run publishes so skewed
+    crawl domains (boilerplate mills) surface immediately.
+
+    Scale: one fixed-width-key aggregation per level, both map-side
+    combined; never groups on raw text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_content = d.groupBy("source", F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_content.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_dupes"),
+            (
+                F.round(
+                    (F.sum("n") - F.count(F.lit(1))) * F.lit(1.0) / F.sum("n"), 6
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_lang_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language contamination check: pairs of documents sharing
+    the same 120-character-prefix fingerprint but carrying DIFFERENT
+    ``lang`` labels — shared boilerplate headers / mislabeled-language
+    duplicates that survive per-language dedup and poison
+    language-balanced sampling (prefix fingerprints catch template dups
+    that whole-content hashing misses).
+
+    Scale: self-join on a fixed-width md5 key with the lang-inequality
+    in the join condition — fingerprint clusters are tiny, so the
+    per-key expansion is bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.md5(F.substring("text", 1, 120)).alias("k"), "doc_id", "lang"
+    )
+    return (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.lang") != F.col("b.lang"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2217,6 +2217,49 @@ register(
 )
 
 register(
+    "geo_mean_value_udaf",
+    text.geo_mean_value_udaf,
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           round(exp(list_reduce(list(ln(1 + n_chars) ORDER BY n_chars),
+                                 (a, b) -> a + b) / COUNT(*)), 6) + 0.0
+               AS geo_mean_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
+register(
+    "dedup_rate_by_source",
+    text.dedup_rate_by_source,
+    """
+    WITH pc AS (
+        SELECT source, md5(text) AS k, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+           round((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) + 0.0 AS dup_rate
+    FROM pc GROUP BY source ORDER BY source
+    """,
+)
+
+register(
+    "cross_lang_dup_pairs",
+    text.cross_lang_dup_pairs,
+    """
+    WITH k AS (
+        SELECT md5(substr(text, 1, 120)) AS k, doc_id, lang FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.lang AS lang_a, b.lang AS lang_b
+    FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id
+    WHERE a.lang <> b.lang ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
     "item_item_recs",
     relational.item_item_recs,
     """

@@ -111,6 +111,9 @@ EMPTY_OK_ZERO_ROWS = [
     "adamic_adar_links",
     "psi_price_drift",
     "ks_statistic_values",
+    "geo_mean_value_udaf",
+    "dedup_rate_by_source",
+    "cross_lang_dup_pairs",
 ]
 
 
