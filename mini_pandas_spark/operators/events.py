@@ -1480,3 +1480,65 @@ def ks_statistic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdfs.groupBy("n_ctrl", "n_trt").agg(
         (F.round(F.max(gap), 6) + F.lit(0.0)).alias("ks_stat")
     )
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen month,
+    cumulative purchase revenue per cohort member at each month offset —
+    the LTV triangle finance teams project retention revenue from (the
+    money-dimension companion to cohort_retention's user counts).
+
+    Determinism: week arithmetic is pure integers (epoch-day div 7 — no
+    months_between floats), revenue accumulates as exact cents under an
+    ordered window, and the per-user division is a single rounded op.
+    Scale: one user-keyed first-seen aggregation, a co-partitioned
+    user join, then O(cohorts × offsets) rows for the cumulative
+    window — the raw event volume only feeds the first two exchanges.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        # ISO-Monday-anchored epoch week: pure integer day arithmetic
+        F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-05")) / 7)
+        .cast("long")
+        .alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+            ).alias("rev_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "cohort_users",
+            "cum_cents",
+            (
+                F.round(F.col("cum_cents").cast("double") / F.col("cohort_users"), 4)
+                + F.lit(0.0)
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )

@@ -2260,3 +2260,95 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit shares vs the log10(1+1/d) expectation — the
+    fraud/synthetic-data screen auditors run on financial fact tables
+    (fabricated amounts flunk Benford).
+
+    Determinism: the leading digit comes from the STRING of the exact
+    integer cents (never floating log10, whose boundary cells misbin);
+    shares are single rounded divisions of integer counts.  Scale: one
+    9-key aggregation with map-side combine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1)
+    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            (F.round(F.col("n_orders") / F.col("n"), 6) + F.lit(0.0)).alias("obs_share"),
+            (benford + F.lit(0.0)).alias("benford_share"),
+            (
+                F.round(
+                    F.col("n_orders") / F.col("n")
+                    - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of daily order revenue over the
+    last 120 order days: the MEDIAN of all pairwise slopes — immune to
+    the outlier days that wreck least-squares (Sen, JASA 1968;
+    complements the OLS revenue_trend_regression).
+
+    Determinism: slopes are exact-cents differences over integer day
+    gaps (one double division each); the median picks values at fixed
+    rank positions of the sorted multiset (tie order cannot change the
+    value at a rank) and averages the two middles with the same (a+b)/2
+    tree as the oracle.  Scale: the pair expansion is O(days²) —
+    bounded by the CALENDAR window (120 ⇒ ≤7140 pairs), never by data
+    volume; the raw scan aggregates to the daily grain first.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("y")
+    )
+    maxd = daily.agg(F.max("day").alias("maxd"))
+    recent = (
+        daily.join(F.broadcast(maxd))
+        .withColumn("i", F.datediff("day", "maxd"))
+        .filter(F.col("i") > -120)
+        .select("i", "y")
+    )
+    slopes = (
+        recent.alias("a")
+        .join(recent.alias("b"), F.col("a.i") < F.col("b.i"))
+        .select(
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.i") - F.col("a.i")).cast("double")
+            ).alias("s")
+        )
+    )
+    w = Window.orderBy("s")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    tot = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    k1 = F.floor((F.col("n_pairs") + 1) / 2)
+    k2 = F.floor(F.col("n_pairs") / 2) + 1
+    picked = ranked.join(F.broadcast(tot)).filter(
+        (F.col("rn") == k1) | (F.col("rn") == k2)
+    )
+    ndays = recent.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        picked.groupBy("n_pairs")
+        .agg((F.round(F.sum("s") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("slope_cents_per_day"))
+        .join(F.broadcast(ndays))
+        .select("n_days", "n_pairs", "slope_cents_per_day")
+    )

@@ -2217,6 +2217,99 @@ register(
 )
 
 register(
+    "benford_digit_audit",
+    relational.benford_digit_audit,
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT digit, n_orders,
+           round(n_orders * 1.0 / n, 6) + 0.0 AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) + 0.0
+               AS benford_share,
+           round(n_orders * 1.0 / n
+                 - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) + 0.0
+               AS deviation
+    FROM d CROSS JOIN tot ORDER BY digit
+    """,
+)
+
+register(
+    "theil_sen_trend",
+    relational.theil_sen_trend,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    maxd AS (SELECT MAX(day) AS maxd FROM daily),
+    recent AS (
+        SELECT date_diff('day', maxd, day) AS i, y
+        FROM daily CROSS JOIN maxd
+        WHERE date_diff('day', maxd, day) > -120
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+        FROM recent a JOIN recent b ON a.i < b.i
+    ),
+    tot AS (SELECT COUNT(*) AS n_pairs FROM slopes),
+    ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM slopes),
+    nd AS (SELECT COUNT(*) AS n_days FROM recent),
+    picked AS (
+        SELECT s, n_pairs FROM ranked CROSS JOIN tot
+        WHERE rn = CAST(FLOOR((n_pairs + 1) / 2) AS BIGINT)
+           OR rn = CAST(FLOOR(n_pairs / 2) AS BIGINT) + 1
+    )
+    SELECT n_days, n_pairs,
+           round(SUM(s) / COUNT(*), 6) + 0.0 AS slope_cents_per_day
+    FROM picked CROSS JOIN nd GROUP BY n_days, n_pairs
+    """,
+)
+
+register(
+    "cohort_ltv_curve",
+    events.cohort_ltv_curve,
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value,
+               CAST(FLOOR(date_diff('day', DATE '1970-01-05',
+                                    CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+        FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+    sizes AS (
+        SELECT cohort_wk, COUNT(*) AS cohort_users FROM first GROUP BY cohort_wk
+    ),
+    rev AS (
+        SELECT f.cohort_wk,
+               CAST(e.wk - f.cohort_wk AS BIGINT) AS week_offset,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_cents
+        FROM e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_wk, week_offset, rev_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk
+                   ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT cohort_wk, week_offset, cohort_users, cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / cohort_users, 4) + 0.0
+               AS ltv_cents_per_user
+    FROM cum JOIN sizes USING (cohort_wk)
+    ORDER BY cohort_wk, week_offset
+    """,
+)
+
+register(
     "geo_mean_value_udaf",
     text.geo_mean_value_udaf,
     """

@@ -114,6 +114,9 @@ EMPTY_OK_ZERO_ROWS = [
     "geo_mean_value_udaf",
     "dedup_rate_by_source",
     "cross_lang_dup_pairs",
+    "benford_digit_audit",
+    "theil_sen_trend",
+    "cohort_ltv_curve",
 ]
 
 
