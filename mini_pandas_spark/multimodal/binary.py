@@ -349,3 +349,115 @@ def multimodal_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= EMB_TOP_K)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def byte_histogram_simhash(df: DataFrame) -> DataFrame:
+    """64-bit perceptual-style sketch of a BINARY payload: the payload's
+    rolling 4-byte shingles hash into a 256-bin histogram (a structure-
+    sensitive content feature — no codec needed; single-byte histograms
+    converge for same-alphabet payloads and cannot discriminate), the
+    L1-normalized histogram projects onto 64 fixed pseudo-random
+    hyperplanes, and the sign pattern is the sketch.  Payloads sharing
+    most of their local byte structure (re-encoded duplicates,
+    trivially-edited copies) land within small Hamming distance — the
+    binary-modality analogue of perceptual hashing / ssdeep-style fuzzy
+    hashing, with the projection matrix standing where a DCT would for
+    real images.
+
+    One Arrow-batched pass; the projection matrix is regenerated inside
+    the closure from a fixed PCG64 seed (platform-stable), so the
+    operator ships no state."""
+
+    def sketch(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        proj = rng.standard_normal((256, 64))
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) < 4:
+                    arr = np.pad(arr, (0, 4 - len(arr)))
+                w = (
+                    arr[:-3].astype(np.uint64)
+                    | (arr[1:-2].astype(np.uint64) << np.uint64(8))
+                    | (arr[2:-1].astype(np.uint64) << np.uint64(16))
+                    | (arr[3:].astype(np.uint64) << np.uint64(24))
+                )
+                h = ((w * np.uint64(2654435761)) >> np.uint64(24)) & np.uint64(255)
+                hist = np.bincount(h.astype(np.int64), minlength=256).astype(
+                    np.float64
+                )
+                if hist.sum() > 0:
+                    hist /= hist.sum()
+                signs = (hist @ proj) > 0
+                sim = int((signs.astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                ids.append(int(doc_id))
+                # store as signed int64 (two's complement) for Spark
+                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({"doc_id": ids, "bhash": sims})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        sketch, schema="doc_id long, bhash long"
+    )
+
+
+def phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary payloads by byte-histogram SimHash within
+    Hamming distance ≤ 5: candidates come from the 8×8-bit chunk
+    pigeonhole (distance ≤ 7 ⇒ at least one of 8 chunks equal — an
+    equi-join per chunk, never all-pairs), verified with bit_count(xor)
+    — the image-dedup stage of a multimodal training pipeline, running
+    on payload bytes without any codec.
+
+    Rows-only (hash primitive not in DuckDB); pytest pins determinism
+    and that planted text near-dups surface as payload near-dups.
+    Scale: |docs|×8 chunk rows shuffle instead of all-pairs; chunk-key
+    skew (constant-histogram payloads) splits under AQE.
+    """
+    d = _with_payload(spark, sf_dir)
+    sk = byte_histogram_simhash(d).persist()
+    chunks = sk.select(
+        "doc_id",
+        "bhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("bhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("cv"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "bhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bhash").alias("ha"),
+            F.col("b.bhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 5)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1229,3 +1229,68 @@ def cross_lang_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+BM25_QUERY = ("scan", "column", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza, FnTIR 2009): score
+    every document against a fixed 3-term query with the Okapi BM25
+    function — idf·tf·(k₁+1)/(tf + k₁·(1−b+b·dl/avgdl)) — and return the
+    top 10.  The scoring companion to inverted_index_topdf: together
+    they are a complete minimal search engine over the corpus.
+
+    Determinism: tf/df/dl are exact integer aggregates; avgdl is one
+    double division; each term's partial score is rounded to 9 dp and
+    summed as DECIMAL(18,9) (a 3-double sum would be order-dependent);
+    ranking carries the doc_id tiebreak.  Scale: only rows whose token
+    is IN the query survive the explode (the predicate pushes below the
+    aggregation), so the shuffle is O(matching postings), exactly like
+    scoring against an inverted index; corpus stats ride a 1-row
+    broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * (F.col("dl") / avgdl)
+    )
+    term_score = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 9
+    ).cast("decimal(18,9)")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "token")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score).cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 10)
+        .select("rk", "doc_id", "score", "n_terms_hit")
+        .orderBy("rk")
+    )

@@ -3110,6 +3110,54 @@ register(
 # determinism + neighbor sanity.
 register("multimodal_embedding_ann", _binary.multimodal_embedding_ann, None)
 
+# byte-histogram SimHash: numpy projection matrix not expressible in
+# DuckDB — rows-only; pytest pins determinism + planted-dup recall.
+register("phash_near_dup_images", _binary.phash_near_dup_images, None)
+
+register(
+    "bm25_search",
+    text.bm25_search,
+    r"""
+    WITH dl AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        ) WHERE token IN ('scan', 'column', 'filter')
+        GROUP BY 1, 2
+    ),
+    df_ AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               round(CAST(SUM(CAST(round(
+                   ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+                   * (tf * 2.2e0)
+                   / (tf + 1.2e0 * (0.25e0 + 0.75e0
+                       * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+                   9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df_ ON tf.token = df_.token
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT rk, doc_id, score, n_terms_hit FROM (
+        SELECT doc_id, score, n_terms_hit,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 10 ORDER BY rk
+    """,
+)
+
 register(
     "spend_percentile_ranks",
     relational.spend_percentile_ranks,

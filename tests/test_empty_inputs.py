@@ -117,6 +117,8 @@ EMPTY_OK_ZERO_ROWS = [
     "benford_digit_audit",
     "theil_sen_trend",
     "cohort_ltv_curve",
+    "bm25_search",
+    "phash_near_dup_images",
 ]
 
 

@@ -665,3 +665,27 @@ def test_weighted_reservoir_bias(spark, qs):
     corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_phash_near_dup_deterministic_and_captures_planted(spark, qs):
+    """Byte-structure perceptual hashing must be run-to-run deterministic
+    (seeded projection) and must surface the planted text near-dups as
+    payload near-dups (recall >= 0.9 at this SF; measured 1.0)."""
+    a = sorted(tuple(r) for r in qs["phash_near_dup_images"](spark, SF).collect())
+    b = sorted(tuple(r) for r in qs["phash_near_dup_images"](spark, SF).collect())
+    assert a == b
+    jac = {(r[0], r[1]) for r in qs["ngram_jaccard_pairs"](spark, SF).collect()}
+    pset = {(x, y) for x, y, _ in a}
+    assert len(jac) > 0
+    assert len(jac & pset) / len(jac) >= 0.9
+
+
+def test_bm25_hits_are_query_term_docs(spark, qs):
+    """Every BM25 hit must contain at least one query term, scores must
+    be positive and non-increasing down the ranking."""
+    rows = qs["bm25_search"](spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert all(s > 0 for s in scores)
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
