@@ -2352,3 +2352,67 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ndays))
         .select("n_days", "n_pairs", "slope_cents_per_day")
     )
+
+
+_PR_MASS = 1_000_000_000_000  # 1e12 integer mass units per node
+_PR_BASE = 150_000_000_000  # 0.15 * mass
+_PR_ITERS = 10
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) part co-purchase graph, computed
+    in EXACT INTEGER arithmetic: ranks live in 1e-12 mass units and
+    every step is ``base + (85 · Σ (r DIV deg)) DIV 100`` — floor
+    divisions only, so ten distributed iterations produce bit-identical
+    ranks on any partitioning AND match a DuckDB recursive-CTE oracle
+    value-for-value (float PageRank cannot cross-check this way: its
+    per-node sums are order-dependent).
+
+    The engine's third iterative-algorithm shape (after label
+    propagation and Lloyd): a Python driver loop over joins with
+    localCheckpoint truncating lineage each round.  At 100 TB: ranks
+    and edges partition on node id so each iteration is one
+    co-partitioned join + one aggregation; iterations write to parquet
+    instead of checkpointing memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_MASS).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            ranks, edges.src == ranks.node
+        ).select("dst", F.expr("r div deg").alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr(f"(85 * sum(c)) div 100")
+                )
+                .cast("long")
+                .alias("r")
+            )
+            .localCheckpoint()
+        )
+    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 20)
+        .select("rk", F.col("node").alias("part"), F.col("r").alias("rank_units"))
+        .orderBy("rk")
+    )

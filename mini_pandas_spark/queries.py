@@ -2217,6 +2217,40 @@ register(
 )
 
 register(
+    "pagerank_copurchase",
+    relational.pagerank_copurchase,
+    """
+    WITH RECURSIVE po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    edges AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+    pr(it, node, r) AS (
+        SELECT 0, src, CAST(1000000000000 AS BIGINT) FROM deg
+        UNION ALL
+        SELECT it + 1, e.dst,
+               CAST(150000000000 + (85 * SUM(pr.r // e.deg)) // 100 AS BIGINT)
+        FROM pr JOIN edges e ON pr.node = e.src
+        WHERE it < 10
+        GROUP BY it, e.dst
+    )
+    SELECT rk, part, rank_units FROM (
+        SELECT node AS part, r AS rank_units,
+               CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+                   AS rk
+        FROM pr WHERE it = 10
+    ) WHERE rk <= 20 ORDER BY rk
+    """,
+)
+
+register(
     "benford_digit_audit",
     relational.benford_digit_audit,
     """

@@ -119,6 +119,7 @@ EMPTY_OK_ZERO_ROWS = [
     "cohort_ltv_curve",
     "bm25_search",
     "phash_near_dup_images",
+    "pagerank_copurchase",
 ]
 
 

@@ -26,6 +26,7 @@ EXECUTES_ON_BUILD = {
     "pca_project_embeddings",
     "dedup_clusters",
     "embedding_near_dup_pairs",
+    "pagerank_copurchase",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
