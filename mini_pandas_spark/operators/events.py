@@ -1542,3 +1542,144 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-repurchase: per user, the
+    gap in days between first and second purchase (second purchase =
+    event; single-purchase users are administratively censored at the
+    global max date) — the product-limit estimator (Kaplan & Meier,
+    JASA 1958) powering retention/churn survival analysis.
+
+    Determinism: risk sets and event counts are exact integers from one
+    ordered window over DISTINCT gap-days; the survival product runs as
+    exp(Σ ln(1−d/n)) with each ln term rounded to 12 dp and summed as
+    DECIMAL(28,12) — an ordered float cumprod would drift, a decimal
+    cumsum cannot.  Times where d = n (survival hits exact 0) are
+    excluded from terms by construction of the guard.  Scale: events
+    aggregate to per-user firsts, then to the distinct-day grain — the
+    KM windows run over O(distinct days), never raw events.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    maxd = e.agg(F.to_date(F.max("ts")).alias("maxd"))
+    w_u = Window.partitionBy("user_id").orderBy("d")
+    per_user = (
+        p.withColumn("rn", F.row_number().over(w_u))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min("d").alias("first_d"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("second_d"),
+        )
+    )
+    subjects = per_user.join(F.broadcast(maxd)).select(
+        F.coalesce(
+            F.datediff("second_d", "first_d"), F.datediff("maxd", "first_d")
+        ).alias("t"),
+        F.col("second_d").isNotNull().alias("observed"),
+    )
+    times = subjects.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("d_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).cast("long").alias("c_censored"),
+        F.count(F.lit(1)).alias("n_at_t"),
+    )
+    n_tot = subjects.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        times.join(F.broadcast(n_tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_at_t").over(w_prev), F.lit(0)),
+        )
+    )
+    ln_term = F.when(
+        (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_risk")),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d_events")).cast("double")
+                / F.col("n_risk")
+            ),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        at_risk.withColumn(
+            "cum_ln", F.sum(ln_term.cast("decimal(28,12)")).over(w_cum)
+        )
+        .filter(F.col("d_events") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            (F.round(F.exp(F.col("cum_ln").cast("double")), 6) + F.lit(0.0)).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
+def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution under three models at once: each purchase
+    credits its view/click touchpoints from the preceding 7 days —
+    fully to the FIRST touch, fully to the LAST touch, and 1/k each
+    under LINEAR — reported per touch type.  The side-by-side that
+    shows how model choice moves budget between upper-funnel (view) and
+    lower-funnel (click) channels.
+
+    Determinism: touch ordering ties break on event_id; linear 1/k
+    credits round to 9 dp and sum as DECIMAL(18,9) (float credit sums
+    are order-dependent).  Scale: the touch-to-purchase join is
+    user-co-partitioned with the window bound (7 days) limiting
+    fan-out; all three models come from ONE ranked join — not three
+    scans.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 7 days"))
+    )
+    w_first = Window.partitionBy("p_id").orderBy(F.col("t_ts").asc(), F.col("t_id").asc())
+    w_last = Window.partitionBy("p_id").orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    w_k = Window.partitionBy("p_id")
+    ranked = (
+        joined.withColumn("rk_f", F.row_number().over(w_first))
+        .withColumn("rk_l", F.row_number().over(w_last))
+        .withColumn("k", F.count(F.lit(1)).over(w_k))
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.sum(F.when(F.col("rk_f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch_convs"),
+            F.sum(F.when(F.col("rk_l") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch_convs"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("k"), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                4,
+            ).alias("linear_credit"),
+        )
+        .orderBy("touch_type")
+    )

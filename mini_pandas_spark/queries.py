@@ -2217,6 +2217,106 @@ register(
 )
 
 register(
+    "kaplan_meier_repurchase",
+    events.kaplan_meier_repurchase,
+    """
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE event_type = 'purchase'
+    ),
+    maxd AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+    ranked AS (
+        SELECT user_id, d,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM p
+    ),
+    pu AS (
+        SELECT user_id, MIN(d) AS first_d,
+               MAX(CASE WHEN rn = 2 THEN d END) AS second_d
+        FROM ranked WHERE rn <= 2 GROUP BY user_id
+    ),
+    subjects AS (
+        SELECT COALESCE(date_diff('day', first_d, second_d),
+                        date_diff('day', first_d, maxd)) AS t,
+               second_d IS NOT NULL AS observed
+        FROM pu CROSS JOIN maxd
+    ),
+    times AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+               CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored,
+               COUNT(*) AS n_at_t
+        FROM subjects GROUP BY t
+    ),
+    ntot AS (SELECT COUNT(*) AS n_total FROM subjects),
+    ar AS (
+        SELECT t, d_events, c_censored,
+               n_total - COALESCE(CAST(SUM(n_at_t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS n_risk
+        FROM times CROSS JOIN ntot
+    ),
+    lnt AS (
+        SELECT t, d_events, c_censored, n_risk,
+               CASE WHEN d_events > 0 AND d_events < n_risk
+                    THEN round(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk),
+                               12)
+                    ELSE 0.0 END AS lt
+        FROM ar
+    ),
+    cum AS (
+        SELECT t, d_events, c_censored, n_risk,
+               SUM(CAST(lt AS DECIMAL(28,12))) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln
+        FROM lnt
+    )
+    SELECT t AS t_days, n_risk, d_events, c_censored,
+           round(exp(CAST(cum_ln AS DOUBLE)), 6) + 0.0 AS survival
+    FROM cum WHERE d_events > 0 ORDER BY t_days
+    """,
+)
+
+register(
+    "attribution_models_compare",
+    events.attribution_models_compare,
+    """
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id,
+               event_type AS touch_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+        SELECT p_id, t_ts, t_id, touch_type
+        FROM purchases JOIN touches USING (user_id)
+        WHERE t_ts <= p_ts AND t_ts >= p_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+        SELECT touch_type,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                   ORDER BY t_ts ASC, t_id ASC) AS rk_f,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                   ORDER BY t_ts DESC, t_id DESC) AS rk_l,
+               COUNT(*) OVER (PARTITION BY p_id) AS k
+        FROM j
+    )
+    SELECT touch_type,
+           CAST(SUM(CASE WHEN rk_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch_convs,
+           CAST(SUM(CASE WHEN rk_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_convs,
+           round(CAST(SUM(CAST(round(1.0e0 / k, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 4) AS linear_credit
+    FROM ranked GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+
+register(
     "pagerank_copurchase",
     relational.pagerank_copurchase,
     """

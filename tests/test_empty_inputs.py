@@ -120,6 +120,8 @@ EMPTY_OK_ZERO_ROWS = [
     "bm25_search",
     "phash_near_dup_images",
     "pagerank_copurchase",
+    "kaplan_meier_repurchase",
+    "attribution_models_compare",
 ]
 
 
