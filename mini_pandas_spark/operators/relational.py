@@ -2416,3 +2416,70 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", F.col("node").alias("part"), F.col("r").alias("rank_units"))
         .orderBy("rk")
     )
+
+
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity-resolution flagship over structured records:
+    dirty customer records (deterministic synthetic variants — every
+    10th customer also appears with its name's 3rd character dropped
+    and a suffixed id) are matched back to their canonicals via the
+    classic ER topology: BLOCK on cheap keys → SCORE candidates with
+    edit distance → RESOLVE to the canonical (smallest) id per match.
+
+    Blocking keys are (first 2 name chars, nation) — candidates only
+    form inside a block, the step that makes pairwise scoring feasible
+    at scale (all-pairs over 10⁹ customers is impossible; blocks are
+    bounded).  Scoring is levenshtein ≤ 2.  Resolution here is a
+    min-per-key aggregate (variants link only to canonicals); densely
+    linked records would feed dedup_clusters' label propagation.
+    Output: per nation, records in, matches found, distinct resolved
+    entities.
+    """
+    # fixture c_name is sequential ("Customer#0000...") — every record is
+    # within edit distance 1 of its neighbor, which makes edit-distance ER
+    # degenerate; derive discriminative synthetic names (12 hex chars of
+    # md5(custkey)) so matches mean something
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("c_name"),
+        "c_nationkey",
+    )
+    variants = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 2), F.substring("c_name", 4, 1000)
+        ).alias("c_name"),
+        "c_nationkey",
+    )
+    allrec = c.union(variants)
+    blocked = allrec.withColumn("blk", F.substring("c_name", 1, 2))
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            F.col("a.c_nationkey").alias("nation"),
+        )
+        .filter((F.col("dist") > 0) & (F.col("dist") <= 2))
+    )
+    resolved = cand.groupBy("id_b", "nation").agg(F.min("id_a").alias("canonical"))
+    n_rec = allrec.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_records"))
+    return (
+        resolved.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.countDistinct("canonical").cast("long").alias("n_entities"),
+        )
+        .join(
+            n_rec.select(F.col("c_nationkey").alias("nation"), "n_records"), "nation"
+        )
+        .select("nation", "n_records", "n_matched", "n_entities")
+        .orderBy("nation")
+    )

@@ -789,3 +789,135 @@ def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+PQ_M = 8  # subvectors
+PQ_KS = 64  # codewords per subspace
+PQ_TRAIN_N = 1024  # training sample (hash-prefix of corpus)
+PQ_SHORTLIST = 100  # ADC candidates per query before exact re-rank
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): vectors are
+    split into 8 subvectors, each quantized to 1 of 16 codewords (8
+    bytes total per vector — 64× compression of the 64-dim float
+    corpus), and queries rank candidates by asymmetric distance
+    computation (ADC): a per-query 8×16 lookup table of subspace dot
+    products, summed per code.  The memory-bounded member of the ANN
+    family (brute/LSH/IVF/int8 are the others).
+
+    Codebooks are trained driver-side with seeded k-means on a
+    deterministic corpus sample (vec_id < 512) — the train-on-a-sample
+    pattern; at 100 TB the sample is a hash-sample and the codebooks
+    broadcast exactly as here (captured by value in the Arrow closure).
+    Encoding and scoring are each ONE mapInPandas pass (numpy matmuls);
+    no shuffle beyond the final top-k.  Rows-only + pytest overlap
+    floor vs exact cosine.
+    """
+    import numpy as np
+
+    vec = _vectors_with_norm(spark, sf_dir)
+    train = np.stack(
+        [
+            np.asarray(r["v"], dtype=np.float64)
+            for r in vec.filter(F.col("vec_id") < PQ_TRAIN_N)
+            .select("v")
+            .collect()
+        ]
+    )
+    qrows = (
+        vec.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm").collect()
+    )
+    d_sub = train.shape[1] // PQ_M
+    rng = np.random.default_rng(7)
+    codebooks = []
+    for m in range(PQ_M):
+        X = train[:, m * d_sub : (m + 1) * d_sub]
+        # seeded k-means: deterministic init from the sample, 5 Lloyd steps
+        C = X[rng.choice(len(X), PQ_KS, replace=False)]
+        for _ in range(5):
+            a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for k in range(PQ_KS):
+                sel = X[a == k]
+                if len(sel):
+                    C[k] = sel.mean(axis=0)
+        codebooks.append(C.tolist())
+
+    queries_py = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"])) for r in qrows
+    ]
+    topk = TOP_K
+
+    def score_batches(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        cb = [np.asarray(c) for c in codebooks]  # M × (KS, d_sub)
+        M, KS = len(cb), cb[0].shape[0]
+        ds = cb[0].shape[1]
+        qs = [(qid, np.asarray(qv), qn) for qid, qv, qn in queries_py]
+        # per-query ADC tables: table[m][k] = <q_m, c_{m,k}>
+        tables = [
+            np.stack([cb[m] @ q[m * ds : (m + 1) * ds] for m in range(M)])
+            for _, q, _ in qs
+        ]
+        # codeword self-dot tables for the reconstructed norm
+        cnorm = np.stack([np.einsum("kd,kd->k", cb[m], cb[m]) for m in range(M)])
+        for pdf in batches:
+            V = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.empty((len(V), M), dtype=np.int64)
+            for m in range(M):
+                X = V[:, m * ds : (m + 1) * ds]
+                codes[:, m] = (
+                    ((X[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                )
+            rhat = np.sqrt(
+                np.sum(cnorm[np.arange(M)[None, :], codes], axis=1)
+            )  # reconstructed norms
+            out = []
+            for (qid, _, qn), tab in zip(qs, tables):
+                dots = np.sum(tab[np.arange(M)[None, :], codes], axis=1)
+                sims = dots / (qn * np.maximum(rhat, 1e-12))
+                for i in range(len(ids)):
+                    if int(ids[i]) != qid:
+                        out.append((qid, int(ids[i]), float(np.round(sims[i], 6))))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    scored = vec.select("vec_id", "v").mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, sim double"
+    )
+    # stage 2: exact re-rank of the ADC shortlist (the standard PQ
+    # retrieval topology — the compressed index prunes, the original
+    # vectors decide), so output sims are EXACT cosines
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rk0", F.row_number().over(w))
+        .filter(F.col("rk0") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    probes = spark.createDataFrame(
+        [(qid, qv, qn) for qid, qv, qn in queries_py],
+        "query_id long, qv array<double>, qnrm double",
+    )
+    exact = (
+        shortlist.join(
+            vec.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

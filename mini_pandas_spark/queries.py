@@ -2217,6 +2217,49 @@ register(
 )
 
 register(
+    "entity_resolution_pipeline",
+    relational.entity_resolution_pipeline,
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS c_name,
+               c_nationkey
+        FROM customer
+    ),
+    variants AS (
+        SELECT c_custkey + 10000000 AS c_custkey,
+               substr(c_name, 1, 2) || substr(c_name, 4) AS c_name,
+               c_nationkey
+        FROM c WHERE c_custkey % 10 = 0
+    ),
+    allrec AS (SELECT * FROM c UNION ALL SELECT * FROM variants),
+    blocked AS (SELECT *, substr(c_name, 1, 2) AS blk FROM allrec),
+    cand AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist,
+               a.c_nationkey AS nation
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+    ),
+    resolved AS (
+        SELECT id_b, nation, MIN(id_a) AS canonical
+        FROM cand GROUP BY id_b, nation
+    ),
+    n_rec AS (
+        SELECT c_nationkey AS nation, COUNT(*) AS n_records
+        FROM allrec GROUP BY 1
+    )
+    SELECT r.nation, n_records,
+           COUNT(*) AS n_matched,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_entities
+    FROM resolved r JOIN n_rec USING (nation)
+    GROUP BY r.nation, n_records ORDER BY r.nation
+    """,
+)
+
+register(
     "kaplan_meier_repurchase",
     events.kaplan_meier_repurchase,
     """
@@ -3247,6 +3290,10 @@ register("multimodal_embedding_ann", _binary.multimodal_embedding_ann, None)
 # byte-histogram SimHash: numpy projection matrix not expressible in
 # DuckDB — rows-only; pytest pins determinism + planted-dup recall.
 register("phash_near_dup_images", _binary.phash_near_dup_images, None)
+
+# PQ codebooks/argmin not expressible in DuckDB — rows-only; pytest pins
+# overlap vs exact cosine + determinism.
+register("pq_ann_topk", similarity.pq_ann_topk, None)
 
 register(
     "bm25_search",

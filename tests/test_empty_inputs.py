@@ -122,6 +122,7 @@ EMPTY_OK_ZERO_ROWS = [
     "pagerank_copurchase",
     "kaplan_meier_repurchase",
     "attribution_models_compare",
+    "entity_resolution_pipeline",
 ]
 
 

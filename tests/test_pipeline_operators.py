@@ -689,3 +689,20 @@ def test_bm25_hits_are_query_term_docs(spark, qs):
     assert all(s > 0 for s in scores)
     assert all(a >= b for a, b in zip(scores, scores[1:]))
     assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
+
+
+def test_pq_ann_overlap_and_determinism(spark, qs):
+    """Two-stage PQ retrieval (ADC shortlist -> exact re-rank) must be
+    deterministic (seeded codebooks) and recover most of the exact
+    top-5 (measured avg overlap 1.0 at sf0.01, 0.88 at sf0.1)."""
+    a = qs["pq_ann_topk"](spark, SF).collect()
+    b = qs["pq_ann_topk"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact = qs["cosine_topk"](spark, SF).collect()
+    qe, qp = {}, {}
+    for r in exact:
+        qe.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in a:
+        qp.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ov = [len(qe[k] & qp[k]) / 5.0 for k in qe]
+    assert sum(ov) / len(ov) >= 0.7, ov

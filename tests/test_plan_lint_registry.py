@@ -27,6 +27,7 @@ EXECUTES_ON_BUILD = {
     "dedup_clusters",
     "embedding_near_dup_pairs",
     "pagerank_copurchase",
+    "pq_ann_topk",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
