@@ -2483,3 +2483,60 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "n_records", "n_matched", "n_entities")
         .orderBy("nation")
     )
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each order joins the
+    customer-dimension VERSION that was valid on its order date — the
+    query pattern every SCD2 warehouse lives on (joining the current
+    version instead silently rewrites history).
+
+    The versioned dimension is synthesized deterministically: every
+    customer has version 1 from the epoch; every 3rd customer gains a
+    version 2 (balance +100) effective 1995-06-01.  The join predicate
+    is ``key match AND valid_from <= o_date < valid_to`` — a bounded
+    interval join that Spark executes as an equi-join on the key with
+    the interval as residual filter (each key has ≤2 versions, so the
+    per-key expansion is constant; no range-bucket machinery needed).
+    Output: revenue and order counts per dimension version — which
+    splits exactly at the effective date.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("1970-01-01").cast("date").alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("1995-06-01"))
+        .otherwise(F.lit("9999-12-31"))
+        .cast("date")
+        .alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+            F.lit(2).cast("long").alias("version"),
+            F.lit("1995-06-01").cast("date").alias("valid_from"),
+            F.lit("9999-12-31").cast("date").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("o_date"), "o_totalprice"
+    )
+    joined = o.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("o_date"))
+        & (F.col("o_date") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("version")
+    )

@@ -921,3 +921,86 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by Mahalanobis distance — the
+    covariance-aware anomaly score ((x−μ)ᵀ Σ⁻¹ (x−μ)) that catches
+    points unusual in *correlated* directions where per-dimension
+    z-scores see nothing.  The embedding-space data-quality screen for
+    a training corpus (mislabeled / corrupted vectors surface first).
+
+    Topology: μ and Σ come from ONE shuffle-free mapInPandas pass of
+    per-partition (n, Σx, Σxxᵀ) partials (the same treeAggregate shape
+    as PCA's covariance); the driver inverts the 64×64 matrix (trivial)
+    and ships Σ⁻¹ by value into the scoring pass — no shuffle anywhere
+    except the final top-k.  Rows-only (matrix inverse not in SQL);
+    pytest pins determinism and that scores are nonnegative/finite.
+    """
+    import numpy as np
+
+    vec = _vectors(spark, sf_dir)
+
+    def cov_partials(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [int(M.shape[0])],
+                    "sx": [M.sum(axis=0).tolist()],
+                    "sxx": [(M.T @ M).reshape(-1).tolist()],
+                }
+            )
+
+    parts = (
+        vec.select("v")
+        .mapInPandas(cov_partials, schema="n long, sx array<double>, sxx array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["sx"])
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    # unique, content-based combine order: float sums must not depend on
+    # partition arrival order
+    for r in sorted(parts, key=lambda r: (r["n"], tuple(r["sx"]))):
+        sx += np.asarray(r["sx"])
+        sxx += np.asarray(r["sxx"]).reshape(d, d)
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    # ridge for numerical safety, then exact inverse on the driver
+    prec = np.linalg.inv(cov + 1e-9 * np.eye(d))
+    mu_l, prec_l = mu.tolist(), prec.tolist()
+
+    def score_batches(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mu_l)
+        P = np.asarray(prec_l)
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy()) - m
+            # rowwise quadratic form
+            sc = np.einsum("ij,jk,ik->i", M, P, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "score": np.round(sc, 6),
+                }
+            )
+
+    scored = vec.select("vec_id", "v").mapInPandas(
+        score_batches, schema="vec_id long, score double"
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 20)
+        .select("rk", "vec_id", "score")
+        .orderBy("rk")
+    )

@@ -2217,6 +2217,38 @@ register(
 )
 
 register(
+    "scd2_point_in_time_join",
+    relational.scd2_point_in_time_join,
+    """
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+    v1 AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+               CAST(1 AS BIGINT) AS version,
+               DATE '1970-01-01' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0 THEN DATE '1995-06-01'
+                    ELSE DATE '9999-12-31' END AS valid_to
+        FROM c
+    ),
+    v2 AS (
+        SELECT c_custkey, round(c_acctbal + 100.0, 2) AS acctbal,
+               CAST(2 AS BIGINT) AS version,
+               DATE '1995-06-01' AS valid_from,
+               DATE '9999-12-31' AS valid_to
+        FROM c WHERE c_custkey % 3 = 0
+    ),
+    dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT version,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY version ORDER BY version
+    """,
+)
+
+register(
     "entity_resolution_pipeline",
     relational.entity_resolution_pipeline,
     """
@@ -3294,6 +3326,10 @@ register("phash_near_dup_images", _binary.phash_near_dup_images, None)
 # PQ codebooks/argmin not expressible in DuckDB — rows-only; pytest pins
 # overlap vs exact cosine + determinism.
 register("pq_ann_topk", similarity.pq_ann_topk, None)
+
+# matrix inverse not expressible in SQL — rows-only; pytest pins
+# determinism + finite nonnegative scores.
+register("mahalanobis_outliers", similarity.mahalanobis_outliers, None)
 
 register(
     "bm25_search",

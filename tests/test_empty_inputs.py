@@ -123,6 +123,7 @@ EMPTY_OK_ZERO_ROWS = [
     "kaplan_meier_repurchase",
     "attribution_models_compare",
     "entity_resolution_pipeline",
+    "scd2_point_in_time_join",
 ]
 
 

@@ -706,3 +706,14 @@ def test_pq_ann_overlap_and_determinism(spark, qs):
         qp.setdefault(r.query_id, set()).add(r.neighbor_id)
     ov = [len(qe[k] & qp[k]) / 5.0 for k in qe]
     assert sum(ov) / len(ov) >= 0.7, ov
+
+
+def test_mahalanobis_outliers_deterministic_and_valid(spark, qs):
+    """Covariance partials combine in content-based order, the precision
+    matrix is seeded by data only — two runs must agree exactly; scores
+    are nonnegative quadratic forms."""
+    a = qs["mahalanobis_outliers"](spark, SF).collect()
+    b = qs["mahalanobis_outliers"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 20
+    assert all(r["score"] >= 0 for r in a)

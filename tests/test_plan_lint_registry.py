@@ -28,6 +28,7 @@ EXECUTES_ON_BUILD = {
     "embedding_near_dup_pairs",
     "pagerank_copurchase",
     "pq_ann_topk",
+    "mahalanobis_outliers",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
