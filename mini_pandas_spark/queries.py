@@ -2217,6 +2217,37 @@ register(
 )
 
 register(
+    "connected_components_stars",
+    relational.connected_components_stars,
+    """
+    WITH RECURSIVE po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT x.p AS a, y.p AS b
+        FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+        SELECT a AS node, a AS lbl FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    comp AS (
+        SELECT cluster_id, COUNT(*) AS n_nodes FROM labels GROUP BY cluster_id
+    )
+    SELECT rk, cluster_id, n_nodes FROM (
+        SELECT cluster_id, n_nodes,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_nodes DESC, cluster_id ASC) AS BIGINT) AS rk
+        FROM comp
+    ) WHERE rk <= 20 ORDER BY rk
+    """,
+)
+
+register(
     "scd2_point_in_time_join",
     relational.scd2_point_in_time_join,
     """

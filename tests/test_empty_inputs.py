@@ -124,6 +124,7 @@ EMPTY_OK_ZERO_ROWS = [
     "attribution_models_compare",
     "entity_resolution_pipeline",
     "scd2_point_in_time_join",
+    "connected_components_stars",
 ]
 
 

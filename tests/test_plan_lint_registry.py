@@ -29,6 +29,7 @@ EXECUTES_ON_BUILD = {
     "pagerank_copurchase",
     "pq_ann_topk",
     "mahalanobis_outliers",
+    "connected_components_stars",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
