@@ -1336,9 +1336,13 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("x"))).alias("sxb"),
         F.sum(dec(F.col("y"))).alias("syb"),
     )
-    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # var(X)=0 (degenerate cohort / single user) => no adjustment; under
+    # Spark 4 ANSI even double/0.0 throws DIVIDE_BY_ZERO
+    theta = F.when(
+        den != 0.0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / den,
+    ).otherwise(F.lit(0.0))
     mean_y = F.col("syb").cast("double") / F.col("n_users")
     mean_xb = F.col("sxb").cast("double") / F.col("n_users")
     mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
@@ -1682,4 +1686,52 @@ def attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("linear_credit"),
         )
         .orderBy("touch_type")
+    )
+
+
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions containing exactly
+    one event, by session start date — the engagement KPI that pairs
+    with sessionize_users' per-user rollup.
+
+    Scale: the same single user_id exchange as sessionize_users (lag +
+    conditional cumsum share one window spec), then a tiny day-grain
+    aggregate.  Determinism: integer counts, one rounded division.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select("user_id", "event_id", "ts", F.lag("ts", 1).over(w).alias("prev_ts"))
+    is_new = F.when(
+        F.col("prev_ts").isNull() | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1
+    ).otherwise(0)
+    sess = lagged.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "n_bounces",
+            (
+                F.round(F.col("n_bounces") / F.col("n_sessions"), 6) + F.lit(0.0)
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
     )

@@ -2217,6 +2217,41 @@ register(
 )
 
 register(
+    "bounce_rate_daily",
+    events.bounce_rate_daily,
+    """
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM lagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(MIN(ts) AS DATE) AS day
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) + 0.0 AS bounce_rate
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+)
+
+register(
     "connected_components_stars",
     relational.connected_components_stars,
     """
@@ -2915,8 +2950,10 @@ register(
            round(CAST(syb AS DOUBLE) / n_users, 6) + 0.0
                AS mean_purchase_cents,
            round(CAST(syb AS DOUBLE) / n_users
-                 - (CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                 - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                         ELSE 0.0 END)
                    * (CAST(sxb AS DOUBLE) / n_users
                       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
                AS cuped_adj_purchase_cents

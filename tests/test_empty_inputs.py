@@ -125,6 +125,7 @@ EMPTY_OK_ZERO_ROWS = [
     "entity_resolution_pipeline",
     "scd2_point_in_time_join",
     "connected_components_stars",
+    "bounce_rate_daily",
 ]
 
 
