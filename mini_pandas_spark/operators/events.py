@@ -1735,3 +1735,57 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def rolling_corr_revenue_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling correlation between daily purchase revenue and
+    daily active users — the metric-coupling monitor ("is revenue still
+    tracking engagement?") whose breakdowns flag monetization shifts.
+
+    Determinism: Pearson over the window is computed from EXACT integer
+    moments (Σx, Σy, Σxx, Σyy, Σxy of dollar/user counts as window sums
+    of longs) — never a float corr aggregate, whose Welford order
+    differs between engines; the two variance factors cast to double
+    BEFORE multiplying (their int64 product would overflow).  Zero
+    variance inside a window yields NULL (guarded — ANSI division).
+    Scale: raw events reduce to the daily grain first; the window runs
+    over O(days).
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents("value"))),
+            F.lit(0),
+        ).alias("xc"),
+        F.countDistinct("user_id").alias("y"),
+    ).select(
+        "day",
+        # integer floor-div to whole dollars (float / then cast would
+        # truncate in Spark but ROUND in DuckDB — engine mismatch)
+        F.expr("xc div 100").alias("x"),
+        "y",
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    s = (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 4) + F.lit(0.0),
+    )
+    return s.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "y",
+        corr.alias("corr_14d"),
+    ).orderBy("day")

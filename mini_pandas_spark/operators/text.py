@@ -1294,3 +1294,56 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", "doc_id", "score", "n_terms_hit")
         .orderBy("rk")
     )
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (α=0.5, β=0.3)
+    per source — the two-component-STATE ordered recurrence (level +
+    trend), expressed as a single JVM-side ``F.aggregate`` fold whose
+    accumulator is a STRUCT — proving the engine's ordered-fold surface
+    carries arbitrary per-key state, not just scalars (SES is the
+    1-state special case).
+
+    Determinism: identical fold expression tree on both engines (DuckDB
+    ``list_reduce`` over a struct-typed list; float literals in
+    e-notation so DuckDB doesn't lift them to DECIMAL).  Scale: state
+    is 2 doubles per key; the array is calendar-bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    day = (F.col("doc_id") % 30).cast("int")
+    daily = d.groupBy("source", day.alias("day")).agg(
+        F.sum("n_chars").alias("x")
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("day").alias("day"), F.col("x").cast("double").alias("x"))
+        )
+    )
+    xs = F.transform(arr, lambda s: s.getField("x"))
+    a, b = 0.5, 0.3
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        lvl = x * F.lit(a) + (acc.getField("l") + acc.getField("b")) * F.lit(1.0 - a)
+        tr = (
+            x * F.lit(a) + (acc.getField("l") + acc.getField("b")) * F.lit(1.0 - a)
+            - acc.getField("l")
+        ) * F.lit(b) + acc.getField("b") * F.lit(1.0 - b)
+        return F.struct(lvl.alias("l"), tr.alias("b"))
+
+    folded = F.aggregate(F.slice(xs, 2, F.size(xs) - 1), init, step)
+    return (
+        daily.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.round(folded.getField("l"), 6) + F.lit(0.0)).alias("holt_level"),
+            (F.round(folded.getField("b"), 6) + F.lit(0.0)).alias("holt_trend"),
+            (
+                F.round(folded.getField("l") + folded.getField("b"), 6)
+                + F.lit(0.0)
+            ).alias("forecast_next"),
+        )
+        .orderBy("source")
+    )

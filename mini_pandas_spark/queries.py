@@ -2217,6 +2217,73 @@ register(
 )
 
 register(
+    "holt_linear_forecast",
+    text.holt_linear_forecast,
+    """
+    WITH daily AS (
+        SELECT source, CAST(doc_id % 30 AS INT) AS day,
+               CAST(SUM(n_chars) AS DOUBLE) AS x
+        FROM documents GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT source, COUNT(*) AS n_days,
+               -- state as a 2-list [level, trend]: DuckDB's struct
+               -- lambdas rebind acc fields SEQUENTIALLY (acc.l already
+               -- updated when 'b' evaluates), list construction doesn't
+               list_reduce(
+                   list_prepend([(list(x ORDER BY day))[1], 0.0e0],
+                       list_transform((list(x ORDER BY day))[2:],
+                                      xi -> [xi, 0.0e0])),
+                   (acc, s) -> [
+                       s[1] * 0.5e0 + (acc[1] + acc[2]) * 0.5e0,
+                       (s[1] * 0.5e0 + (acc[1] + acc[2]) * 0.5e0 - acc[1])
+                            * 0.3e0 + acc[2] * 0.7e0
+                   ]) AS st
+        FROM daily GROUP BY source
+    )
+    SELECT source, n_days,
+           round(st[1], 6) + 0.0 AS holt_level,
+           round(st[2], 6) + 0.0 AS holt_trend,
+           round(st[1] + st[2], 6) + 0.0 AS forecast_next
+    FROM folded ORDER BY source
+    """,
+)
+
+register(
+    "rolling_corr_revenue_dau",
+    events.rolling_corr_revenue_dau,
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+                   0) // 100 AS x,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT day, x, y,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+                     + 0.0
+           END AS corr_14d
+    FROM s ORDER BY day
+    """,
+)
+
+register(
     "bounce_rate_daily",
     events.bounce_rate_daily,
     """

@@ -126,6 +126,8 @@ EMPTY_OK_ZERO_ROWS = [
     "scd2_point_in_time_join",
     "connected_components_stars",
     "bounce_rate_daily",
+    "holt_linear_forecast",
+    "rolling_corr_revenue_dau",
 ]
 
 
