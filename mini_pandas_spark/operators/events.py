@@ -1789,3 +1789,33 @@ def rolling_corr_revenue_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         corr.alias("corr_14d"),
     ).orderBy("day")
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event paths (A→B→C) per ordered user stream —
+    one more lag over the SAME window as the bigram miner, extending
+    path mining to the depth where funnel shapes become visible.
+
+    Scale: still exactly one user_id exchange (all lags share the
+    window spec); the count keys on the tiny |types|³ space.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .where(F.col("t1").isNotNull())
+    )
+    return (
+        tri.groupBy(
+            F.col("t1").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(10)
+    )

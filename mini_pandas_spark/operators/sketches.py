@@ -377,3 +377,69 @@ def tdigest_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def kmv_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches — the query-optimizer
+    primitive behind join reordering: estimate |events ⋈ customer| on
+    user_id = c_custkey WITHOUT running the join, then report the
+    estimate next to the exact count and the relative error.
+
+    Estimator (uncorrelated-frequency model, the textbook optimizer
+    assumption): |A ⋈ B| ≈ |keys(A) ∩ keys(B)| · f̄_A · f̄_B where the
+    key-overlap comes from the KMV intersection estimate (kmv_set_ops'
+    machinery) and f̄ are mean per-key multiplicities.  The error
+    column is the point: it quantifies how far the uncorrelated
+    assumption drifts on real (skewed) data.
+
+    Scale: sketches shuffle k·partitions rows; the exact join is
+    included here only as ground truth — at 100 TB you'd estimate
+    precisely to AVOID running it.  Rows-only (hash sketch) + pytest
+    rel-error bound.
+    """
+    k = KMV_K
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+
+    def mins(df: DataFrame) -> DataFrame:
+        h = F.shiftrightunsigned(F.xxhash64(F.col("key")), 1).alias("h")
+        return df.select("key").distinct().select(h).orderBy("h").limit(k)
+
+    me, mc = mins(e), mins(c)
+    merged = me.unionByName(mc).select("h").distinct().orderBy("h").limit(k)
+    union_stats = merged.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    union_est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.col("n") - 1) * F.lit(_KMV_M) / F.col("kth")
+    )
+    shared = merged.join(me, "h").join(mc, "h").agg(F.count(F.lit(1)).alias("n_shared"))
+    overlap_est = union_est * F.col("n_shared") / F.lit(k)
+
+    fa = e.agg(
+        (F.count(F.lit(1)) / F.countDistinct("key")).alias("mean_fa")
+    )
+    fb = c.agg(
+        (F.count(F.lit(1)) / F.countDistinct("key")).alias("mean_fb")
+    )
+    exact = (
+        e.join(c, "key")
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    est = (
+        union_stats.crossJoin(F.broadcast(shared))
+        .crossJoin(F.broadcast(fa))
+        .crossJoin(F.broadcast(fb))
+        .select(
+            F.round(overlap_est * F.col("mean_fa") * F.col("mean_fb"))
+            .cast("long")
+            .alias("est_join_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        F.round(
+            F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+            / F.col("exact_join_rows"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -2216,6 +2216,26 @@ register(
     """,
 )
 
+register("kmv_join_size_estimate", sketches.kmv_join_size_estimate, None)
+
+register(
+    "event_trigram_paths",
+    events.event_trigram_paths,
+    """
+    WITH tri AS (
+        SELECT lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2,
+               event_type AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 AS step1, t2 AS step2, t3 AS step3, COUNT(*) AS n
+    FROM tri WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3 LIMIT 10
+    """,
+)
+
 register(
     "holt_linear_forecast",
     text.holt_linear_forecast,

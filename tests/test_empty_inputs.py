@@ -128,6 +128,7 @@ EMPTY_OK_ZERO_ROWS = [
     "bounce_rate_daily",
     "holt_linear_forecast",
     "rolling_corr_revenue_dau",
+    "event_trigram_paths",
 ]
 
 

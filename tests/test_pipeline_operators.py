@@ -717,3 +717,11 @@ def test_mahalanobis_outliers_deterministic_and_valid(spark, qs):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 20
     assert all(r["score"] >= 0 for r in a)
+
+
+def test_kmv_join_estimate_within_bound(spark, qs):
+    """The uncorrelated-frequency join-size estimate must land within
+    50% of the exact join count on this data (measured 14-29%)."""
+    r = qs["kmv_join_size_estimate"](spark, SF).collect()[0]
+    assert r["exact_join_rows"] > 0
+    assert r["rel_error"] <= 0.5, tuple(r)
