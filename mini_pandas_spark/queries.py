@@ -3470,6 +3470,14 @@ register(
     REGISTRY["events_sliding"][1],
 )
 
+# HLL++ estimates are engine-specific: rows-only; pytest pins the drained
+# stream result EQUAL to the batch twin (hash sketches are order-free).
+register(
+    "streaming_hourly_approx_uniques",
+    _stream_windows.streaming_hourly_approx_uniques,
+    None,
+)
+
 # Byte-histogram embeddings are engine-internal: rows-only; pytest pins
 # determinism + neighbor sanity.
 register("multimodal_embedding_ann", _binary.multimodal_embedding_ann, None)

@@ -556,3 +556,62 @@ def stateful_sessionize_stream(
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def streaming_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per tumbling hour under Structured
+    Streaming: watermarked window + approx_count_distinct — the
+    sketch-in-stream pattern (bounded state per window regardless of
+    user cardinality; an exact streaming distinct would hold every key
+    in state forever).
+
+    HLL++ is hash-based and order-insensitive, so the drained stream
+    result is pinned EQUAL to the batch twin by pytest (the batch twin
+    is itself pinned against exact distinct counts).  Rows-only in the
+    driver gate (estimates are engine-specific).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+def batch_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_hourly_approx_uniques (same expression
+    tree over the batch reader) — the streaming pin's ground truth."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )

@@ -22,6 +22,7 @@ EXECUTES_ON_BUILD = {
     "stream_stream_join",
     "stream_static_enrich",
     "synthetic_stream_rollup",
+    "streaming_hourly_approx_uniques",
     "ivf_ann_topk",
     "pca_project_embeddings",
     "dedup_clusters",

@@ -263,3 +263,19 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
         (1, ms("2024-01-01 15:00"), 1),
         (2, ms("2024-01-01 10:05"), 1),
     ], got
+
+
+def test_streaming_approx_uniques_equals_batch_twin(spark):
+    """HLL++ is hash-based and order-insensitive, so draining the
+    watermarked stream (AvailableNow) must produce the EXACT same
+    estimates as the identical batch aggregation."""
+    from mini_pandas_spark.streaming.windows import (
+        batch_hourly_approx_uniques,
+        streaming_hourly_approx_uniques,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, streaming_hourly_approx_uniques(spark, sf).collect()))
+    want = sorted(map(tuple, batch_hourly_approx_uniques(spark, sf).collect()))
+    assert got == want
+    assert len(got) > 0
