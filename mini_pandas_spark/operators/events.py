@@ -1819,3 +1819,57 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "step1", "step2", "step3")
         .limit(10)
     )
+
+
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance window: for every 'click', the
+    NEXT 'purchase' by the same user within 1 hour (click-to-conversion
+    matching).  Complements asof_join_purchase (backward, unbounded).
+
+    Scale-correct composition — NOT a range join: union both streams
+    tagged, one window per user ordered by (ts, event_id) DESCENDING
+    carrying the nearest following purchase timestamp backwards
+    (first non-null over the reversed frame), then keep clicks and apply
+    the tolerance as a filter.  One shuffle on user_id, linear work;
+    tolerance filtering never materializes out-of-window candidates.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    with_next = tagged.withColumn(
+        "next_purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "click")
+    lat = (
+        F.col("next_purchase_ts").cast("timestamp").cast("double")
+        - F.col("ts").cast("timestamp").cast("double")
+    )
+    return with_next.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.when(lat <= 3600.0, F.date_format("next_purchase_ts", fmt)).alias(
+            "purchase_ts_raw"
+        ),
+        F.coalesce(
+            F.when(lat <= 3600.0, F.round(lat, 6)), F.lit(-1.0)
+        ).alias("latency_sec"),
+    ).select(
+        "event_id",
+        "user_id",
+        "click_ts",
+        F.coalesce("purchase_ts_raw", F.lit("")).alias("purchase_ts"),
+        "latency_sec",
+    )

@@ -2630,3 +2630,243 @@ def connected_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", "cluster_id", "n_nodes")
         .orderBy("rk")
     )
+
+
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for brand pairs
+    co-purchased in one order, support / confidence / lift — the a-priori
+    mining primitive behind "customers also bought" (reference has no
+    counterpart; this is the §2.3 group-by family applied to pair mining).
+
+    Scale: baskets reduce to DISTINCT (order, brand) first (partial agg
+    before the shuffle), so the per-order self-join is bounded by
+    brands-per-order (small constant), never by line count.  Brand counts
+    are a 25-row aggregate, broadcast to the pair table.  At 100 TB the
+    only large shuffle is the distinct — hash-partitioned on orderkey,
+    map-side combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    brand_counts = items.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    ca = brand_counts.select(
+        F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = brand_counts.select(
+        F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            (F.round(F.col("pair_orders").cast("double") / F.col("n_orders"), 6) + F.lit(0.0)).alias("support"),
+            (F.round(F.col("pair_orders").cast("double") / F.col("cnt_a"), 6) + F.lit(0.0)).alias("confidence"),
+            (
+                F.round(
+                    F.col("pair_orders").cast("double")
+                    * F.col("n_orders")
+                    / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+    ).limit(20)
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags 1..7 —
+    the seasonality fingerprint a forecasting pipeline computes before
+    choosing model order.
+
+    Scale: the raw fact table collapses to one row per day (exact cents
+    partial agg) before any windowing, so the series is |days| rows no
+    matter the input volume; the lag joins and the 1-row moment aggregate
+    are all broadcast-sized.  ACF is over the day-ordered series by
+    position (row index), pairing r[t] with r[t-k].
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+        .select("day", F.col("rev_cents").cast("double").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    series = daily.select(
+        F.row_number().over(w).cast("bigint").alias("idx"), "rev"
+    )
+    moments = series.agg(
+        F.avg("rev").alias("mean_rev"), F.count(F.lit(1)).alias("n")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = series.alias("a")
+    b = series.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("a.idx") == F.col("b.idx") + F.col("lag"))
+        .crossJoin(F.broadcast(moments))
+    )
+    num = paired.groupBy("lag").agg(
+        F.sum(
+            (F.col("a.rev") - F.col("mean_rev")) * (F.col("b.rev") - F.col("mean_rev"))
+        ).alias("num")
+    )
+    den = (
+        series.crossJoin(F.broadcast(moments))
+        .agg(
+            F.sum(
+                (F.col("rev") - F.col("mean_rev")) * (F.col("rev") - F.col("mean_rev"))
+            ).alias("den")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            (F.round(F.col("num") / F.col("den"), 4) + F.lit(0.0)).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of the customer market segment against
+    order value — the leakage-safe categorical encoder of a feature
+    pipeline: encoded = (sum_target + m·global_mean) / (n + m), m = 20.
+
+    Scale: one join orders→customer (customer side shuffles on custkey;
+    at scale AQE picks the strategy), then a 5-row group-by; the global
+    mean is a broadcast 1-row aggregate.  Money goes through exact cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        c.select("c_custkey", "c_mktsegment"), o.o_custkey == c.c_custkey
+    )
+    glob = joined.agg(
+        (
+            F.sum(cents("o_totalprice")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("global_mean")
+    )
+    per_seg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("sum_cents"),
+    )
+    m = F.lit(20.0)
+    return (
+        per_seg.crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.round(F.col("sum_cents").cast("double") / F.lit(100.0) / F.col("n_orders"), 4) + F.lit(0.0)).alias("raw_mean"),
+            (
+                F.round(
+                    (F.col("sum_cents").cast("double") / F.lit(100.0) + m * F.col("global_mean"))
+                    / (F.col("n_orders") + m),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("encoded"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: given an erasure set of customers
+    (synthetic predicate custkey % 97 == 0), count rows deleted vs
+    retained in every downstream table (orders, lineitem) — the
+    compliance report a data platform emits before executing the purge.
+
+    Scale: the erase set is derived by predicate, so each cascade level
+    is a semi/anti join that shuffles on its own key (custkey, then
+    orderkey) — no driver-side key list, no broadcast of an SF-scaled
+    set; AQE picks broadcast when the erased-order side is small.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased_c = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    erased_o = o.join(
+        erased_c, o.o_custkey == erased_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    erased_li = li.join(
+        erased_o, li.l_orderkey == erased_o.o_orderkey, "left_semi"
+    )
+
+    def level(name: str, total_df: DataFrame, erased_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count(F.lit(1)).alias("total"))
+        e = erased_df.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return t.crossJoin(e).select(
+            F.lit(name).alias("entity"),
+            "n_deleted",
+            (F.col("total") - F.col("n_deleted")).alias("n_retained"),
+        )
+
+    out = (
+        level("customer", c, erased_c)
+        .unionByName(level("orders", o, erased_o))
+        .unionByName(level("lineitem", li, erased_li))
+    )
+    return out.orderBy("entity")
+
+
+def calibration_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration curve scaffold: squash a standardized order value
+    through a sigmoid into a pseudo-score, bin scores into deciles, and
+    compare mean score vs observed event rate (order finalized) per bin —
+    the reliability-diagram aggregation of an ML evaluation pipeline.
+
+    Scale: global mean/std is a 1-row broadcast aggregate; scoring is a
+    pure Catalyst expression over one scan; the final group-by has 10
+    groups.  No Python in the loop.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_pop("o_totalprice").alias("sigma"),
+    )
+    scored = o.crossJoin(F.broadcast(stats)).select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("o_totalprice") - F.col("mu")) / F.col("sigma")))).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("outcome"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("bigint").alias("bin"),
+        "score",
+        "outcome",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("score"), 4) + F.lit(0.0)).alias("avg_score"),
+            (F.round(F.avg(F.col("outcome").cast("double")), 4) + F.lit(0.0)).alias("event_rate"),
+        )
+        .orderBy("bin")
+    )

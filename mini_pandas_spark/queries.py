@@ -4304,3 +4304,171 @@ register(
     ORDER BY p.user_id
     """,
 )
+
+register(
+    "association_rules_brands",
+    relational.association_rules_brands,
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+    counts AS (SELECT brand, COUNT(*) AS cnt FROM items GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_orders
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, pair_orders,
+           round(CAST(pair_orders AS DOUBLE) / n.n_orders, 6) + 0.0 AS support,
+           round(CAST(pair_orders AS DOUBLE) / ca.cnt, 6) + 0.0 AS confidence,
+           round(CAST(pair_orders AS DOUBLE) * n.n_orders
+                 / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) + 0.0 AS lift
+    FROM pairs
+    JOIN counts ca ON ca.brand = pairs.brand_a
+    JOIN counts cb ON cb.brand = pairs.brand_b
+    CROSS JOIN n
+    ORDER BY lift DESC, brand_a ASC, brand_b ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "acf_daily_revenue",
+    relational.acf_daily_revenue,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY day
+    ), series AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx, rev
+        FROM daily
+    ), moments AS (SELECT AVG(rev) AS mean_rev FROM series),
+    lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+    num AS (
+        SELECT lag,
+               SUM((a.rev - m.mean_rev) * (b.rev - m.mean_rev)) AS num
+        FROM series a CROSS JOIN lags
+        JOIN series b ON a.idx = b.idx + lag
+        CROSS JOIN moments m
+        GROUP BY lag
+    ), den AS (
+        SELECT SUM((rev - m.mean_rev) * (rev - m.mean_rev)) AS den
+        FROM series CROSS JOIN moments m
+    )
+    SELECT lag, round(num / den.den, 4) + 0.0 AS acf
+    FROM num CROSS JOIN den ORDER BY lag
+    """,
+)
+
+register(
+    "target_encoding_segment",
+    relational.target_encoding_segment,
+    """
+    WITH joined AS (
+        SELECT c_mktsegment,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+        SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS global_mean
+        FROM joined
+    ), per_seg AS (
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM joined GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_orders,
+           round(CAST(sum_cents AS DOUBLE) / 100.0 / n_orders, 4) + 0.0
+               AS raw_mean,
+           round((CAST(sum_cents AS DOUBLE) / 100.0 + 20.0 * global_mean)
+                 / (n_orders + 20.0), 4) + 0.0 AS encoded
+    FROM per_seg CROSS JOIN g
+    ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "gdpr_delete_propagation",
+    relational.gdpr_delete_propagation,
+    """
+    WITH erased_c AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), erased_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased_c)
+    ), lvl AS (
+        SELECT 'customer' AS entity,
+               (SELECT COUNT(*) FROM erased_c) AS n_deleted,
+               (SELECT COUNT(*) FROM customer)
+                   - (SELECT COUNT(*) FROM erased_c) AS n_retained
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM erased_o),
+               (SELECT COUNT(*) FROM orders)
+                   - (SELECT COUNT(*) FROM erased_o)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM erased_o)),
+               (SELECT COUNT(*) FROM lineitem)
+                   - (SELECT COUNT(*) FROM lineitem
+                      WHERE l_orderkey IN (SELECT o_orderkey FROM erased_o))
+    )
+    SELECT entity, CAST(n_deleted AS BIGINT) AS n_deleted,
+           CAST(n_retained AS BIGINT) AS n_retained
+    FROM lvl ORDER BY entity
+    """,
+)
+
+register(
+    "calibration_bins_orders",
+    relational.calibration_bins_orders,
+    """
+    WITH stats AS (
+        SELECT AVG(o_totalprice) AS mu, STDDEV_POP(o_totalprice) AS sigma
+        FROM orders
+    ), scored AS (
+        SELECT 1.0 / (1.0 + exp(-(o_totalprice - mu) / sigma)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
+        FROM orders CROSS JOIN stats
+    )
+    SELECT CAST(least(9, floor(score * 10)) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           round(AVG(score), 4) + 0.0 AS avg_score,
+           round(AVG(CAST(outcome AS DOUBLE)), 4) + 0.0 AS event_rate
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+
+register(
+    "asof_forward_tolerance",
+    events.asof_forward_tolerance,
+    """
+    WITH tagged AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END AS p_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), with_next AS (
+        SELECT *,
+               LAST_VALUE(p_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_purchase_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           COALESCE(CASE WHEN epoch(next_purchase_ts) - epoch(ts) <= 3600.0
+                THEN strftime(next_purchase_ts, '%Y-%m-%d %H:%M:%S.%f') END,
+                '') AS purchase_ts,
+           COALESCE(CASE WHEN epoch(next_purchase_ts) - epoch(ts) <= 3600.0
+                THEN round(epoch(next_purchase_ts) - epoch(ts), 6) END,
+                -1.0) AS latency_sec
+    FROM with_next WHERE event_type = 'click'
+    """,
+)
