@@ -1873,3 +1873,85 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("purchase_ts_raw", F.lit("")).alias("purchase_ts"),
         "latency_sec",
     )
+
+
+def sequential_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (pair level): for every ordered pair of
+    event types (A, B), in how many user-days does A occur strictly
+    before some later B — the "A eventually followed by B" support that
+    seeds funnel discovery (gaps allowed, unlike the adjacent-only
+    transition matrix).
+
+    Scale: raw events collapse to one row per (user, day, type) carrying
+    min/max ts (partial agg before the shuffle), so the within-user-day
+    self-join is bounded by |types|² per user-day — a constant — never by
+    event volume.  Support occurrence test: min_ts(A) < max_ts(B).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("sec"),
+    )
+    spans = base.groupBy("user_id", "day", "event_type").agg(
+        F.min("sec").alias("min_sec"), F.max("sec").alias("max_sec")
+    )
+    n_user_days = spans.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.min_sec") < F.col("b.max_sec")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_user_days))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_user_days",
+            (F.round(F.col("n_user_days").cast("double") / F.col("n_days"), 6) + F.lit(0.0)).alias("support"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via Spark's bitmap
+    aggregate family — the scale path for exact COUNT(DISTINCT) at
+    100 TB: user ids are folded into fixed 4 KB bitmaps per
+    (type, bucket) on the map side, so the shuffle carries bitmaps, not
+    raw ids, and merge is a bitwise OR (bitmap_or_agg).  Contrast with
+    approx HLL (hll_rollup_customers) and with a naive countDistinct
+    whose shuffle is proportional to |distinct ids|.
+
+    Oracle: plain COUNT(DISTINCT user_id) — the bitmap pipeline must be
+    bit-for-bit exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("event_type")
+    )

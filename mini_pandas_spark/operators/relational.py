@@ -2870,3 +2870,41 @@ def calibration_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def ts_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature frame over the daily-revenue series: lag-1,
+    lag-7, trailing-28-day mean, and day-over-day pct change per day —
+    the supervised-learning matrix a demand model trains on.
+
+    Scale: the fact table collapses to |days| rows (exact cents partial
+    agg) before any window; the windows then run on the tiny series.  At
+    100 TB the only heavy stage is the first group-by, hash-partitioned
+    on day with map-side combine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    w = Window.orderBy("day")
+    w28 = w.rowsBetween(-27, 0)
+    rev = F.col("rev_cents").cast("double") / 100.0
+    lag1 = F.lag("rev_cents", 1).over(w)
+    lag7 = F.lag("rev_cents", 7).over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round(rev, 2) + F.lit(0.0)).alias("revenue"),
+        (F.round(F.coalesce(lag1.cast("double") / 100.0, F.lit(-1.0)), 2) + F.lit(0.0)).alias("lag1"),
+        (F.round(F.coalesce(lag7.cast("double") / 100.0, F.lit(-1.0)), 2) + F.lit(0.0)).alias("lag7"),
+        (F.round(F.avg(F.col("rev_cents").cast("double")).over(w28) / 100.0, 4) + F.lit(0.0)).alias("ma28"),
+        (
+            F.round(
+                F.coalesce(
+                    (F.col("rev_cents") - lag1).cast("double") / lag1.cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pct_change"),
+    ).orderBy("day")

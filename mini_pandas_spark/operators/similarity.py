@@ -1004,3 +1004,38 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", "vec_id", "score")
         .orderBy("rk")
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding matrix (mean / std / min /
+    max per coordinate) — the column-profile pass that feeds feature
+    scaling, dead-dimension detection, and quantization calibration.
+
+    Scale: posexplode fans each vector into (dim, value) rows — at 100 TB
+    this shuffles |rows|·|dims| skinny tuples hash-partitioned on dim,
+    with map-side partial aggregation collapsing each partition to
+    |dims| partials before the exchange; 64 groups aggregate exactly.
+    Sums run through DECIMAL so cross-engine addition order cannot show.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("v"))
+    dec = lambda c: c.cast("decimal(28,10)")
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("v"))).alias("s1"),
+        F.sum(dec(F.col("v") * F.col("v"))).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_val"),
+        (F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6) + F.lit(0.0)).alias("std_val"),
+        (F.round(F.col("mn"), 6) + F.lit(0.0)).alias("min_val"),
+        (F.round(F.col("mx"), 6) + F.lit(0.0)).alias("max_val"),
+    ).orderBy("dim")

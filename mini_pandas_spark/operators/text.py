@@ -1347,3 +1347,48 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile alignment report across document sources: bucket each
+    source's length distribution into ventiles by within-source
+    percent_rank, compare each (source, ventile) mean length against the
+    global ventile mean — the distribution-matching diagnostic behind
+    quantile normalization of heterogeneous corpora.
+
+    Scale: two window passes (one partitioned by source, one global) over
+    a 2-column projection; the global pass at 100 TB would use
+    approx-percentile bucketing instead of a single-partition rank — the
+    per-source pass (the real work) is already partition-parallel.
+    Output is |sources|×20 rows.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_glob = Window.orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.least(F.lit(19), F.floor(F.percent_rank().over(w_src) * 20)).cast("bigint").alias("ventile"),
+        F.least(F.lit(19), F.floor(F.percent_rank().over(w_glob) * 20)).cast("bigint").alias("gventile"),
+    )
+    glob = ranked.groupBy(F.col("gventile").alias("ventile")).agg(
+        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias("global_mean_chars")
+    )
+    per_src = ranked.groupBy("source", "ventile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias("mean_chars"),
+    )
+    return (
+        per_src.join(F.broadcast(glob), "ventile")
+        .select(
+            "source",
+            "ventile",
+            "n_docs",
+            "mean_chars",
+            "global_mean_chars",
+            (F.round(F.col("mean_chars") - F.col("global_mean_chars"), 4) + F.lit(0.0)).alias("delta"),
+        )
+        .orderBy("source", "ventile")
+    )

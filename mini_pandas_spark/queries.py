@@ -4472,3 +4472,126 @@ register(
     FROM with_next WHERE event_type = 'click'
     """,
 )
+
+register(
+    "sequential_pair_mining",
+    events.sequential_pair_mining,
+    """
+    WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               epoch(CAST(ts AS TIMESTAMP)) AS sec
+        FROM events
+    ), spans AS (
+        SELECT user_id, day, event_type,
+               MIN(sec) AS min_sec, MAX(sec) AS max_sec
+        FROM base GROUP BY user_id, day, event_type
+    ), n AS (
+        SELECT COUNT(*) AS n_days
+        FROM (SELECT DISTINCT user_id, day FROM spans)
+    ), pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*) AS n_user_days
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type <> b.event_type AND a.min_sec < b.max_sec
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT antecedent, consequent, n_user_days,
+           round(CAST(n_user_days AS DOUBLE) / n.n_days, 6) + 0.0 AS support
+    FROM pairs CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """,
+)
+
+register(
+    "bitmap_distinct_users",
+    events.bitmap_distinct_users,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+register(
+    "quantile_align_sources",
+    text.quantile_align_sources,
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               CAST(least(19, floor(PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) * 20))
+                   AS BIGINT) AS ventile,
+               CAST(least(19, floor(PERCENT_RANK() OVER (
+                   ORDER BY n_chars, doc_id) * 20)) AS BIGINT) AS gventile
+        FROM documents
+    ), g AS (
+        SELECT gventile AS ventile,
+               round(AVG(CAST(n_chars AS DOUBLE)), 4) + 0.0
+                   AS global_mean_chars
+        FROM ranked GROUP BY gventile
+    ), per_src AS (
+        SELECT source, ventile, COUNT(*) AS n_docs,
+               round(AVG(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS mean_chars
+        FROM ranked GROUP BY source, ventile
+    )
+    SELECT source, per_src.ventile, n_docs, mean_chars, global_mean_chars,
+           round(mean_chars - global_mean_chars, 4) + 0.0 AS delta
+    FROM per_src JOIN g ON per_src.ventile = g.ventile
+    ORDER BY source, per_src.ventile
+    """,
+)
+
+register(
+    "embedding_dim_stats",
+    similarity.embedding_dim_stats,
+    """
+    WITH exploded AS (
+        SELECT CAST(t.ord - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(t.ord AS INT)] AS DOUBLE) AS v
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS ord) t
+    ), agg AS (
+        SELECT dim, COUNT(*) AS n,
+               SUM(CAST(v AS DECIMAL(28,10))) AS s1,
+               SUM(CAST(v * v AS DECIMAL(28,10))) AS s2,
+               MIN(v) AS mn, MAX(v) AS mx
+        FROM exploded GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) + 0.0 AS mean_val,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                 0.0)), 6) + 0.0 AS std_val,
+           round(mn, 6) + 0.0 AS min_val,
+           round(mx, 6) + 0.0 AS max_val
+    FROM agg ORDER BY dim
+    """,
+)
+
+register(
+    "ts_features_daily",
+    relational.ts_features_daily,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(rev_cents AS DOUBLE) / 100.0, 2) + 0.0 AS revenue,
+           round(COALESCE(CAST(LAG(rev_cents, 1) OVER (ORDER BY day)
+                 AS DOUBLE) / 100.0, -1.0), 2) + 0.0 AS lag1,
+           round(COALESCE(CAST(LAG(rev_cents, 7) OVER (ORDER BY day)
+                 AS DOUBLE) / 100.0, -1.0), 2) + 0.0 AS lag7,
+           round(AVG(CAST(rev_cents AS DOUBLE)) OVER (
+                 ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+                 / 100.0, 4) + 0.0 AS ma28,
+           round(COALESCE(
+                 CAST(rev_cents - LAG(rev_cents, 1) OVER (ORDER BY day)
+                      AS DOUBLE)
+                 / CAST(LAG(rev_cents, 1) OVER (ORDER BY day) AS DOUBLE),
+                 0.0), 6) + 0.0 AS pct_change
+    FROM daily ORDER BY day
+    """,
+)

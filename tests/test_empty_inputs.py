@@ -129,6 +129,17 @@ EMPTY_OK_ZERO_ROWS = [
     "holt_linear_forecast",
     "rolling_corr_revenue_dau",
     "event_trigram_paths",
+    "association_rules_brands",
+    "acf_daily_revenue",
+    "target_encoding_segment",
+    "gdpr_delete_propagation",
+    "calibration_bins_orders",
+    "asof_forward_tolerance",
+    "sequential_pair_mining",
+    "bitmap_distinct_users",
+    "quantile_align_sources",
+    "embedding_dim_stats",
+    "ts_features_daily",
 ]
 
 
