@@ -1955,3 +1955,57 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+def lateness_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: treating event_id as arrival order within
+    each user's stream, measure per-event lateness (running-max event
+    time minus event time) and report how many events a watermark of
+    δ ∈ {0, 60, 300, 1800, 3600} seconds would drop — the offline
+    analysis that picks `withWatermark` before deploying a streaming
+    job.
+
+    Scale: one window partitioned by user (arrival is per-ingest-shard
+    in practice), then a 5-way bounded expansion over the δ grid —
+    shuffle proportional to |events|·5 skinny rows with map-side
+    combine.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = base.select(
+        (F.max("sec").over(w) - F.col("sec")).alias("lateness_sec")
+    )
+    total = late.agg(F.count(F.lit(1)).alias("n_total"))
+    deltas = spark.range(0, 5).select(
+        F.element_at(
+            F.array(F.lit(0), F.lit(60), F.lit(300), F.lit(1800), F.lit(3600)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("delta_sec")
+    )
+    return (
+        late.crossJoin(F.broadcast(deltas))
+        .groupBy("delta_sec")
+        .agg(
+            F.sum(
+                F.when(F.col("lateness_sec") > F.col("delta_sec"), 1).otherwise(0)
+            ).alias("n_late")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("delta_sec").cast("bigint").alias("delta_sec"),
+            "n_late",
+            (F.round(F.col("n_late").cast("double") / F.col("n_total"), 6) + F.lit(0.0)).alias("frac_late"),
+        )
+        .orderBy("delta_sec")
+    )

@@ -2908,3 +2908,79 @@ def ts_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("pct_change"),
     ).orderBy("day")
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per day-of-week, residual = remainder — the STL-lite pass a
+    forecasting pipeline runs before modeling.
+
+    Day-of-week is computed arithmetically (datediff mod 7) so both
+    engines agree without calendar-locale coupling.  Scale: the fact
+    table collapses to |days| rows before any window; everything after
+    is broadcast-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    witht = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w7).alias("trend"),
+        (F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")) % 7).alias("dow"),
+    ).withColumn("detrended", F.col("rev") - F.col("trend"))
+    seasonal = witht.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    return (
+        witht.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.round("rev", 2) + F.lit(0.0)).alias("revenue"),
+            (F.round("trend", 4) + F.lit(0.0)).alias("trend"),
+            (F.round("seasonal", 4) + F.lit(0.0)).alias("seasonal"),
+            (F.round(F.col("detrended") - F.col("seasonal"), 4) + F.lit(0.0)).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sampling allocation: given a total
+    sample budget of 1000, allocate to strata (market segments)
+    proportionally to N_h·S_h — the survey-sampling planner that decides
+    how many rows to draw per stratum before the sampling job runs.
+
+    Per-stratum stddev is derived from exact decimal cent moments
+    (sqrt(E[x²]−E[x]²)), not the engine's streaming stddev, so both
+    engines agree bit-for-bit before rounding.  Scale: one partial-agg
+    group-by; the allocation step is a 5-row broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_mktsegment", cents("c_acctbal").alias("cb"))
+    per = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("cb").cast("decimal(28,0)")).alias("s1"),
+        F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_h")
+    var = F.col("s2").cast("double") / F.col("n_h") - mean * mean
+    withsd = per.select(
+        "c_mktsegment",
+        "n_h",
+        (F.sqrt(F.greatest(var, F.lit(0.0))) / 100.0).alias("s_h"),
+    ).withColumn("weight", F.col("n_h") * F.col("s_h"))
+    tot = withsd.agg(F.sum("weight").alias("tot_w"))
+    return (
+        withsd.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n_h",
+            (F.round("s_h", 4) + F.lit(0.0)).alias("s_h"),
+            F.round(F.lit(1000.0) * F.col("weight") / F.col("tot_w"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1392,3 +1392,38 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "ventile")
     )
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration over the corpus: count adjacent character
+    pairs weighted by word frequency and rank the top-20 merge
+    candidates — the inner loop of byte-pair-encoding tokenizer
+    training, run the scalable way.
+
+    Scale trick (the real BPE-at-scale design): collapse the corpus to
+    DISTINCT (word, count) first — pair extraction then costs
+    O(|vocab|·len), never O(corpus); the explode is over per-word
+    character positions of the vocabulary table only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        words.select(
+            "w",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    return (
+        pairs.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(20)
+        .select("pair", "pair_count")
+    )

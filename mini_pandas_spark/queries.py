@@ -4595,3 +4595,111 @@ register(
     FROM daily ORDER BY day
     """,
 )
+
+register(
+    "seasonal_decompose_daily",
+    relational.seasonal_decompose_daily,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS rev
+        FROM orders GROUP BY day
+    ), witht AS (
+        SELECT day, rev,
+               AVG(rev) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               datediff('day', DATE '1995-01-01', day) % 7 AS dow
+        FROM daily
+    ), detr AS (
+        SELECT *, rev - trend AS detrended FROM witht
+    ), seas AS (
+        SELECT dow, AVG(detrended) AS seasonal FROM detr GROUP BY dow
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(rev, 2) + 0.0 AS revenue,
+           round(trend, 4) + 0.0 AS trend,
+           round(seasonal, 4) + 0.0 AS seasonal,
+           round(detrended - seasonal, 4) + 0.0 AS residual
+    FROM detr JOIN seas USING (dow)
+    ORDER BY day
+    """,
+)
+
+register(
+    "neyman_allocation",
+    relational.neyman_allocation,
+    """
+    WITH base AS (
+        SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+        FROM customer
+    ), per AS (
+        SELECT c_mktsegment, COUNT(*) AS n_h,
+               SUM(CAST(cb AS DECIMAL(28,0))) AS s1,
+               SUM(CAST(cb * cb AS DECIMAL(38,0))) AS s2
+        FROM base GROUP BY c_mktsegment
+    ), withsd AS (
+        SELECT c_mktsegment, n_h,
+               sqrt(greatest(CAST(s2 AS DOUBLE) / n_h
+                    - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h),
+                    0.0)) / 100.0 AS s_h
+        FROM per
+    ), tot AS (SELECT SUM(n_h * s_h) AS tot_w FROM withsd)
+    SELECT c_mktsegment, n_h,
+           round(s_h, 4) + 0.0 AS s_h,
+           CAST(round(1000.0 * n_h * s_h / tot.tot_w) AS BIGINT) AS alloc
+    FROM withsd CROSS JOIN tot
+    ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "bpe_merge_step",
+    text.bpe_merge_step,
+    """
+    WITH words AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        )
+        WHERE length(w) >= 2
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
+        FROM words,
+             (SELECT unnest(generate_series(1, 200)) AS i) g
+        WHERE i <= length(w) - 1
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "lateness_audit_events",
+    events.lateness_audit_events,
+    """
+    WITH base AS (
+        SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS sec
+        FROM events
+    ), late AS (
+        SELECT MAX(sec) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - sec AS lateness_sec
+        FROM base
+    ), total AS (SELECT COUNT(*) AS n_total FROM late),
+    deltas AS (SELECT CAST(unnest([0, 60, 300, 1800, 3600]) AS BIGINT)
+                   AS delta_sec)
+    SELECT delta_sec,
+           CAST(SUM(CASE WHEN lateness_sec > delta_sec THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late,
+           round(CAST(SUM(CASE WHEN lateness_sec > delta_sec THEN 1 ELSE 0
+                END) AS DOUBLE) / MAX(total.n_total), 6) + 0.0 AS frac_late
+    FROM late CROSS JOIN deltas CROSS JOIN total
+    GROUP BY delta_sec
+    ORDER BY delta_sec
+    """,
+)

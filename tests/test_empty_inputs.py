@@ -140,6 +140,10 @@ EMPTY_OK_ZERO_ROWS = [
     "quantile_align_sources",
     "embedding_dim_stats",
     "ts_features_daily",
+    "seasonal_decompose_daily",
+    "neyman_allocation",
+    "bpe_merge_step",
+    "lateness_audit_events",
 ]
 
 
