@@ -2009,3 +2009,46 @@ def lateness_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delta_sec")
     )
+
+
+def conversion_rate_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B conversion readout: per deterministic hash bucket,
+    the Beta posterior over conversion rate under the Jeffreys prior
+    Beta(1/2, 1/2) — posterior mean and sd in closed form, the shrunken
+    estimate an experimentation platform reports next to the raw rate
+    (complements ab_test_lift's frequentist readout and CUPED).
+
+    Scale: identical shape to ab_test_lift — per-user partial agg, then
+    a 2-group rollup; the posterior math is constant-time arithmetic on
+    the 2-row result.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.select("user_id", bucket.alias("bucket"), "event_type")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    per_bucket = per_user.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("converters"),
+    )
+    a = F.col("converters") + 0.5
+    b = F.col("n_users") - F.col("converters") + 0.5
+    mean = a / (a + b)
+    var = a * b / ((a + b) * (a + b) * (a + b + 1.0))
+    return per_bucket.select(
+        "bucket",
+        "n_users",
+        "converters",
+        (F.round(F.col("converters").cast("double") / F.col("n_users"), 6) + F.lit(0.0)).alias("raw_rate"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("post_mean"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("post_sd"),
+    ).orderBy("bucket")

@@ -2984,3 +2984,36 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007), the
+    companion to k_anonymity_audit: within each (segment, nation)
+    quasi-identifier class, the sensitive attribute (account-balance
+    thousand-band) must take ≥ l = 3 distinct values; report per segment
+    how many classes violate and how many individuals they expose.
+
+    Scale: one quasi-identifier group-by carrying a distinct-count (the
+    only data-scale shuffle), then a segment rollup over the tiny class
+    table.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    classes = c.select(
+        "c_mktsegment", "c_nationkey", sens.alias("band")
+    ).groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("band").alias("n_sensitive"),
+    )
+    viol = F.col("n_sensitive") < 3
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias("n_violating"),
+            F.sum(F.when(viol, F.col("class_size")).otherwise(0))
+            .cast("bigint")
+            .alias("exposed_individuals"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1427,3 +1427,51 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("pair", "pair_count")
     )
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: rank documents by a
+    difficulty proxy (global length percent_rank, doc_id tiebreak), cut
+    the corpus into easy/medium/hard thirds, and report per (stage,
+    lang) volume and token mass — the stage manifest a curriculum
+    training run consumes.
+
+    Scale: the global rank at 100 TB would swap to approx-percentile
+    thresholds (the reported aggregates are identical); everything else
+    is a single group-by with map-side partials.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("pr"),
+    ).select(
+        "lang",
+        "n_chars",
+        F.when(F.col("pr") < 1.0 / 3, F.lit("1_easy"))
+        .when(F.col("pr") < 2.0 / 3, F.lit("2_medium"))
+        .otherwise(F.lit("3_hard"))
+        .alias("stage"),
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ranked.groupBy("stage", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.round(F.avg(F.col("n_chars").cast("double")), 2) + F.lit(0.0)).alias("mean_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "lang",
+            "n_docs",
+            "total_chars",
+            "mean_chars",
+            (F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6) + F.lit(0.0)).alias("corpus_share"),
+        )
+        .orderBy("stage", "lang")
+    )

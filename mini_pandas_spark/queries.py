@@ -4703,3 +4703,73 @@ register(
     ORDER BY delta_sec
     """,
 )
+
+register(
+    "l_diversity_audit",
+    relational.l_diversity_audit,
+    """
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                   AS n_sensitive
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END)
+               AS BIGINT) AS exposed_individuals
+    FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "curriculum_stages",
+    text.curriculum_stages,
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    ), staged AS (
+        SELECT lang, n_chars,
+               CASE WHEN pr < 1.0/3 THEN '1_easy'
+                    WHEN pr < 2.0/3 THEN '2_medium'
+                    ELSE '3_hard' END AS stage
+        FROM ranked
+    ), total AS (SELECT COUNT(*) AS n_total FROM staged)
+    SELECT stage, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(AVG(CAST(n_chars AS DOUBLE)), 2) + 0.0 AS mean_chars,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(total.n_total), 6) + 0.0
+               AS corpus_share
+    FROM staged CROSS JOIN total
+    GROUP BY stage, lang ORDER BY stage, lang
+    """,
+)
+
+register(
+    "conversion_rate_bayes",
+    events.conversion_rate_bayes,
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS bucket,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), per_bucket AS (
+        SELECT bucket, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS converters
+        FROM per_user GROUP BY bucket
+    )
+    SELECT bucket, n_users, converters,
+           round(CAST(converters AS DOUBLE) / n_users, 6) + 0.0 AS raw_rate,
+           round((converters + 0.5) / (n_users + 1.0), 6) + 0.0 AS post_mean,
+           round(sqrt((converters + 0.5) * (n_users - converters + 0.5)
+                 / ((n_users + 1.0) * (n_users + 1.0) * (n_users + 2.0))),
+                 6) + 0.0 AS post_sd
+    FROM per_bucket ORDER BY bucket
+    """,
+)

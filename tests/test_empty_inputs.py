@@ -144,6 +144,9 @@ EMPTY_OK_ZERO_ROWS = [
     "neyman_allocation",
     "bpe_merge_step",
     "lateness_audit_events",
+    "l_diversity_audit",
+    "curriculum_stages",
+    "conversion_rate_bayes",
 ]
 
 
