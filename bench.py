@@ -82,6 +82,13 @@ HEADLINE = [
     "range_partition_planner",
     "cusum_changepoints",
     "inverted_index_topdf",
+    "association_rules_brands",
+    "sequential_pair_mining",
+    "bitmap_distinct_users",
+    "embedding_dim_stats",
+    "seasonal_decompose_daily",
+    "bpe_merge_step",
+    "curriculum_stages",
 ]
 
 
