@@ -2052,3 +2052,53 @@ def conversion_rate_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mean, 6) + F.lit(0.0)).alias("post_mean"),
         (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("post_sd"),
     ).orderBy("bucket")
+
+
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every ordered pair of event types,
+    the Jaccard similarity of their user sets — the cross-channel
+    audience report an ads/analytics platform computes.
+
+    Scale: events collapse to DISTINCT (type, user) first; the pair
+    join is keyed on user (co-partitioned, |types|² bounded per user),
+    and per-type set sizes broadcast into the final 25-row projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2852,8 +2852,12 @@ def calibration_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("o_totalprice").alias("mu"),
         F.stddev_pop("o_totalprice").alias("sigma"),
     )
+    z = F.when(
+        F.col("sigma") > 0.0,
+        (F.col("o_totalprice") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
     scored = o.crossJoin(F.broadcast(stats)).select(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("o_totalprice") - F.col("mu")) / F.col("sigma")))).alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
         F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("outcome"),
     )
     binned = scored.select(
@@ -2978,7 +2982,11 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "n_h",
             (F.round("s_h", 4) + F.lit(0.0)).alias("s_h"),
-            F.round(F.lit(1000.0) * F.col("weight") / F.col("tot_w"))
+            F.when(
+                F.col("tot_w") > 0.0,
+                F.round(F.lit(1000.0) * F.col("weight") / F.col("tot_w")),
+            )
+            .otherwise(F.lit(0.0))
             .cast("bigint")
             .alias("alloc"),
         )
@@ -3016,4 +3024,57 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exposed_individuals"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS shortest-hop distances over the symmetrized part
+    co-purchase graph from a deterministic seed set (partkey % 1000 ==
+    0): distance-frontier expansion for 3 rounds, then the hop-count
+    histogram — the "degrees of separation" reachability report (the
+    engine's 4th iterative-graph shape after PageRank, CC, and Lloyd).
+
+    Scale: each round is one co-partitioned join frontier⋈edges + a
+    min-aggregate; frontier and visited-set partition on node id, and
+    lineage is truncated per round.  The round bound (3) caps the
+    number of shuffles regardless of graph size.
+
+    Oracle: DuckDB recursive CTE with UNION (set semantics) over the
+    same edge construction, min distance per node.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where(F.col("node") % 1000 == 0).select(
+        "node", F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint()
+    for h in range(1, 4):
+        frontier = dist.where(F.col("hops") == h - 1)
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(h).cast("int").alias("hops"))
+            .distinct()
+        )
+        new = reached.join(dist.select("node"), "node", "left_anti")
+        dist = dist.unionByName(new).localCheckpoint()
+    return (
+        dist.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("hops").cast("bigint").alias("hops"), "n_nodes")
+        .orderBy("hops")
     )

@@ -4431,7 +4431,8 @@ register(
         SELECT AVG(o_totalprice) AS mu, STDDEV_POP(o_totalprice) AS sigma
         FROM orders
     ), scored AS (
-        SELECT 1.0 / (1.0 + exp(-(o_totalprice - mu) / sigma)) AS score,
+        SELECT 1.0 / (1.0 + exp(-(CASE WHEN sigma > 0.0
+                   THEN (o_totalprice - mu) / sigma ELSE 0.0 END))) AS score,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
         FROM orders CROSS JOIN stats
     )
@@ -4647,7 +4648,9 @@ register(
     ), tot AS (SELECT SUM(n_h * s_h) AS tot_w FROM withsd)
     SELECT c_mktsegment, n_h,
            round(s_h, 4) + 0.0 AS s_h,
-           CAST(round(1000.0 * n_h * s_h / tot.tot_w) AS BIGINT) AS alloc
+           CAST(CASE WHEN tot.tot_w > 0.0
+                THEN round(1000.0 * n_h * s_h / tot.tot_w)
+                ELSE 0.0 END AS BIGINT) AS alloc
     FROM withsd CROSS JOIN tot
     ORDER BY c_mktsegment
     """,
@@ -4771,5 +4774,60 @@ register(
                  / ((n_users + 1.0) * (n_users + 1.0) * (n_users + 2.0))),
                  6) + 0.0 AS post_sd
     FROM per_bucket ORDER BY bucket
+    """,
+)
+
+register(
+    "bfs_hops_copurchase",
+    relational.bfs_hops_copurchase,
+    """
+    WITH RECURSIVE po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ), edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM pairs
+    ), walk AS (
+        SELECT src AS node, 0 AS hops
+        FROM (SELECT DISTINCT src FROM edges)
+        WHERE src % 1000 = 0
+        UNION
+        SELECT e.dst AS node, w.hops + 1 AS hops
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.hops < 3
+    ), best AS (
+        SELECT node, MIN(hops) AS hops FROM walk GROUP BY node
+    )
+    SELECT CAST(hops AS BIGINT) AS hops, COUNT(*) AS n_nodes
+    FROM best GROUP BY hops ORDER BY hops
+    """,
+)
+
+register(
+    "audience_overlap_jaccard",
+    events.audience_overlap_jaccard,
+    """
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_common
+        FROM aud a JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+               + 0.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = inter.type_a
+    JOIN sizes sb ON sb.event_type = inter.type_b
+    ORDER BY type_a, type_b
     """,
 )

@@ -147,6 +147,8 @@ EMPTY_OK_ZERO_ROWS = [
     "l_diversity_audit",
     "curriculum_stages",
     "conversion_rate_bayes",
+    "bfs_hops_copurchase",
+    "audience_overlap_jaccard",
 ]
 
 
