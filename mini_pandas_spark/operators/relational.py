@@ -3078,3 +3078,180 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hops").cast("bigint").alias("hops"), "n_nodes")
         .orderBy("hops")
     )
+
+
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drawdowns of the daily-revenue series: the
+    running historical peak per day and the relative drop from it,
+    ranked — the risk metric ops/finance dashboards track, computed as
+    a prefix-scan (running max window), not a quadratic pair search.
+
+    Scale: facts collapse to |days| rows first; the running max is one
+    window over the tiny series.  Top-10 with day tiebreak.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "day",
+        "rev",
+        "peak",
+        ((F.col("peak") - F.col("rev")) / F.col("peak")).alias("raw_dd"),
+    )
+    return (
+        dd.orderBy(F.col("raw_dd").desc(), F.col("day").asc())
+        .limit(10)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.round("rev", 2) + F.lit(0.0)).alias("revenue"),
+            (F.round("peak", 2) + F.lit(0.0)).alias("peak"),
+            (F.round("raw_dd", 6) + F.lit(0.0)).alias("drawdown_pct"),
+        )
+    )
+
+
+_GEO_PRIME_LAT = 2654435761
+_GEO_PRIME_LON = 2246822519
+_GEO_MOD = 2147483647
+
+
+def _synth_lat(key):
+    return ((key * _GEO_PRIME_LAT) % _GEO_MOD % 18000) / 100.0 - 90.0
+
+
+def _synth_lon(key):
+    return ((key * _GEO_PRIME_LON) % _GEO_MOD % 36000) / 100.0 - 180.0
+
+
+def haversine_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial nearest-neighbor join: assign every customer the
+    closest supplier in its nation by haversine great-circle distance
+    (coordinates synthesized deterministically from keys — both engines
+    derive identical points).  The store-assignment / fulfillment
+    routing query of a logistics pipeline.
+
+    Scale: the candidate join is blocked on nationkey (the natural
+    partition key); at 100 TB the block becomes a geohash-cell prefilter
+    (join on neighboring cells) so candidates stay bounded per customer.
+    Argmin via (distance, suppkey) row_number — deterministic under
+    ties.  Top-100 customers by custkey keep the result bounded.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.radians(_synth_lat(F.col("c_custkey"))).alias("c_lat"),
+        F.radians(_synth_lon(F.col("c_custkey"))).alias("c_lon"),
+    ).where(F.col("c_custkey") <= 100)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.radians(_synth_lat(F.col("s_suppkey"))).alias("s_lat"),
+        F.radians(_synth_lon(F.col("s_suppkey"))).alias("s_lon"),
+    )
+    j = c.join(s, c.c_nationkey == s.s_nationkey)
+    a = (
+        F.pow(F.sin((F.col("s_lat") - F.col("c_lat")) / 2), 2)
+        + F.cos("c_lat")
+        * F.cos("s_lat")
+        * F.pow(F.sin((F.col("s_lon") - F.col("c_lon")) / 2), 2)
+    )
+    dist = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+    scored = j.select(
+        "c_custkey", "s_suppkey", dist.alias("dist_km")
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_km").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (F.round("dist_km", 2) + F.lit(0.0)).alias("dist_km"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_BOOT_PRIME = 2654435761
+_BOOT_MOD = 2147483647
+# Poisson(1) CDF steps for deterministic pseudo-Poisson bootstrap weights
+_POIS_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563]
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value: 100
+    replicates, each weighting every order by a DETERMINISTIC
+    pseudo-Poisson(1) draw (hash of (orderkey, replicate) → uniform →
+    inverse CDF), replicate means from exact integer cent sums, then
+    the 2.5/97.5 percentile interval and bootstrap SE — the
+    embarrassingly-parallel resampling recipe for big data (each row
+    never materializes B copies of the dataset; the explode factor is
+    the constant B).
+
+    Scale: |rows|·100 skinny (replicate, w, w·cents) tuples with
+    map-side partial aggregation down to 100 partials; everything after
+    is driver-trivial.  Replicate means are decimal-cast before the SE
+    aggregate so cross-engine addition order cannot show.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.range(0, 100).select(F.col("id").alias("b"))
+    u = (
+        ((F.col("o_orderkey") % _BOOT_MOD) * 31 + F.col("b"))
+        * _BOOT_PRIME
+        % _BOOT_MOD
+    ).cast("double") / float(_BOOT_MOD)
+    wgt = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .otherwise(5)
+    )
+    weighted = (
+        o.select("o_orderkey", cents("o_totalprice").alias("cts"))
+        .crossJoin(F.broadcast(reps))
+        .select("b", wgt.alias("w"), "cts")
+    )
+    per_rep = weighted.groupBy("b").agg(
+        F.sum(F.col("w").cast("bigint") * F.col("cts")).alias("wsum"),
+        F.sum(F.col("w").cast("bigint")).alias("wn"),
+    ).select(
+        "b",
+        F.when(
+            F.col("wn") > 0,
+            F.round(F.col("wsum").cast("double") / F.col("wn") / 100.0, 6),
+        ).alias("rep_mean"),
+    ).where(F.col("rep_mean").isNotNull())
+    ranked = per_rep.select(
+        "rep_mean",
+        F.row_number().over(Window.orderBy(F.col("rep_mean").asc(), F.col("b").asc())).alias("rk"),
+    )
+    point = o.agg(
+        (F.sum(cents("o_totalprice")).cast("double") / F.count(F.lit(1)) / 100.0).alias("point_mean")
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.min(F.when(F.col("rk") == 3, F.col("rep_mean"))).alias("ci_low"),
+        F.min(F.when(F.col("rk") == 98, F.col("rep_mean"))).alias("ci_high"),
+        F.sum(F.col("rep_mean").cast("decimal(18,6)")).alias("s1"),
+        F.sum((F.col("rep_mean") * F.col("rep_mean")).cast("decimal(28,10)")).alias("s2"),
+    )
+    mean_r = F.col("s1").cast("double") / F.col("n_replicates")
+    var_r = F.col("s2").cast("double") / F.col("n_replicates") - mean_r * mean_r
+    return stats.crossJoin(F.broadcast(point)).select(
+        "n_replicates",
+        (F.round("point_mean", 4) + F.lit(0.0)).alias("point_mean"),
+        (F.round(F.sqrt(F.greatest(var_r, F.lit(0.0))), 4) + F.lit(0.0)).alias("boot_se"),
+        (F.round("ci_low", 4) + F.lit(0.0)).alias("ci_low"),
+        (F.round("ci_high", 4) + F.lit(0.0)).alias("ci_high"),
+    )

@@ -4831,3 +4831,122 @@ register(
     ORDER BY type_a, type_b
     """,
 )
+
+register(
+    "max_drawdown_daily",
+    relational.max_drawdown_daily,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS rev
+        FROM orders GROUP BY day
+    ), dd AS (
+        SELECT day, rev,
+               MAX(rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(rev, 2) + 0.0 AS revenue,
+           round(peak, 2) + 0.0 AS peak,
+           round((peak - rev) / peak, 6) + 0.0 AS drawdown_pct
+    FROM dd
+    ORDER BY (peak - rev) / peak DESC, day ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "haversine_nearest_supplier",
+    relational.haversine_nearest_supplier,
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               radians(((c_custkey * 2654435761) % 2147483647 % 18000)
+                   / 100.0 - 90.0) AS c_lat,
+               radians(((c_custkey * 2246822519) % 2147483647 % 36000)
+                   / 100.0 - 180.0) AS c_lon
+        FROM customer WHERE c_custkey <= 100
+    ), s AS (
+        SELECT s_suppkey, s_nationkey,
+               radians(((s_suppkey * 2654435761) % 2147483647 % 18000)
+                   / 100.0 - 90.0) AS s_lat,
+               radians(((s_suppkey * 2246822519) % 2147483647 % 36000)
+                   / 100.0 - 180.0) AS s_lon
+        FROM supplier
+    ), scored AS (
+        SELECT c_custkey, s_suppkey,
+               2.0 * 6371.0 * asin(sqrt(
+                   pow(sin((s_lat - c_lat) / 2), 2)
+                   + cos(c_lat) * cos(s_lat)
+                     * pow(sin((s_lon - c_lon) / 2), 2))) AS dist_km
+        FROM c JOIN s ON c_nationkey = s_nationkey
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                   ORDER BY dist_km ASC, s_suppkey ASC) AS rk
+        FROM scored
+    )
+    SELECT c_custkey, s_suppkey, round(dist_km, 2) + 0.0 AS dist_km
+    FROM ranked WHERE rk = 1 ORDER BY c_custkey
+    """,
+)
+
+register(
+    "bootstrap_ci_revenue",
+    relational.bootstrap_ci_revenue,
+    """
+    WITH reps AS (SELECT unnest(generate_series(0, 99)) AS b),
+    weighted AS (
+        SELECT b,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 ELSE 5 END AS w,
+               cts
+        FROM (
+            SELECT b,
+                   CAST(((o_orderkey % 2147483647) * 31 + b) * 2654435761
+                        % 2147483647 AS DOUBLE) / 2147483647 AS u,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cts
+            FROM orders CROSS JOIN reps
+        )
+    ), per_rep AS (
+        SELECT b, rep_mean FROM (
+            SELECT b,
+                   CASE WHEN SUM(CAST(w AS BIGINT)) > 0 THEN
+                       round(CAST(SUM(CAST(w AS BIGINT) * cts) AS DOUBLE)
+                             / SUM(CAST(w AS BIGINT)) / 100.0, 6)
+                   END AS rep_mean
+            FROM weighted GROUP BY b
+        ) WHERE rep_mean IS NOT NULL
+    ), ranked AS (
+        SELECT rep_mean, b,
+               ROW_NUMBER() OVER (ORDER BY rep_mean ASC, b ASC) AS rk
+        FROM per_rep
+    ), point AS (
+        SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS point_mean
+        FROM orders
+    ), stats AS (
+        SELECT COUNT(*) AS n_replicates,
+               MIN(CASE WHEN rk = 3 THEN rep_mean END) AS ci_low,
+               MIN(CASE WHEN rk = 98 THEN rep_mean END) AS ci_high,
+               SUM(CAST(rep_mean AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(rep_mean * rep_mean AS DECIMAL(28,10))) AS s2
+        FROM ranked
+    )
+    SELECT n_replicates,
+           round(point_mean, 4) + 0.0 AS point_mean,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_replicates
+                 - (CAST(s1 AS DOUBLE) / n_replicates)
+                   * (CAST(s1 AS DOUBLE) / n_replicates), 0.0)), 4) + 0.0
+               AS boot_se,
+           round(ci_low, 4) + 0.0 AS ci_low,
+           round(ci_high, 4) + 0.0 AS ci_high
+    FROM stats CROSS JOIN point
+    """,
+)

@@ -149,6 +149,9 @@ EMPTY_OK_ZERO_ROWS = [
     "conversion_rate_bayes",
     "bfs_hops_copurchase",
     "audience_overlap_jaccard",
+    "max_drawdown_daily",
+    "haversine_nearest_supplier",
+    "bootstrap_ci_revenue",
 ]
 
 
