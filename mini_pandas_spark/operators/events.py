@@ -1896,7 +1896,7 @@ def sequential_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = base.groupBy("user_id", "day", "event_type").agg(
         F.min("sec").alias("min_sec"), F.max("sec").alias("max_sec")
-    )
+    ).persist()  # three consumers: both pair-join sides + the day count
     n_user_days = spans.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("n_days")
     )
@@ -2064,7 +2064,8 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-type set sizes broadcast into the final 25-row projection.
     """
     ev = load_table(spark, sf_dir, "events")
-    aud = ev.select("event_type", "user_id").distinct()
+    # three consumers (both join sides + sizes): persist the reduced set
+    aud = ev.select("event_type", "user_id").distinct().persist()
     sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = aud.alias("a")
     b = aud.alias("b")

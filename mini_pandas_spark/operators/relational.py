@@ -2652,6 +2652,11 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        # four consumers (both pair-join sides, basket count, brand
+        # marginals) — persist once instead of re-running the fact scan
+        # + distinct shuffle 4x; this frame is |orders|x|brands-per-order|,
+        # far under raw line volume
+        .persist()
     )
     n_orders = items.select("okey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
