@@ -4950,3 +4950,42 @@ register(
     FROM stats CROSS JOIN point
     """,
 )
+
+register(
+    "streaming_anomaly_windows",
+    _stream_windows.streaming_anomaly_windows,
+    """
+    WITH cents AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events
+    ), base AS (
+        SELECT event_type,
+               CAST(SUM(CAST(cv AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+                   / 100.0 AS base_mean,
+               sqrt(greatest(
+                   CAST(SUM(CAST(cv * cv AS DECIMAL(38,0))) AS DOUBLE)
+                       / COUNT(*)
+                   - (CAST(SUM(CAST(cv AS DECIMAL(28,0))) AS DOUBLE)
+                      / COUNT(*))
+                     * (CAST(SUM(CAST(cv AS DECIMAL(28,0))) AS DOUBLE)
+                        / COUNT(*)),
+                   0.0)) / 100.0 AS base_std
+        FROM cents GROUP BY event_type
+    ), win AS (
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                   '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(cv) AS BIGINT) AS win_cents
+        FROM cents GROUP BY 1, 2
+    )
+    SELECT window_start, win.event_type, n_events,
+           round(CAST(win_cents AS DOUBLE) / n_events / 100.0, 4) + 0.0
+               AS win_mean,
+           CAST(CASE WHEN abs(CAST(win_cents AS DOUBLE) / n_events / 100.0
+                        - base_mean)
+                     > 2.0 * base_std / sqrt(CAST(n_events AS DOUBLE))
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM win JOIN base ON win.event_type = base.event_type
+    """,
+)

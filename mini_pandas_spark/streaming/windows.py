@@ -615,3 +615,87 @@ def batch_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerting: windowed per-type hourly means joined
+    against a STATIC per-type baseline (mean/std over history) inside
+    the streaming plan; windows whose mean deviates by more than 2σ are
+    flagged — the alerting topology (stream-static enrich + threshold)
+    of a monitoring pipeline, third streaming topology shape after pure
+    windowed agg and stream-static key enrich.
+
+    The baseline stddev comes from exact decimal cent moments (not the
+    engine's streaming stddev) so the oracle can reproduce it; over a
+    single AvailableNow drain the watermark drops nothing, so the whole
+    streaming result is DuckDB-oracle-gated like streaming_hourly_counts.
+    At scale the baseline is a small broadcast table refreshed by a
+    batch job; state is bounded by the watermark.
+    """
+    from ..sources import load_table
+
+    ev_static = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100).cast("bigint")
+    base = (
+        ev_static.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents_v.cast("decimal(28,0)")).alias("s1"),
+            F.sum((cents_v * cents_v).cast("decimal(38,0)")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1").cast("double") / F.col("n") / 100.0).alias("base_mean"),
+            (
+                F.sqrt(
+                    F.greatest(
+                        F.col("s2").cast("double") / F.col("n")
+                        - (F.col("s1").cast("double") / F.col("n"))
+                        * (F.col("s1").cast("double") / F.col("n")),
+                        F.lit(0.0),
+                    )
+                )
+                / 100.0
+            ).alias("base_std"),
+        )
+    )
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("win_cents"),
+        )
+    )
+    joined = win.join(F.broadcast(base), "event_type").select(
+        F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        (
+            F.round(F.col("win_cents").cast("double") / F.col("n_events") / 100.0, 4)
+            + F.lit(0.0)
+        ).alias("win_mean"),
+        F.when(
+            F.abs(
+                F.col("win_cents").cast("double") / F.col("n_events") / 100.0
+                - F.col("base_mean")
+            )
+            > 2.0 * F.col("base_std") / F.sqrt(F.col("n_events").cast("double")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
