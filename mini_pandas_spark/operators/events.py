@@ -2103,3 +2103,56 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per day: each observation is
+    weighted by how long it remains "current" (seconds until the next
+    event that day, last one weighted to midnight) — the metric shape
+    of telemetry/pricing pipelines where sampling is irregular and the
+    arithmetic mean over-weights bursts.
+
+    Scale: one window (lead) per day partition, then an exact
+    integer-weighted aggregate — weights are whole seconds, values
+    whole cents, so the weighted sums are exact on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.col("ts").cast("timestamp").cast("double").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    w = Window.partitionBy("day").orderBy("sec", "event_id")
+    nxt = F.lead("sec").over(w)
+    day_end = F.col("day").cast("timestamp").cast("double") + 86400.0
+    weighted = base.select(
+        "day",
+        "cv",
+        F.floor(F.coalesce(nxt, day_end) - F.col("sec")).cast("bigint").alias("w_sec"),
+    )
+    return (
+        weighted.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("w_sec") * F.col("cv")).alias("wsum"),
+            F.sum("w_sec").alias("wtot"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            (
+                F.round(
+                    F.when(
+                        F.col("wtot") > 0,
+                        F.col("wsum").cast("double") / F.col("wtot") / 100.0,
+                    ).otherwise(F.lit(0.0)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("twap_value"),
+        )
+        .orderBy("day")
+    )

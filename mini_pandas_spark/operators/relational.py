@@ -3260,3 +3260,91 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("ci_low", 4) + F.lit(0.0)).alias("ci_low"),
         (F.round("ci_high", 4) + F.lit(0.0)).alias("ci_high"),
     )
+
+
+def sla_attainment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: share of orders whose first
+    shipment left within 30 days, plus exact p50/p90 days-to-first-ship
+    (rank-picked from integer day latencies, not interpolated — both
+    engines select identical order statistics).
+
+    Scale: lineitem collapses to per-order MIN(shipdate) with map-side
+    partials before joining orders; the percentile pick is a per-group
+    window over the already-aggregated per-order rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff("first_ship", F.to_date("o_orderdate")).alias("days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+    cnt = Window.partitionBy("o_orderpriority")
+    ranked = j.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("days") <= 30, 1).otherwise(0)).cast("double")
+                    / F.max("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("on_time_frac"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("days"))
+            ).cast("bigint").alias("p50_days"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.9), F.col("days"))
+            ).cast("bigint").alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph in log2 buckets
+    — the one-pass structural profile (power-law check) a graph
+    pipeline emits before choosing partitioning/skew strategy for
+    heavier algorithms.
+
+    Scale: same edge construction as PageRank/BFS; degrees are one
+    group-by, the histogram a second over |nodes| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        po.alias("a")
+        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    sym = pairs.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).union(
+        pairs.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    bucket = F.floor(F.log2(F.col("deg").cast("double"))).cast("bigint")
+    return (
+        deg.groupBy(bucket.alias("log2_deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+        .orderBy("log2_deg_bucket")
+    )

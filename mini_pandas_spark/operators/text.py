@@ -1475,3 +1475,96 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "lang")
     )
+
+
+def sentence_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per language: split on [.!?] runs,
+    count non-empty sentences and their token lengths — the
+    readability/structure features a quality filter adds next to
+    character-level stats.
+
+    Scale: pure Catalyst expressions over one scan (split + filter +
+    aggregate HOFs); the only shuffle is the 5-group rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(sents).cast("bigint").alias("n_sents"),
+        token_count("text").alias("n_tok"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sents").alias("total_sents"),
+            (
+                F.round(
+                    F.sum("n_tok").cast("double") / F.sum("n_sents"), 4
+                )
+                + F.lit(0.0)
+            ).alias("mean_tokens_per_sent"),
+            (
+                F.round(F.avg(F.col("n_sents").cast("double")), 4) + F.lit(0.0)
+            ).alias("mean_sents_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: adjacent
+    token bigrams with count ≥ 5, scored PMI = log2(N·c12 / (c1·c2))
+    over corpus-position counts — the phrase-discovery pass of a
+    tokenizer/vocabulary pipeline (log of an integer ratio: both
+    engines score identical rationals).
+
+    Scale: one doc-partitioned lag window builds bigrams, two counted
+    shuffles (bigram key, unigram key), broadcast corpus scalar; top-20
+    with lexical tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.lag("term").over(w).alias("w1"),
+            F.col("term").alias("w2"),
+        )
+        .where(F.col("w1").isNotNull())
+    )
+    n_bg = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy(F.col("w2").alias("w2k")).agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        c12.where(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, F.col("w2") == F.col("w2k"))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                F.round(
+                    F.log2(
+                        F.col("n_total").cast("double")
+                        * F.col("c12")
+                        / (F.col("c1").cast("double") * F.col("c2")),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)

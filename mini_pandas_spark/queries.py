@@ -4989,3 +4989,130 @@ register(
     FROM win JOIN base ON win.event_type = base.event_type
     """,
 )
+
+register(
+    "twap_daily_value",
+    events.twap_daily_value,
+    """
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS day,
+               epoch(CAST(ts AS TIMESTAMP)) AS sec, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events
+    ), weighted AS (
+        SELECT day, cv,
+               CAST(floor(COALESCE(
+                   LEAD(sec) OVER (PARTITION BY day ORDER BY sec, event_id),
+                   epoch(CAST(day AS TIMESTAMP)) + 86400.0) - sec)
+               AS BIGINT) AS w_sec
+        FROM base
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           round(CASE WHEN SUM(w_sec) > 0
+                 THEN CAST(SUM(w_sec * cv) AS DOUBLE) / SUM(w_sec) / 100.0
+                 ELSE 0.0 END, 4) + 0.0 AS twap_value
+    FROM weighted GROUP BY day ORDER BY day
+    """,
+)
+
+register(
+    "sla_attainment_report",
+    relational.sla_attainment_report,
+    """
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+        SELECT o_orderpriority, o_orderkey,
+               datediff('day', CAST(o_orderdate AS DATE), first_ship) AS days
+        FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    ), ranked AS (
+        SELECT o_orderpriority, days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY days, o_orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM j
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           round(CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(n), 6) + 0.0 AS on_time_frac,
+           CAST(MAX(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                THEN days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                THEN days END) AS BIGINT) AS p90_days
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+register(
+    "degree_distribution_copurchase",
+    relational.degree_distribution_copurchase,
+    """
+    WITH po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT pa AS node, pb AS nbr FROM pairs
+        UNION ALL
+        SELECT pb AS node, pa AS nbr FROM pairs
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg FROM sym GROUP BY node
+    )
+    SELECT CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT)
+               AS log2_deg_bucket,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY log2_deg_bucket ORDER BY log2_deg_bucket
+    """,
+)
+
+register(
+    "sentence_stats_by_lang",
+    text.sentence_stats_by_lang,
+    r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                   s -> length(trim(s)) > 0)) AS n_sents,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_sents) AS BIGINT) AS total_sents,
+           round(CAST(SUM(n_tok) AS DOUBLE) / SUM(n_sents), 4) + 0.0
+               AS mean_tokens_per_sent,
+           round(AVG(CAST(n_sents AS DOUBLE)), 4) + 0.0 AS mean_sents_per_doc
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+
+register(
+    "collocations_pmi",
+    text.collocations_pmi,
+    r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        FROM base, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+    ), n AS (SELECT COUNT(*) AS n_total FROM bg),
+    c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1)
+    SELECT c12.w1, c12.w2, c12,
+           round(log2(CAST(n.n_total AS DOUBLE) * c12
+                 / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) + 0.0 AS pmi
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)

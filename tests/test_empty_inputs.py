@@ -152,6 +152,11 @@ EMPTY_OK_ZERO_ROWS = [
     "max_drawdown_daily",
     "haversine_nearest_supplier",
     "bootstrap_ci_revenue",
+    "twap_daily_value",
+    "sla_attainment_report",
+    "degree_distribution_copurchase",
+    "sentence_stats_by_lang",
+    "collocations_pmi",
 ]
 
 
