@@ -3348,3 +3348,58 @@ def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("log2_deg_bucket")
     )
+
+
+def rbo_rank_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    customer rankings — by exact revenue vs by order count — at depth
+    50 with persistence p = 1/2 (chosen so p^(d-1) = 2^-(d-1) is exact
+    in binary floating point on both engines; libm pow of arbitrary
+    bases is not ulp-stable cross-engine): the top-weighted
+    ranking-agreement metric an eval pipeline uses to compare
+    retrieval/scoring variants.
+
+    Scale trick: per-depth overlap never materializes depth × list
+    pairs — each customer contributes to all depths ≥ max(r1, r2), so
+    overlap(d) is a count over the m = max-rank histogram (a |k|-row
+    range join), and RBO = (1−p) Σ p^(d−1) · overlap(d)/d.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w1 = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    w2 = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "o_custkey",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    ).select(
+        "o_custkey", F.greatest("r1", "r2").alias("m")
+    ).where(F.col("m") <= 50)
+    depths = spark.range(1, 51).select(F.col("id").cast("int").alias("d"))
+    overlap = (
+        depths.join(ranked, ranked.m <= depths.d, "left")
+        .groupBy("d")
+        .agg(F.count("o_custkey").alias("overlap"))
+    )
+    term = (
+        F.pow(F.lit(2.0), -(F.col("d") - 1).cast("double"))
+        * F.col("overlap").cast("double")
+        / F.col("d")
+    )
+    return overlap.agg(
+        F.count(F.lit(1)).alias("depth"),
+        (
+            F.round(
+                F.lit(0.5)
+                * F.sum(term.cast("decimal(28,12)")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rbo"),
+        F.max(F.when(F.col("d") == 50, F.col("overlap")))
+        .cast("bigint")
+        .alias("overlap_at_50"),
+    )

@@ -1568,3 +1568,108 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(20)
+
+
+_SPAN_P1 = 2654435761
+_SPAN_P2 = 2246822519
+_SPAN_MOD = 2147483647
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: deterministically pick span
+    starts over each document's token positions (hash of (doc_id, pos)
+    under a ~5% start rate), extend each span 3 tokens, and report per
+    document the mask budget the pretraining batch builder will apply
+    (n_tokens, n_spans, n_masked, mask ratio).
+
+    Scale: one posexplode + per-doc window (max over a 3-row frame
+    turns span starts into coverage) — no Python, no data-dependent
+    expansion; the plan is reproducible on any partitioning because the
+    mask is pure key arithmetic, the property that makes distributed
+    span corruption restartable.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    h = (
+        (F.col("doc_id") % _SPAN_MOD) * _SPAN_P1 + F.col("pos") * _SPAN_P2
+    ) % _SPAN_MOD
+    start = (h % 100 < 5).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-2, 0)
+    )
+    flagged = tok.select(
+        "doc_id", "pos", start.alias("is_start")
+    ).select(
+        "doc_id",
+        "is_start",
+        F.max("is_start").over(w).alias("is_masked"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_start").cast("bigint").alias("n_spans"),
+            F.sum("is_masked").cast("bigint").alias("n_masked"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_masked",
+            (
+                F.round(F.col("n_masked").cast("double") / F.col("n_tokens"), 6)
+                + F.lit(0.0)
+            ).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: token frequencies raised
+    to the 3/4 power and normalized — the smoothed unigram distribution
+    skip-gram training samples negatives from.  Top-20 tokens with
+    weight and cumulative mass.
+
+    Scale: one token-count group-by (map-side combined); the pow/
+    normalize step runs on the |vocab| table with a broadcast scalar;
+    cumulative mass is a window over the top slice only.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # cnt^0.75 as sqrt(sqrt(cnt^3)): sqrt is IEEE correctly-rounded on
+    # both engines, unlike libm pow (last-ulp divergence risk)
+    c = F.col("cnt").cast("double")
+    pw = freq.select(
+        "term", "cnt", F.sqrt(F.sqrt(c * c * c)).alias("p")
+    )
+    tot = pw.agg(F.sum(F.col("p").cast("decimal(28,8)")).alias("tot"))
+    top = (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "cnt",
+            (F.col("p") / F.col("tot").cast("double")).alias("weight_raw"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return top.select(
+        "term",
+        "cnt",
+        (F.round("weight_raw", 8) + F.lit(0.0)).alias("weight"),
+        (
+            F.round(F.sum("weight_raw").over(w), 8) + F.lit(0.0)
+        ).alias("cum_weight"),
+    ).orderBy(F.col("cnt").desc(), F.col("term").asc())

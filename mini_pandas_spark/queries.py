@@ -5116,3 +5116,96 @@ register(
     LIMIT 20
     """,
 )
+
+register(
+    "span_corruption_plan",
+    text.span_corruption_plan,
+    r"""
+    WITH tok AS (
+        SELECT doc_id, g.i - 1 AS pos
+        FROM (SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(1, n + 1)) AS i) g
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN ((doc_id % 2147483647) * 2654435761
+                          + pos * 2246822519) % 2147483647 % 100 < 5
+                    THEN 1 ELSE 0 END AS is_start
+        FROM tok
+    ), covered AS (
+        SELECT doc_id, is_start,
+               MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS is_masked
+        FROM flagged
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(is_start) AS BIGINT) AS n_spans,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           round(CAST(SUM(is_masked) AS DOUBLE) / COUNT(*), 6) + 0.0
+               AS mask_ratio
+    FROM covered GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+register(
+    "negative_sampling_weights",
+    text.negative_sampling_weights,
+    r"""
+    WITH freq AS (
+        SELECT t AS term, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        GROUP BY t
+    ), pw AS (
+        SELECT term, cnt,
+               sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt)) AS p
+        FROM freq
+    ), tot AS (SELECT SUM(CAST(p AS DECIMAL(28,8))) AS tot FROM pw),
+    top AS (
+        SELECT term, cnt, p / CAST(tot.tot AS DOUBLE) AS weight_raw
+        FROM pw CROSS JOIN tot
+        ORDER BY cnt DESC, term ASC LIMIT 20
+    )
+    SELECT term, cnt,
+           round(weight_raw, 8) + 0.0 AS weight,
+           round(SUM(weight_raw) OVER (ORDER BY cnt DESC, term ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8) + 0.0
+               AS cum_weight
+    FROM top ORDER BY cnt DESC, term ASC
+    """,
+)
+
+register(
+    "rbo_rank_compare",
+    relational.rbo_rank_compare,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey,
+               greatest(
+                   ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey ASC),
+                   ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey ASC)
+               ) AS m
+        FROM per_cust
+    ), kept AS (SELECT o_custkey, m FROM ranked WHERE m <= 50),
+    depths AS (SELECT CAST(unnest(generate_series(1, 50)) AS INT) AS d),
+    olap AS (
+        SELECT d, COUNT(o_custkey) AS overlap
+        FROM depths LEFT JOIN kept ON kept.m <= depths.d
+        GROUP BY d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS depth,
+           round(0.5 * CAST(SUM(CAST(
+               pow(2.0, -CAST(d - 1 AS DOUBLE)) * overlap / d
+               AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS rbo,
+           CAST(MAX(CASE WHEN d = 50 THEN overlap END) AS BIGINT)
+               AS overlap_at_50
+    FROM olap
+    """,
+)

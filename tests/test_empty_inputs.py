@@ -157,6 +157,9 @@ EMPTY_OK_ZERO_ROWS = [
     "degree_distribution_copurchase",
     "sentence_stats_by_lang",
     "collocations_pmi",
+    "span_corruption_plan",
+    "negative_sampling_weights",
+    "rbo_rank_compare",
 ]
 
 
