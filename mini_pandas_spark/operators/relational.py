@@ -3403,3 +3403,55 @@ def rbo_rank_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_at_50"),
     )
+
+
+def fd_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman–Diaconis auto-binned histogram of part retail prices:
+    bin width = 2·IQR/n^(1/3) (IQR from rank-picked exact order
+    statistics, width rounded to whole cents so both engines bucket
+    identically), then the bin counts — the statistically-sized
+    histogram a profiling pipeline draws instead of guessing bins.
+
+    Scale: two passes — one window to pick exact quartiles (at 100 TB:
+    approx_percentile with the same downstream arithmetic), one
+    scan+group-by with the broadcast width scalar.
+    """
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(cents("p_retailprice").alias("cts"), "p_partkey")
+    w = Window.orderBy("cts", "p_partkey")
+    ranked = base.select(
+        "cts",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    quart = ranked.agg(
+        F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.25), F.col("cts"))).alias("q1"),
+        F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.75), F.col("cts"))).alias("q3"),
+        F.max("n").alias("n"),
+    ).select(
+        "q1",
+        "q3",
+        "n",
+        F.greatest(
+            F.lit(1),
+            F.round(
+                F.lit(2.0)
+                * (F.col("q3") - F.col("q1")).cast("double")
+                / F.cbrt(F.col("n").cast("double"))
+            ).cast("bigint"),
+        ).alias("width_cents"),
+    )
+    binned = base.crossJoin(F.broadcast(quart)).select(
+        (F.floor(F.col("cts") / F.col("width_cents")) * F.col("width_cents")).alias("bin_low_cents"),
+        "width_cents",
+    )
+    return (
+        binned.groupBy("bin_low_cents", "width_cents")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            (F.col("bin_low_cents").cast("double") / 100.0).alias("bin_low"),
+            F.col("width_cents").cast("bigint").alias("width_cents"),
+            "n_parts",
+        )
+        .orderBy("bin_low")
+    )

@@ -1673,3 +1673,97 @@ def negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("weight_raw").over(w), 8) + F.lit(0.0)
         ).alias("cum_weight"),
     ).orderBy(F.col("cnt").desc(), F.col("term").asc())
+
+
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: each training epoch
+    orders documents by a hash of (doc_id, epoch), so every worker
+    derives the same permutation without materializing shuffled copies
+    — the restartable data-order recipe of a multi-epoch training run.
+    Emits the first 10 documents of epochs 0–2 as the verifiable prefix.
+
+    Scale: the permutation is never materialized — rank-within-epoch is
+    a window over the hash key; at 100 TB the same expression drives a
+    repartitionByRange write per epoch (boundaries from the planner
+    operator) instead of a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(0, 3).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            ((F.col("doc_id") % 2147483647) * 2654435761 + F.col("epoch") * 97)
+            % 2147483647
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("rank_in_epoch", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_epoch") <= 10)
+        .select("epoch", "rank_in_epoch", "doc_id", "shuffle_key")
+        .orderBy("epoch", "rank_in_epoch")
+    )
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: processing documents in doc_id order, the
+    fraction of each document's distinct 4-gram shingles not seen in
+    any earlier document, averaged per 50-doc bucket — the saturation
+    diagnostic that tells a crawl pipeline when marginal data stops
+    adding new content.
+
+    Scale: first-occurrence attribution is MIN(doc_id) per shingle (one
+    map-side-combined shuffle on the shingle key, never a quadratic
+    history join); novelty per doc is then a shingle→doc join keyed the
+    same way.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("ws")).where(
+        F.size("ws") >= 4  # sequence(0, n-4) must not run descending
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 4),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i + 1, F.lit(4))
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    bucket = (F.col("doc_id") / 50).cast("bigint") * 50
+    return (
+        per_doc.groupBy(bucket.alias("doc_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.round(
+                    F.sum(F.col("n_novel").cast("double"))
+                    / F.sum("n_shingles"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("novelty"),
+        )
+        .orderBy("doc_bucket")
+    )

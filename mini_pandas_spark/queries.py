@@ -5209,3 +5209,88 @@ register(
     FROM olap
     """,
 )
+
+register(
+    "epoch_shuffle_plan",
+    text.epoch_shuffle_plan,
+    """
+    WITH epochs AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT)
+                        AS epoch),
+    keyed AS (
+        SELECT epoch, doc_id,
+               ((doc_id % 2147483647) * 2654435761 + epoch * 97)
+                   % 2147483647 AS shuffle_key
+        FROM documents CROSS JOIN epochs
+    ), ranked AS (
+        SELECT epoch, doc_id, shuffle_key,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                   ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank_in_epoch
+        FROM keyed
+    )
+    SELECT epoch, rank_in_epoch, doc_id, shuffle_key
+    FROM ranked WHERE rank_in_epoch <= 10
+    ORDER BY epoch, rank_in_epoch
+    """,
+)
+
+register(
+    "ngram_novelty_curve",
+    text.ngram_novelty_curve,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 4
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[g.i:g.i+3], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) g
+    ), first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), per_doc AS (
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh JOIN first USING (shingle)
+        GROUP BY sh.doc_id
+    )
+    SELECT CAST(doc_id // 50 AS BIGINT) * 50 AS doc_bucket,
+           COUNT(*) AS n_docs,
+           round(SUM(CAST(n_novel AS DOUBLE)) / SUM(n_shingles), 6) + 0.0
+               AS novelty
+    FROM per_doc GROUP BY doc_bucket ORDER BY doc_bucket
+    """,
+)
+
+register(
+    "fd_histogram_prices",
+    relational.fd_histogram_prices,
+    """
+    WITH base AS (
+        SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cts, p_partkey
+        FROM part
+    ), ranked AS (
+        SELECT cts,
+               ROW_NUMBER() OVER (ORDER BY cts, p_partkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM base
+    ), quart AS (
+        SELECT MAX(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT)
+                   THEN cts END) AS q1,
+               MAX(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT)
+                   THEN cts END) AS q3,
+               MAX(n) AS n
+        FROM ranked
+    ), width AS (
+        SELECT greatest(1, CAST(round(2.0 * (q3 - q1)
+               / cbrt(CAST(n AS DOUBLE))) AS BIGINT)) AS width_cents
+        FROM quart
+    )
+    SELECT CAST((cts // width_cents) * width_cents AS DOUBLE) / 100.0
+               AS bin_low,
+           CAST(width_cents AS BIGINT) AS width_cents,
+           COUNT(*) AS n_parts
+    FROM base CROSS JOIN width
+    GROUP BY 1, 2 ORDER BY bin_low
+    """,
+)

@@ -160,6 +160,9 @@ EMPTY_OK_ZERO_ROWS = [
     "span_corruption_plan",
     "negative_sampling_weights",
     "rbo_rank_compare",
+    "epoch_shuffle_plan",
+    "ngram_novelty_curve",
+    "fd_histogram_prices",
 ]
 
 
