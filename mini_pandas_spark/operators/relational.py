@@ -3455,3 +3455,54 @@ def fd_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_low")
     )
+
+
+def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of revenue change per brand between
+    1996 and 1997 (Laspeyres-style): Δrevenue = volume effect
+    (Δqty · price96) + price effect (Δprice · qty96) + interaction
+    (Δprice · Δqty) — the "why did revenue move" bridge an FP&A or
+    pricing pipeline produces.  Unit price per brand-year is exact
+    cents revenue / exact quantity; all effects are rounded rationals
+    of exact integer aggregates.
+
+    Scale: one lineitem⋈orders (date filter pushed to the orders side)
+    ⋈ part scan, collapsed to brand-year partials map-side; the
+    decomposition itself runs on the 25×2-row pivot.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = F.year(F.to_date("o_orderdate"))
+    base = (
+        li.join(o.select("o_orderkey", yr.alias("y")), li.l_orderkey == o.o_orderkey)
+        .where(F.col("y").isin(1996, 1997))
+        .join(p.select("p_partkey", "p_brand"), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "y")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("rev_cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+        )
+    )
+    y96 = base.where(F.col("y") == 1996).select(
+        "p_brand",
+        F.col("rev_cents").alias("rev96"),
+        F.col("qty").alias("qty96"),
+    )
+    y97 = base.where(F.col("y") == 1997).select(
+        "p_brand",
+        F.col("rev_cents").alias("rev97"),
+        F.col("qty").alias("qty97"),
+    )
+    j = y96.join(y97, "p_brand")
+    price96 = F.col("rev96").cast("double") / F.col("qty96")
+    price97 = F.col("rev97").cast("double") / F.col("qty97")
+    dqty = (F.col("qty97") - F.col("qty96")).cast("double")
+    dprice = price97 - price96
+    return j.select(
+        "p_brand",
+        (F.round((F.col("rev97") - F.col("rev96")).cast("double") / 100.0, 2) + F.lit(0.0)).alias("delta_revenue"),
+        (F.round(dqty * price96 / 100.0, 2) + F.lit(0.0)).alias("volume_effect"),
+        (F.round(dprice * F.col("qty96") / 100.0, 2) + F.lit(0.0)).alias("price_effect"),
+        (F.round(dprice * dqty / 100.0, 2) + F.lit(0.0)).alias("interaction"),
+    ).orderBy("p_brand")

@@ -5294,3 +5294,72 @@ register(
     GROUP BY 1, 2 ORDER BY bin_low
     """,
 )
+
+register(
+    "price_volume_decomposition",
+    relational.price_volume_decomposition,
+    """
+    WITH base AS (
+        SELECT p_brand, CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (1996, 1997)
+        GROUP BY p_brand, y
+    ), y96 AS (
+        SELECT p_brand, rev_cents AS rev96, qty AS qty96
+        FROM base WHERE y = 1996
+    ), y97 AS (
+        SELECT p_brand, rev_cents AS rev97, qty AS qty97
+        FROM base WHERE y = 1997
+    )
+    SELECT p_brand,
+           round(CAST(rev97 - rev96 AS DOUBLE) / 100.0, 2) + 0.0
+               AS delta_revenue,
+           round(CAST(qty97 - qty96 AS DOUBLE)
+                 * (CAST(rev96 AS DOUBLE) / qty96) / 100.0, 2) + 0.0
+               AS volume_effect,
+           round((CAST(rev97 AS DOUBLE) / qty97
+                  - CAST(rev96 AS DOUBLE) / qty96) * qty96 / 100.0, 2) + 0.0
+               AS price_effect,
+           round((CAST(rev97 AS DOUBLE) / qty97
+                  - CAST(rev96 AS DOUBLE) / qty96)
+                 * CAST(qty97 - qty96 AS DOUBLE) / 100.0, 2) + 0.0
+               AS interaction
+    FROM y96 JOIN y97 USING (p_brand)
+    ORDER BY p_brand
+    """,
+)
+
+register(
+    "golden_record_docs",
+    dedup.golden_record_docs,
+    """
+    WITH keyed AS (
+        SELECT md5(substr(text, 1, 80)) AS ckey, doc_id, source, n_chars
+        FROM documents
+    ), src_counts AS (
+        SELECT ckey, source, COUNT(*) AS c FROM keyed GROUP BY ckey, source
+    ), best_src AS (
+        SELECT ckey, source AS golden_source
+        FROM (
+            SELECT ckey, source,
+                   ROW_NUMBER() OVER (PARTITION BY ckey
+                       ORDER BY c DESC, source ASC) AS rk
+            FROM src_counts
+        ) WHERE rk = 1
+    ), merged AS (
+        SELECT ckey, COUNT(*) AS n_members,
+               MIN(doc_id) AS golden_doc_id,
+               CAST(MAX(n_chars) AS BIGINT) AS golden_n_chars
+        FROM keyed GROUP BY ckey
+    )
+    SELECT ckey, n_members, golden_doc_id, golden_source, golden_n_chars
+    FROM merged JOIN best_src USING (ckey)
+    WHERE n_members >= 2
+    ORDER BY golden_doc_id
+    """,
+)

@@ -163,6 +163,8 @@ EMPTY_OK_ZERO_ROWS = [
     "epoch_shuffle_plan",
     "ngram_novelty_curve",
     "fd_histogram_prices",
+    "price_volume_decomposition",
+    "golden_record_docs",
 ]
 
 
