@@ -3506,3 +3506,54 @@ def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(dprice * F.col("qty96") / 100.0, 2) + F.lit(0.0)).alias("price_effect"),
         (F.round(dprice * dqty / 100.0, 2) + F.lit(0.0)).alias("interaction"),
     ).orderBy("p_brand")
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer revenue and order
+    count (ranks broken deterministically by custkey — the documented
+    row_number variant, which keeps every quantity an exact integer):
+    ρ = 1 − 6·Σd² / (n(n²−1)) — the monotonic-association twin of the
+    Pearson operators, exact because rank sums are integers.
+
+    Scale: one per-customer aggregate, two rank windows over the
+    reduced frame, one integer rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w1 = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    w2 = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        (F.row_number().over(w1) - F.row_number().over(w2))
+        .cast("long")
+        .alias("d")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n_customers",
+        "sum_d2",
+        (
+            F.round(
+                F.when(
+                    F.col("n_customers") > 1,
+                    F.lit(1.0)
+                    - F.lit(6.0)
+                    * F.col("sum_d2").cast("double")
+                    / (
+                        F.col("n_customers").cast("double")
+                        * (
+                            F.col("n_customers").cast("double")
+                            * F.col("n_customers")
+                            - 1.0
+                        )
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )

@@ -1767,3 +1767,46 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_bucket")
     )
+
+
+def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the language-ID heuristic: per true
+    class, support, per-class precision / recall / F1 against the
+    labeled lang column (predictions from lang_id_heuristic's exact
+    expressions) — the model-eval aggregate every classification
+    pipeline ships next to its predictions.
+
+    Metrics are integer-count rationals (rounded once), so both engines
+    score identically.  Scale: one scan + two tiny keyed aggregates
+    (per true class, per predicted class).
+    """
+    scored = lang_id_heuristic(spark, sf_dir).select("lang", "pred_lang")
+    per_true = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).alias("tp"),
+    )
+    per_pred = scored.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    joined = per_true.join(F.broadcast(per_pred), "lang", "left").select(
+        "lang",
+        "support",
+        "tp",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp").cast("double") / F.col("support")
+    f1 = F.when(
+        (prec + rec) > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "lang",
+        "support",
+        F.col("tp").cast("bigint").alias("tp"),
+        "n_pred",
+        (F.round(prec, 6) + F.lit(0.0)).alias("precision"),
+        (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
+        (F.round(f1, 6) + F.lit(0.0)).alias("f1"),
+    ).orderBy("lang")

@@ -5363,3 +5363,79 @@ register(
     ORDER BY golden_doc_id
     """,
 )
+
+register(
+    "langid_confusion_metrics",
+    text.langid_confusion_metrics,
+    f"""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter({_TOKENS}, x -> x IN ('the','a','of','and','to','in'))) AS en_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('el','la','de','y','en','que'))) AS es_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('le','la','de','et','un','une'))) AS fr_hits
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               CASE WHEN en_hits > es_hits AND en_hits > fr_hits THEN 'en'
+                    WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+                    WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+        FROM t
+    ), per_true AS (
+        SELECT lang, COUNT(*) AS support,
+               SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS tp
+        FROM scored GROUP BY lang
+    ), per_pred AS (
+        SELECT pred_lang AS lang, COUNT(*) AS n_pred
+        FROM scored GROUP BY pred_lang
+    ), j AS (
+        SELECT per_true.lang, support, tp, COALESCE(n_pred, 0) AS n_pred
+        FROM per_true LEFT JOIN per_pred USING (lang)
+    )
+    SELECT lang, support, CAST(tp AS BIGINT) AS tp, n_pred,
+           round(CASE WHEN n_pred > 0
+                 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END, 6) + 0.0
+               AS precision,
+           round(CAST(tp AS DOUBLE) / support, 6) + 0.0 AS recall,
+           round(CASE WHEN (CASE WHEN n_pred > 0
+                            THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END
+                          + CAST(tp AS DOUBLE) / support) > 0
+                 THEN 2.0 * (CASE WHEN n_pred > 0
+                             THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                      * (CAST(tp AS DOUBLE) / support)
+                      / ((CASE WHEN n_pred > 0
+                          THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                         + CAST(tp AS DOUBLE) / support)
+                 ELSE 0.0 END, 6) + 0.0 AS f1
+    FROM j ORDER BY lang
+    """,
+)
+
+register(
+    "spearman_rank_corr",
+    relational.spearman_rank_corr,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC,
+                       o_custkey ASC)
+                  - ROW_NUMBER() OVER (ORDER BY n_orders DESC,
+                       o_custkey ASC) AS BIGINT) AS d
+        FROM per_cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+           round(CASE WHEN COUNT(*) > 1 THEN
+                 1.0 - 6.0 * CAST(SUM(d * d) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0))
+                 ELSE 0.0 END, 6) + 0.0
+               AS spearman_rho
+    FROM ranked
+    """,
+)

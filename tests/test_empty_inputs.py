@@ -165,6 +165,8 @@ EMPTY_OK_ZERO_ROWS = [
     "fd_histogram_prices",
     "price_volume_decomposition",
     "golden_record_docs",
+    "langid_confusion_metrics",
+    "spearman_rank_corr",
 ]
 
 
