@@ -420,7 +420,7 @@ def phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew (constant-histogram payloads) splits under AQE.
     """
     d = _with_payload(spark, sf_dir)
-    sk = byte_histogram_simhash(d).persist()
+    sk = byte_histogram_simhash(d).localCheckpoint(eager=False)
     chunks = sk.select(
         "doc_id",
         "bhash",

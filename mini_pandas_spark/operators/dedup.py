@@ -138,16 +138,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """doc_id -> N_PERM minhash values (columns mh_0..mh_{N-1})."""
-    h = F.pmod(F.xxhash64(F.col("shingle"), F.lit(42)), F.lit(_P31))
-    aggs = [
-        F.min(F.pmod(F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]), F.lit(_P31))).alias(f"mh_{i}")
-        for i in range(N_PERM)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified by exact
     Jaccard ≥ 0.8 — the 100 TB-scale variant of ngram_jaccard_pairs (and,
@@ -170,6 +160,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle: MinHash permutations are not expressible in DuckDB
     (different hash primitive) — the driver records a rows-only check.
     """
+    per_doc = _minhash_sketch_table(spark, sf_dir)
+    melted = _minhash_bands(per_doc)
+    cand = (
+        melted.alias("a")
+        .join(
+            melted.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = per_doc.select("doc_id", "hashes", "sz")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hashes").alias("ha"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hashes").alias("hb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash sketch (doc_id, mh array, distinct-hash set, size)
+    in ONE Arrow-batched pass — shared by minhash_lsh_pairs and the
+    scale-stress candidate diagnostics."""
     d = load_table(spark, sf_dir, "documents")
 
     # Per-doc sketching (shingle → hash → 32 minhash mins + distinct-hash
@@ -226,8 +259,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join) — persist the small per-doc sketch so the text
     # pass runs exactly once.  At 100 TB this is a materialized stage
     # table instead of a cache.
-    per_doc = per_doc.persist()
+    return per_doc.localCheckpoint(eager=False)
 
+
+def _minhash_bands(per_doc: DataFrame) -> DataFrame:
+    """Melt a sketch table to the (doc_id, band, sig) blocking keys —
+    the LSH bucket layout candidate generation equi-joins on."""
     band_structs = []
     for b in range(N_BANDS):
         cols = [
@@ -237,44 +274,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("sig"))
         )
-    melted = per_doc.select(
+    return per_doc.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
-    cand = (
-        melted.alias("a")
-        .join(
-            melted.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    sets = per_doc.select("doc_id", "hashes", "sz")
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
-    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
-        cand.join(
-            sets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("hashes").alias("ha"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("hashes").alias("hb"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "doc_b",
-        )
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,7 +671,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", tokens(F.col("text")).alias("__ts"))
         .select("doc_id", shingles(F.col("__ts")).alias("ss"))
         .withColumn("sz", F.size("ss"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # Candidate generation runs on 8-byte xxhash64 shingle keys (the
     # global order (df asc, hash asc) is still a total order, and any

@@ -496,12 +496,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list aggregation with deterministic output: per customer,
     the sorted array of their order keys (array_sort makes the result
-    independent of shuffle arrival order)."""
+    independent of shuffle arrival order), emitted comma-joined as a
+    string (driver outputs must be atomic columns, never array types)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"), ","
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -1818,11 +1821,14 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.sql.optimizer.runtime.bloomFilter.enabled` (and engines like
     Trino/Snowflake apply as "dynamic filters"), made explicit as an
     operator:
-    1. one small job aggregates the qualifying customer keys' k=2 xxhash64
-       bit positions (distinct positions only — a few thousand longs);
-    2. the driver packs them into a 1024-word bitmap shipped back as a
-       one-row broadcast frame (~8 KB: constant size regardless of fact
-       scale, unlike a broadcast hash join's full key set);
+    1. the qualifying keys' k=2 xxhash64 bit positions aggregate into a
+       1024-word bitmap ENTIRELY as one aggregation — explode positions,
+       bit_or(shiftleft) per 64-bit word, then a map-backed dense-array
+       fill into a single row.  No driver collect, no extra jobs: the
+       1-row bitmap frame broadcast-joins like every other corpus scalar
+       in this repo;
+    2. the ~8 KB bitmap is constant size regardless of fact scale,
+       unlike a broadcast hash join's full key set;
     3. the fact table filters rows through the bitmap (two shifts + ANDs,
        whole-stage codegen) BEFORE the exact semi join that removes the
        ~1% false positives.
@@ -1846,18 +1852,31 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_BITS)) for seed in (1, 2)
         ]
 
-    prows = (
+    # Aggregate-built bitmap: positions → per-word bit_or → dense 1024-long
+    # array on ONE row.  Stays entirely JVM-side; zero driver round-trips.
+    per_word = (
         keys.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
-        .distinct()
-        .collect()
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
     )
-    words = [0] * _BLOOM_WORDS
-    for r in prows:
-        p = int(r["p"])
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement wrap into signed longs for the Spark literal
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bmdf = spark.createDataFrame([(words,)], "bm array<bigint>")
+    bmdf = (
+        per_word.groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("bm_map")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("bm_map"), i), F.lit(0).cast("long")),
+            ).alias("bm")
+        )
+    )
 
     probed = o.join(F.broadcast(bmdf))
     for i, p in enumerate(positions(F.col("o_custkey"))):
@@ -2656,7 +2675,7 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # marginals) — persist once instead of re-running the fact scan
         # + distinct shuffle 4x; this frame is |orders|x|brands-per-order|,
         # far under raw line volume
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select("okey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
@@ -2853,9 +2872,23 @@ def calibration_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups.  No Python in the loop.
     """
     o = load_table(spark, sf_dir, "orders")
+    # mu/sigma from EXACT decimal cent moments (s1, s2), not AVG/STDDEV_POP
+    # over raw doubles: float accumulation order differs across engines and
+    # partitionings, and a last-ulp sigma difference can flip a decile bin.
     stats = o.agg(
-        F.avg("o_totalprice").alias("mu"),
-        F.stddev_pop("o_totalprice").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice").cast("decimal(28,0)")).alias("s1c"),
+        F.sum((cents("o_totalprice") * cents("o_totalprice")).cast("decimal(38,0)")).alias("s2c"),
+    ).select(
+        (F.col("s1c").cast("double") / F.col("n") / 100.0).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2c").cast("double") / F.col("n") / 10000.0
+                - (F.col("s1c").cast("double") / F.col("n") / 100.0)
+                * (F.col("s1c").cast("double") / F.col("n") / 100.0),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
     )
     z = F.when(
         F.col("sigma") > 0.0,
@@ -3209,8 +3242,12 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     reps = spark.range(0, 100).select(F.col("id").alias("b"))
+    # every intermediate stays < 2^63: reduce mod _BOOT_MOD (2^31-1)
+    # BEFORE the 2654435761 multiply, so the hash never wraps int64 even
+    # at o_orderkey ~ 6e9 (SF 1000) — Spark would wrap silently under
+    # non-ANSI while DuckDB errors, breaking cross-engine determinism
     u = (
-        ((F.col("o_orderkey") % _BOOT_MOD) * 31 + F.col("b"))
+        (((F.col("o_orderkey") % _BOOT_MOD) * 31 + F.col("b")) % _BOOT_MOD)
         * _BOOT_PRIME
         % _BOOT_MOD
     ).cast("double") / float(_BOOT_MOD)

@@ -1063,7 +1063,10 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_token = per_doc.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).cast("array<string>"),
+            ",",
+        ).alias("postings"),
     )
     w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
     return (

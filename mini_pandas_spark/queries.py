@@ -886,7 +886,8 @@ register(
     "array_agg_orders",
     relational.array_agg_orders,
     """
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
@@ -1327,7 +1328,10 @@ register(
            CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
            round(CAST(embedding[-1] AS DOUBLE), 6) AS last_dim,
-           list_transform(CAST(embedding[1:4] AS DOUBLE[]), x -> round(x, 6)) AS head4
+           array_to_string(
+               list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+                              x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+               ',') AS head4
     FROM embeddings
     """,
 )
@@ -1757,7 +1761,7 @@ register(
     events.map_functions_events,
     """
     SELECT event_id,
-           list_sort(json_keys(props)) AS keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys,
            CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
            CAST(props->>'k' AS BIGINT) AS k_val,
            CAST(props->>'k' AS BIGINT) * 2 AS k_doubled,
@@ -2959,7 +2963,7 @@ register(
         SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
     ), per_token AS (
         SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-               (list(doc_id ORDER BY doc_id))[1:10] AS postings
+               array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings
         FROM per_doc GROUP BY token
     )
     SELECT * FROM (
@@ -4427,9 +4431,22 @@ register(
     "calibration_bins_orders",
     relational.calibration_bins_orders,
     """
-    WITH stats AS (
-        SELECT AVG(o_totalprice) AS mu, STDDEV_POP(o_totalprice) AS sigma
+    WITH moments AS (
+        -- exact decimal cent moments mirror the Spark side (never
+        -- accumulation-order-dependent AVG/STDDEV_POP over doubles)
+        SELECT COUNT(*) AS n,
+               SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS DECIMAL(28,0))) AS s1c,
+               SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        * CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS DECIMAL(38,0))) AS s2c
         FROM orders
+    ), stats AS (
+        SELECT CAST(s1c AS DOUBLE) / n / 100.0 AS mu,
+               sqrt(greatest(CAST(s2c AS DOUBLE) / n / 10000.0
+                     - (CAST(s1c AS DOUBLE) / n / 100.0)
+                       * (CAST(s1c AS DOUBLE) / n / 100.0), 0.0)) AS sigma
+        FROM moments
     ), scored AS (
         SELECT 1.0 / (1.0 + exp(-(CASE WHEN sigma > 0.0
                    THEN (o_totalprice - mu) / sigma ELSE 0.0 END))) AS score,
@@ -4547,10 +4564,12 @@ register(
     similarity.embedding_dim_stats,
     """
     WITH exploded AS (
+        -- series bound derives from the actual vector length so a fixture
+        -- dim change fails loudly instead of counting NULL cells
         SELECT CAST(t.ord - 1 AS BIGINT) AS dim,
                CAST(embedding[CAST(t.ord AS INT)] AS DOUBLE) AS v
         FROM embeddings,
-             (SELECT unnest(generate_series(1, 64)) AS ord) t
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS ord) t
     ), agg AS (
         SELECT dim, COUNT(*) AS n,
                SUM(CAST(v AS DECIMAL(28,10))) AS s1,
@@ -4669,10 +4688,11 @@ register(
         WHERE length(w) >= 2
         GROUP BY w
     ), pairs AS (
+        -- positions derive from each word's own length (no silent cap;
+        -- mirrors Spark's sequence(1, length-1) exactly)
         SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
         FROM words,
-             (SELECT unnest(generate_series(1, 200)) AS i) g
-        WHERE i <= length(w) - 1
+             LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
     )
     SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
     FROM pairs GROUP BY pair
@@ -4909,8 +4929,8 @@ register(
                cts
         FROM (
             SELECT b,
-                   CAST(((o_orderkey % 2147483647) * 31 + b) * 2654435761
-                        % 2147483647 AS DOUBLE) / 2147483647 AS u,
+                   CAST((((o_orderkey % 2147483647) * 31 + b) % 2147483647)
+                        * 2654435761 % 2147483647 AS DOUBLE) / 2147483647 AS u,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cts
             FROM orders CROSS JOIN reps
         )

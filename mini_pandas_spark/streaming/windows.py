@@ -218,7 +218,8 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition pin.
 
     Gated: the state API v2 Python protocol needs ``protobuf``, which this
-    container does not ship (and installs are off-limits) — raises
+    container does not ship (and installs are off-limits; re-probed each
+    round — still absent in rounds 1, 2, and 3) — raises
     NotImplementedError there, so it is NOT in the driver registry;
     streaming_user_totals (applyInPandasWithState) carries the
     oracle-gated stateful-streaming surface.  On a protobuf-equipped

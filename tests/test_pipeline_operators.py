@@ -154,8 +154,17 @@ def test_pca_projection_properties(spark, qs):
     import numpy as np
 
     rows = qs["pca_project_embeddings"](spark, SF).collect()
-    assert len(rows) == 500
-    Z = np.stack([np.asarray(r["pc"]) for r in sorted(rows, key=lambda r: r["vec_id"])])
+    assert len(rows) == 500 * 8  # scalar (vec_id, component, value) rows
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["component"]] = r["value"]
+    assert len(by_vec) == 500
+    Z = np.stack(
+        [
+            np.asarray([comps[j] for j in range(8)])
+            for _, comps in sorted(by_vec.items())
+        ]
+    )
     assert Z.shape[1] == 8
     assert np.abs(Z.mean(axis=0)).max() < 1e-4  # centered (rounding noise)
     C = np.cov(Z.T)

@@ -1,20 +1,26 @@
-"""Registry-wide plan lint: every SQL-oracled batch query's physical plan
-must be free of scale-killers — no CartesianProduct, no row-at-a-time
-Python evaluation (BatchEvalPython; Arrow-vectorized nodes are fine).
+"""Registry-wide lints, applied to EVERY registered query:
 
-Queries that execute work at build time (streaming drains, iterative
-driver loops) are excluded: linting them would run them, and their
-plan quality is pinned separately in test_plan_quality / the streaming
-suites.
+1. Plan lint — the physical plan must be free of scale-killers: no
+   CartesianProduct, no row-at-a-time Python evaluation
+   (BatchEvalPython; Arrow-vectorized nodes are fine).
+2. Output-schema lint — every final column must be an atomic type
+   (no Array/Map/Struct): the grading driver canonicalizes results by
+   sorting + hashing values and dies on unhashable numpy arrays.
+
+Queries that collect BOUNDED driver partials while building (quantizer
+training, iterative convergence loops, covariance partials) are built
+anyway — their FINAL plan and schema are what ship, and the build jobs
+are cheap at sf0.001.  Only the streaming drains are excluded (building
+them would run a full micro-batch stream); their output schemas are
+pinned in tests/test_streaming.py instead.
 """
 
 import pytest
 
 SF = "/root/testdata/sf0.001"
 
-# Build-time executors (streaming drains / iterative collects) — their
-# callables run jobs, so building them here would be an execution test.
-EXECUTES_ON_BUILD = {
+# True exclusions: constructing these runs a full streaming drain.
+STREAMING_DRAINS = {
     "streaming_hourly_counts",
     "session_window_agg",
     "streaming_user_totals",
@@ -23,6 +29,12 @@ EXECUTES_ON_BUILD = {
     "stream_static_enrich",
     "synthetic_stream_rollup",
     "streaming_hourly_approx_uniques",
+}
+
+# These run bounded driver-side jobs at build time (k-means partials,
+# iterative CC/PageRank convergence, covariance accumulation) — slower
+# to build, but their final plan/schema must still pass both lints.
+BOUNDED_BUILD_JOBS = {
     "ivf_ann_topk",
     "pca_project_embeddings",
     "dedup_clusters",
@@ -36,16 +48,43 @@ EXECUTES_ON_BUILD = {
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
 
 
-def test_registry_plans_have_no_scale_killers(spark):
+@pytest.fixture(scope="module")
+def built_registry(spark):
+    """Build every non-streaming registered query once; both lints share
+    the result (the bounded-build queries run real jobs — build once)."""
     from mini_pandas_spark.queries import queries
 
-    failures = {}
+    out = {}
     for name, fn in queries().items():
-        if name in EXECUTES_ON_BUILD:
+        if name in STREAMING_DRAINS:
             continue
-        df = fn(spark, SF)
+        out[name] = fn(spark, SF)
+    return out
+
+
+def test_registry_plans_have_no_scale_killers(built_registry):
+    failures = {}
+    for name, df in built_registry.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         hits = [bad for bad in FORBIDDEN if bad in plan]
         if hits:
             failures[name] = hits
+    assert not failures, failures
+
+
+def test_registry_outputs_are_atomic(built_registry):
+    """No Array/Map/Struct in any registered query's final schema — the
+    driver's canonicalizer (pandas sort_values + value hash) crashes on
+    unhashable numpy arrays (round-2 red row: pca_project_embeddings)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    failures = {}
+    for name, df in built_registry.items():
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            failures[name] = bad
     assert not failures, failures

@@ -110,6 +110,21 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
             continue
+        # Driver-hashability lint: the grading driver canonicalizes by
+        # pandas sort_values + value hash, which crashes on Array/Map/
+        # Struct outputs (round-2 red row pca_project_embeddings).  This
+        # covers EVERY query incl. streaming drains the pytest lint skips.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        nonatomic = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonatomic:
+            print(f"FAIL {name}: non-atomic output columns {nonatomic}")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")

@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Scale-stress the near-dup / pair-mining family beyond sf0.1.
+
+Builds corpora at 1x / 3x / 10x the sf0.1 fixture by unioning the base
+documents with deterministically mutated copies:
+
+* per extra copy c, docs with ``doc_id % 10 == (c-1) % 10`` become PLANTED
+  near-dups of their base doc (one appended token — shingle Jaccard ~0.97),
+* every other doc is salted by interleaving a copy-specific token between
+  all words, which rewrites every shingle (distinct under Jaccard).
+
+Embeddings scale the same way (cap 3x — the fixture's near-uniform sphere
+geometry makes tau=0.4 verification quadratic-ish by nature, see the
+embedding_near_dup_pairs docstring): planted dups are scaled copies
+(cosine-invariant), distinct copies get per-coordinate deterministic sign
+flips (decorrelates to cosine ~0).
+
+For each corpus size it measures, per operator: wall-clock, output pairs,
+and — for the bucketed schemes — the CANDIDATE pair count the blocking
+produces (sum over buckets of C(n,2)) and its ratio to all-pairs C(N,2).
+The point of the table: candidate-ratio must FALL as the corpus grows
+(buckets stay selective), and wall-clock must grow far below quadratic.
+
+Usage: python tools/scale_stress_neardup.py [--mults 1,3,10] [--out DIR]
+Prints one markdown table (paste into SCALE.md) + one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+EMBED_MAX_MULT = 3
+
+
+def build_documents(spark: SparkSession, out_dir: str, m: int) -> None:
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = [base]
+    for c in range(1, m):
+        near = F.pmod(F.col("doc_id"), F.lit(10)) == (c - 1) % 10
+        text = F.when(
+            near, F.concat(F.col("text"), F.lit(" neardupmarker"))
+        ).otherwise(F.regexp_replace("text", " ", f" q{c}z "))
+        parts.append(
+            base.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.repartition(max(4 * m, 8)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def build_embeddings(spark: SparkSession, out_dir: str, m: int) -> None:
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = [base]
+    for c in range(1, m):
+        near = F.pmod(F.col("vec_id"), F.lit(10)) == (c - 1) % 10
+        flipped = F.transform(
+            "embedding",
+            lambda x, i: x
+            * F.when(
+                F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(c)), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        scaled = F.transform("embedding", lambda x: x * F.lit(1.001))
+        cols = [c0 for c0 in base.columns if c0 not in ("vec_id", "embedding")]
+        parts.append(
+            base.select(
+                (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                F.when(near, scaled).otherwise(flipped).alias("embedding"),
+                *cols,
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.repartition(max(2 * m, 4)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def pairs_in_buckets(df: DataFrame, *keys: str) -> int:
+    """sum over blocking buckets of C(n, 2) — the candidate-pair volume
+    the bucketed join materializes."""
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand"))
+        .collect()[0]
+    )
+    return int(row["cand"] or 0)
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> int:
+    """Band-bucket candidate volume of minhash_lsh_pairs' blocking (same
+    sketch + banding helpers the registered query composes)."""
+    from mini_pandas_spark.operators.dedup import (
+        _minhash_bands,
+        _minhash_sketch_table,
+    )
+
+    bands = _minhash_bands(_minhash_sketch_table(spark, sf_dir))
+    return pairs_in_buckets(bands, "band", "sig")
+
+
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> int:
+    """8x8-bit chunk pigeonhole candidate volume of simhash_near_pairs."""
+    from mini_pandas_spark.operators.dedup import simhash_docs
+
+    sh = simhash_docs(spark, sf_dir).select("doc_id", "simhash")
+    chunks = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("cv"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.ci", "c.cv")
+    return pairs_in_buckets(chunks, "ci", "cv")
+
+
+def prefix_candidates(spark: SparkSession, sf_dir: str) -> int:
+    """Prefix-join candidate volume of prefix_filter_jaccard_pairs
+    (replicates its candidate-generation stage; the registered query's
+    verify stage consumes exactly this set)."""
+    from pyspark.sql.window import Window
+
+    from mini_pandas_spark.operators.dedup import shingles, tokens
+    from mini_pandas_spark.sources import load_table
+
+    t = 0.8
+    d = load_table(spark, sf_dir, "documents")
+    docsets = (
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
+        .select("doc_id", shingles(F.col("__ts")).alias("ss"))
+        .withColumn("sz", F.size("ss"))
+    )
+    exploded = docsets.select(
+        "doc_id", "sz", F.explode("ss").alias("shingle")
+    ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix = (
+        exploded.join(freq, "h")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
+        .select("doc_id", "h")
+    )
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def ivf_candidates(spark: SparkSession, sf_dir: str) -> int:
+    """Cell-mate candidate volume of embedding_near_dup_pairs' IVF
+    blocking (multi-probe; counts per-cell C(n,2) — pairs sharing >1
+    cell count once per shared cell, a slight overcount vs the query's
+    distinct pair set)."""
+    from mini_pandas_spark.operators.similarity import (
+        DEDUP_CELLS,
+        DEDUP_PROBES,
+        LLOYD_ITERS,
+        _assign_topp_np,
+        _trained_quantizer,
+        _vectors_with_norm,
+    )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vec = _vectors_with_norm(spark, sf_dir).repartition(n_part)
+    cids, cn = _trained_quantizer(vec, sf_dir, DEDUP_CELLS, LLOYD_ITERS)
+    assigned = _assign_topp_np(vec, cids, cn, DEDUP_PROBES)
+    return pairs_in_buckets(assigned, "cell")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default="/tmp/scale_stress_neardup")
+    args = ap.parse_args()
+    mults = [int(x) for x in args.mults.split(",")]
+
+    from mini_pandas_spark.queries import queries
+    from mini_pandas_spark.session import get_spark
+
+    spark = get_spark("neardup-scale-stress", cpus=32, shuffle_partitions=32)
+    qs = queries()
+
+    doc_ops = [
+        ("minhash_lsh_pairs", minhash_candidates),
+        ("prefix_filter_jaccard_pairs", prefix_candidates),
+        ("simhash_near_pairs", simhash_candidates),
+    ]
+    results = []
+    for m in mults:
+        sf_dir = os.path.join(args.out, f"m{m}")
+        build_documents(spark, sf_dir, m)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        all_pairs_docs = n_docs * (n_docs - 1) // 2
+        for name, cand_fn in doc_ops:
+            t0 = time.time()
+            out_pairs = qs[name](spark, sf_dir).count()
+            wall = time.time() - t0
+            cand = cand_fn(spark, sf_dir)
+            results.append(
+                dict(
+                    op=name,
+                    mult=m,
+                    n=n_docs,
+                    wall_sec=round(wall, 2),
+                    out_pairs=out_pairs,
+                    candidates=cand,
+                    cand_ratio=round(cand / all_pairs_docs, 6),
+                )
+            )
+            print(f"  {name} m={m}: {wall:.1f}s, out={out_pairs}, "
+                  f"cand={cand} ({cand/all_pairs_docs:.2%} of all-pairs)",
+                  file=sys.stderr)
+        if m <= EMBED_MAX_MULT:
+            build_embeddings(spark, sf_dir, m)
+            n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+            all_pairs_vec = n_vec * (n_vec - 1) // 2
+            t0 = time.time()
+            out_pairs = qs["embedding_near_dup_pairs"](spark, sf_dir).count()
+            wall = time.time() - t0
+            cand = ivf_candidates(spark, sf_dir)
+            results.append(
+                dict(
+                    op="embedding_near_dup_pairs",
+                    mult=m,
+                    n=n_vec,
+                    wall_sec=round(wall, 2),
+                    out_pairs=out_pairs,
+                    candidates=cand,
+                    cand_ratio=round(cand / all_pairs_vec, 6),
+                )
+            )
+            print(f"  embedding_near_dup_pairs m={m}: {wall:.1f}s, "
+                  f"out={out_pairs}, cand={cand} "
+                  f"({cand/all_pairs_vec:.2%} of all-pairs)", file=sys.stderr)
+
+    print("| op | mult | rows | wall (s) | output pairs | candidates | cand/all-pairs |")
+    print("|---|---|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['op']} | {r['mult']}x | {r['n']} | {r['wall_sec']} "
+            f"| {r['out_pairs']} | {r['candidates']} | {r['cand_ratio']:.4%} |"
+        )
+    print(json.dumps({"results": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
