@@ -3594,3 +3594,141 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("spearman_rho"),
     )
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release mechanism demo: per-segment customer
+    counts with Laplace(1/ε) noise, ε = 1 (count queries have L1
+    sensitivity 1) — the third privacy-family op next to k_anonymity_audit
+    and l_diversity_audit, showing the noise-calibration side instead of
+    the suppression side.
+
+    The Laplace draw is DETERMINISTIC for cross-engine replay: the
+    segment's md5 prefix (7 hex chars, < 2^28 — under the 2^31 hash
+    ceiling) maps to u ∈ [0,1) and inverse-CDF transforms to
+    -sign(u-½)·ln(1-2|u-½|).  A real release would use a sealed RNG; the
+    mechanism, sensitivity math, and shape are exactly the production
+    ones.  Scale: one map-side-combined groupBy on a 5-value key; the
+    noise is a per-group scalar expression.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_exact"))
+    u = F.conv(F.substring(F.md5("c_mktsegment"), 1, 7), 16, 10).cast(
+        "double"
+    ) / F.lit(268435456.0)  # 2^28
+    centered = u - F.lit(0.5)
+    noise = -F.signum(centered) * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+    return counts.select(
+        "c_mktsegment",
+        "n_exact",
+        (F.round(noise, 4) + F.lit(0.0)).alias("laplace_noise"),
+        (F.round(F.col("n_exact") + noise, 4) + F.lit(0.0)).alias("n_released"),
+    ).orderBy("c_mktsegment")
+
+
+def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per market segment: a
+    deterministic 80/20 hash split of orders into train/calibration, a
+    per-segment mean-price "model" fit on train, the 0.9 quantile of
+    absolute calibration residuals as the conformal radius, and the
+    resulting distribution-free ~90% interval — the uncertainty wrapper
+    modern ML serving puts around point predictions (Vovk et al.;
+    Angelopoulos & Bates 2023 tutorial formulation).
+
+    Determinism: the split reuses the multiplicative-hash recipe of
+    train_split_assign (no RNG), the model mean comes from exact decimal
+    cent sums, and the radius uses interpolated percentile — the same
+    definition in Spark (F.percentile) and DuckDB (quantile_cont).
+    Scale: one hash-partitioned aggregation per split over a 5-value
+    key; residuals are a broadcast-join expression; the quantile runs
+    per tiny group.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    # o_orderkey reduced mod 2^31-1 BEFORE the prime multiply: every
+    # intermediate stays < 2^63 at any SF (the bootstrap_ci_revenue recipe)
+    fold = F.pmod(
+        (F.col("o_orderkey") % F.lit(2147483647)) * F.lit(2654435761)
+        % F.lit(2147483647),
+        F.lit(5),
+    )
+    tagged = o.select(
+        "c_mktsegment", "o_totalprice", (fold == 0).alias("is_cal")
+    )
+    model = (
+        tagged.where(~F.col("is_cal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            (
+                F.sum(cents("o_totalprice").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("seg_mean"),
+        )
+    )
+    cal = tagged.where(F.col("is_cal")).join(F.broadcast(model), "c_mktsegment")
+    return (
+        cal.select(
+            "c_mktsegment",
+            "n_train",
+            "seg_mean",
+            F.abs(F.col("o_totalprice") - F.col("seg_mean")).alias("resid"),
+        )
+        .groupBy("c_mktsegment", "n_train", "seg_mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.percentile("resid", F.lit(0.9)).alias("q90"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_train",
+            "n_cal",
+            (F.round("seg_mean", 4) + F.lit(0.0)).alias("seg_mean"),
+            (F.round("q90", 4) + F.lit(0.0)).alias("conformal_radius"),
+            (F.round(F.col("seg_mean") - F.col("q90"), 4) + F.lit(0.0)).alias("pi_lo"),
+            (F.round(F.col("seg_mean") + F.col("q90"), 4) + F.lit(0.0)).alias("pi_hi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free grouped K-fold assignment over events: every event of
+    a user lands in the SAME fold (fold = multiplicative hash of user_id
+    mod 5), the grouped-CV discipline that prevents a user's behavior
+    leaking between train and validation — the k-fold counterpart of
+    train_split_assign's per-row split.
+
+    Scale: fold is a per-row expression (no RNG, no shuffle to assign);
+    the report is one aggregation keyed on 5 folds.  By construction a
+    user cannot appear in two folds; the pytest pins it anyway.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fold = F.pmod(
+        (F.col("user_id") % F.lit(2147483647)) * F.lit(2654435761)
+        % F.lit(2147483647),
+        F.lit(5),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        e.select(fold.alias("fold"), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_users",
+            "n_events",
+            (
+                F.round(F.col("n_events").cast("double") / F.col("n_total"), 6)
+                + F.lit(0.0)
+            ).alias("event_share"),
+        )
+        .orderBy("fold")
+    )

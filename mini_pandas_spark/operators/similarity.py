@@ -1091,3 +1091,159 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("mn"), 6) + F.lit(0.0)).alias("min_val"),
         (F.round(F.col("mx"), 6) + F.lit(0.0)).alias("max_val"),
     ).orderBy("dim")
+
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 50
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) result
+    diversification: for each query vector, shortlist the 50 most cosine-
+    similar corpus vectors DISTRIBUTED (the expensive scan), then select 5
+    greedily on the driver maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    — retrieval that trades pure relevance for coverage, the standard
+    de-redundancy step after ANN in RAG/retrieval pipelines.
+
+    Scale split: the corpus-wide scoring + per-query top-50 window is the
+    same broadcast-query one-pass plan as cosine_topk (all heavy work);
+    the greedy MMR loop is inherently sequential in k, so it runs on the
+    driver over the BOUNDED 10×50 shortlist (the quantizer-partials
+    pattern) — never a per-step distributed job.  Deterministic: shortlist
+    tiebreaks on neighbor_id; the driver loop breaks score ties on
+    neighbor_id asc.  Not SQL-expressible (iterative argmax over a growing
+    selected set) — rows-only + numpy-oracle pytest.
+    """
+    import numpy as np
+
+    vec = _vectors_with_norm(spark, sf_dir)
+    q = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    scored = vec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "sim", "v")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in short:
+        by_q.setdefault(r["query_id"], []).append(r)
+    out_rows = []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda r: (-r["sim"], r["neighbor_id"]))
+        V = np.stack([np.asarray(r["v"], dtype=float) for r in cand])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.asarray([r["sim"] for r in cand])
+        ids = [int(r["neighbor_id"]) for r in cand]
+        selected: list[int] = []
+        chosen_vecs = []
+        for rank in range(1, TOP_K + 1):
+            best_j, best_score = None, None
+            for j in range(len(ids)):
+                if j in selected:
+                    continue
+                red = (
+                    max(float(Vn[j] @ c) for c in chosen_vecs)
+                    if chosen_vecs
+                    else 0.0
+                )
+                s = MMR_LAMBDA * sims[j] - (1.0 - MMR_LAMBDA) * red
+                # deterministic: strict improvement, id asc on ties
+                if best_score is None or s > best_score + 1e-12 or (
+                    abs(s - best_score) <= 1e-12 and ids[j] < ids[best_j]
+                ):
+                    best_j, best_score = j, s
+            selected.append(best_j)
+            chosen_vecs.append(Vn[best_j])
+            out_rows.append(
+                (
+                    int(qid),
+                    rank,
+                    ids[best_j],
+                    float(sims[best_j]),
+                    round(float(best_score) + 0.0, 6),
+                )
+            )
+    return spark.createDataFrame(
+        out_rows,
+        "query_id long, rank int, neighbor_id long, sim double, mmr_score double",
+    )
+
+
+def procrustes_align_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding spaces — the
+    model-migration primitive: when a new encoder re-embeds the corpus,
+    the old index is reusable after solving min_R ||RB - A||_F over
+    rotations (Schönemann 1966).  Space B here is a known orthogonal
+    transform of A (coordinate reversal with alternating sign flips), so
+    the solver must recover it to numerical zero — a self-validating
+    setup with the same code path a real migration uses.
+
+    Distributed shape (the PCA recipe): the cross-covariance M = Σ aᵢbᵢᵀ
+    accumulates in ONE shuffle-free mapInPandas pass (64×64 partials per
+    partition), the driver takes the 64×64 SVD (R = UVᵀ — constant work
+    at any corpus size), and a second map-only pass scores per-vector
+    alignment residuals ||Rbᵢ - aᵢ||.  Not SQL-expressible (SVD) —
+    rows-only + pytest pins (R orthogonal, residual ≈ 0, label counts).
+    """
+    import numpy as np
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v", "label")
+
+    def cross_cov(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        M = None
+        for pdf in batches:
+            A = np.stack(pdf["v"].to_numpy())
+            sgn = np.asarray([1.0 if i % 2 == 0 else -1.0 for i in range(A.shape[1])])
+            B = A[:, ::-1] * sgn  # the "new model": reverse + sign flips
+            M = B.T @ A if M is None else M + B.T @ A
+        if M is not None:
+            yield pd.DataFrame({"m": [M.reshape(-1).tolist()]})
+
+    parts = vec.select("v").mapInPandas(cross_cov, schema="m array<double>").collect()
+    M = np.sum([np.asarray(r["m"]).reshape(DIM, DIM) for r in parts], axis=0)
+    # min_R ||BR - A||_F with M = B^T A = U S V^T  =>  R = U V^T
+    U, _, Vt = np.linalg.svd(M)
+    R = (U @ Vt).tolist()  # rotation aligning B onto A, captured by value
+
+    def residuals(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+
+        Rm = np.asarray(R)
+        sgn = np.asarray([1.0 if i % 2 == 0 else -1.0 for i in range(Rm.shape[0])])
+        for pdf in batches:
+            A = np.stack(pdf["v"].to_numpy())
+            B = A[:, ::-1] * sgn
+            res = np.linalg.norm(B @ Rm - A, axis=1)
+            yield pdf.assign(resid=np.round(res, 6)).drop(columns=["v"])
+
+    scored = vec.select(F.col("label").cast("int").alias("label"), "v").mapInPandas(
+        residuals, schema="label int, resid double"
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.round(F.max("resid"), 6) + F.lit(0.0)).alias("max_residual"),
+        )
+        .orderBy("label")
+    )

@@ -1813,3 +1813,328 @@ def langid_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
         (F.round(f1, 6) + F.lit(0.0)).alias("f1"),
     ).orderBy("lang")
+
+
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and the two marginal entropies) between the
+    ``lang`` and ``source`` columns — the dependence audit a corpus
+    curator runs before stratifying: MI ≈ 0 means language mix is
+    homogeneous across sources; high MI means some sources are
+    language-skewed and per-source sampling will shift the language mix.
+
+    MI = Σ p(l,s)·ln(p(l,s) / (p(l)·p(s))) over the joint distribution,
+    plus H(lang), H(source), and the normalized variant
+    MI / sqrt(H_l·H_s) (0 when either entropy is 0).
+
+    Scale: ONE groupBy over the fact table produces the joint counts
+    (|langs|×|sources| rows — tiny); marginals and the total derive from
+    re-aggregating those counts, never re-scanning the corpus.  The final
+    log-sum runs over the tiny joint table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ls"))
+    ml = joint.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
+    ms = joint.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
+    tot = joint.agg(F.sum("n_ls").alias("n"))
+    j = (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .join(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    p_ls = F.col("n_ls").cast("double") / n
+    p_l = F.col("n_l").cast("double") / n
+    p_s = F.col("n_s").cast("double") / n
+    terms = j.select(
+        (p_ls * F.log(p_ls / (p_l * p_s))).alias("mi_term"),
+        "n_ls",
+        "n_l",
+        "n_s",
+        "n",
+    )
+    h_l = (
+        ml.join(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n_l").cast("double") / F.col("n"))
+                * F.log(F.col("n_l").cast("double") / F.col("n"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("h_lang"))
+    )
+    h_s = (
+        ms.join(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n_s").cast("double") / F.col("n"))
+                * F.log(F.col("n_s").cast("double") / F.col("n"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("h_source"))
+    )
+    mi = terms.agg(
+        F.sum("mi_term").alias("mi"), F.min("n").alias("n_docs")
+    )
+    out = mi.join(F.broadcast(h_l)).join(F.broadcast(h_s))
+    nmi = F.when(
+        (F.col("h_lang") > 0) & (F.col("h_source") > 0),
+        F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.round(F.col("mi"), 6) + F.lit(0.0)).alias("mi_nats"),
+        (F.round(F.col("h_lang"), 6) + F.lit(0.0)).alias("h_lang"),
+        (F.round(F.col("h_source"), 6) + F.lit(0.0)).alias("h_source"),
+        (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
+    )
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution: OLS
+    slope/intercept of ln(freq) on ln(rank) over the top-500 tokens — the
+    one-number summary of vocabulary concentration (natural language sits
+    near slope -1; templated/boilerplate corpora flatten toward 0,
+    synthetic-noise corpora steepen).
+
+    Scale: token counts are ONE map-side-combined groupBy; only the
+    top-500 (global window over 500 surviving rows after a count-based
+    pre-rank) enter the regression, so the regression input is constant
+    size at any corpus scale.  Determinism: (freq desc, token asc) total
+    order for ranks; regression moments from the 500-row frame.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 500)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    # Closed-form OLS from DECIMAL moments: each per-point term is rounded
+    # to 12 dp and summed as decimal(28,12) so the sum is exact and
+    # independent of accumulation order (the cross-engine determinism
+    # recipe; regr_slope over raw doubles is order-dependent).
+    dec = "decimal(28,12)"
+    moments = top.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("x"), 12).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    cov_xy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_xy / var_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov_xy * cov_xy) / (var_x * var_y)
+    return moments.select(
+        "n_points",
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(intercept, 4) + F.lit(0.0)).alias("zipf_intercept"),
+        (F.round(r2, 4) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve per language: the fraction of all token
+    OCCURRENCES covered by the top-k most frequent tokens, k ∈ {10, 100,
+    1000} — the sizing curve a tokenizer/vocab budget decision reads
+    (how much of the stream do k types explain?).
+
+    Scale: one (lang, token) groupBy with map-side combine, a per-lang
+    rank window over the distinct-type table (|types| per lang, not
+    |occurrences|), then integer-sum ratios — exact at 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("freq").alias("n_occurrences"),
+            *[
+                (
+                    F.round(
+                        F.sum(F.when(F.col("rk") <= k, F.col("freq")).otherwise(0)).cast(
+                            "double"
+                        )
+                        / F.sum("freq"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias(f"cov_top{k}")
+                for k in (10, 100, 1000)
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_BATCH = 16
+
+
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste comparison for batch assembly: pack documents into
+    fixed-size batches (16 docs) either in arrival (doc_id) order or
+    grouped into 8 length buckets first, and report the pad-token bill of
+    each strategy — the measurement behind length-bucketed batching in
+    every LLM training loader (padding to the batch max wastes compute;
+    bucketing by length collapses the per-batch max spread).
+
+    Scale: both plans are (window rank → integer batch id → per-batch max
+    × count − sum) over one skinny (doc_id, n_tokens) projection; the
+    heavy table never shuffles twice.  All-integer arithmetic — exact.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", token_count("text").alias("n_tok"))
+
+    def waste(df: DataFrame, order_cols, strategy: str, part_cols=()) -> DataFrame:
+        w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+        batched = df.withColumn(
+            "batch",
+            ((F.row_number().over(w) - 1) / LENGTH_BATCH).cast("bigint"),
+        )
+        per_batch = batched.groupBy(*part_cols, "batch").agg(
+            F.count(F.lit(1)).alias("bsz"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("toks"),
+        )
+        agg = per_batch.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("bsz") - F.col("toks")).alias("pad_tokens"),
+        )
+        return agg.select(
+            F.lit(strategy).alias("strategy"),
+            "n_batches",
+            "total_tokens",
+            "pad_tokens",
+        )
+
+    # bucket by global length rank → 8 contiguous length ranges
+    nt = Window.orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
+    bucketed = lens.withColumn("bucket", F.ntile(8).over(nt))
+    global_plan = waste(lens, [F.col("doc_id").asc()], "global_by_id")
+    bucket_plan = waste(
+        bucketed,
+        [F.col("n_tok").asc(), F.col("doc_id").asc()],
+        "bucketed_by_length",
+        part_cols=("bucket",),
+    )
+    out = global_plan.unionByName(bucket_plan)
+    return out.select(
+        "strategy",
+        "n_batches",
+        "total_tokens",
+        "pad_tokens",
+        (
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("total_tokens") + F.col("pad_tokens")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pad_frac"),
+    ).orderBy("strategy")
+
+
+DUP_SPAN_N = 8
+
+
+def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN report (the exact-substring dedup
+    primitive of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, reduced to fixed n=8 token grams): a
+    position in a document is *duplicated* if its 8-gram occurs in any
+    other document; adjacent duplicated positions coalesce into islands
+    (gaps-and-islands over positions), and each source reports its doc
+    coverage and island-length profile — what you'd cut if you removed
+    every cross-doc repeated span.
+
+    Scale: the n-gram table is |tokens| rows (arrays built narrowly per
+    doc, no per-element re-split); cross-doc duplication is ONE groupBy
+    on the gram string (map-side combined); islands are a per-doc window
+    (row_number difference trick), so nothing ever pairs documents —
+    the quadratic near-dup problem becomes two linear aggregations.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens("text").alias("ts")).where(
+        F.size("ts") >= DUP_SPAN_N
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (DUP_SPAN_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ts"), i, DUP_SPAN_N)
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    # cross-doc duplicated gram = present in >1 distinct doc
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "source", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(wdoc))
+        .groupBy("doc_id", "source", "grp")
+        .agg(
+            (F.max("pos") - F.min("pos") + DUP_SPAN_N).alias("span_len"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("span_len").alias("longest_span"),
+        F.sum("span_len").alias("dup_token_mass"),
+    )
+    n_docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_with_dup_spans"),
+            F.sum("n_islands").alias("n_islands"),
+            F.max("longest_span").alias("max_span_tokens"),
+            F.sum("dup_token_mass").alias("dup_token_mass"),
+        )
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_dup_spans",
+            "n_islands",
+            "max_span_tokens",
+            "dup_token_mass",
+            (
+                F.round(
+                    F.col("docs_with_dup_spans").cast("double") / F.col("n_docs"), 6
+                )
+                + F.lit(0.0)
+            ).alias("affected_frac"),
+        )
+        .orderBy("source")
+    )

@@ -5000,8 +5000,8 @@ register(
         FROM cents GROUP BY 1, 2
     )
     SELECT window_start, win.event_type, n_events,
-           round(CAST(win_cents AS DOUBLE) / n_events / 100.0, 4) + 0.0
-               AS win_mean,
+           CAST(CAST(round(CAST(win_cents AS DOUBLE) * 100.0 / n_events)
+                    AS BIGINT) AS DOUBLE) / 10000.0 AS win_mean,
            CAST(CASE WHEN abs(CAST(win_cents AS DOUBLE) / n_events / 100.0
                         - base_mean)
                      > 2.0 * base_std / sqrt(CAST(n_events AS DOUBLE))
@@ -5458,4 +5458,292 @@ register(
                AS spearman_rho
     FROM ranked
     """,
+)
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: corpus dependence/fit diagnostics, batching economics,
+# exact-substring span dedup, DP release, MMR diversification.
+# ---------------------------------------------------------------------------
+
+register(
+    "mutual_information_lang_source",
+    text.mutual_information_lang_source,
+    """
+    WITH joint AS (
+        SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2
+    ), ml AS (
+        SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l FROM joint GROUP BY 1
+    ), ms AS (
+        SELECT source, CAST(SUM(n_ls) AS BIGINT) AS n_s FROM joint GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_ls) AS BIGINT) AS n FROM joint
+    ), mi AS (
+        SELECT CAST(SUM(CAST(round(
+                   (CAST(n_ls AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln((CAST(n_ls AS DOUBLE) / CAST(n AS DOUBLE))
+                        / ((CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)))), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS mi,
+               MIN(n) AS n_docs
+        FROM joint JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+    ), hl AS (
+        SELECT CAST(SUM(CAST(round(
+                   -(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS h_lang
+        FROM ml CROSS JOIN tot
+    ), hs AS (
+        SELECT CAST(SUM(CAST(round(
+                   -(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS h_source
+        FROM ms CROSS JOIN tot
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           round(mi, 6) + 0.0 AS mi_nats,
+           round(h_lang, 6) + 0.0 AS h_lang,
+           round(h_source, 6) + 0.0 AS h_source,
+           round(CASE WHEN h_lang > 0 AND h_source > 0
+                 THEN mi / sqrt(h_lang * h_source) ELSE 0.0 END, 6) + 0.0 AS nmi
+    FROM mi CROSS JOIN hl CROSS JOIN hs
+    """,
+)
+
+register(
+    "zipf_fit_tokens",
+    text.zipf_fit_tokens,
+    rf"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ), top AS (
+        SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        FROM (
+            SELECT freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+            FROM counts
+        ) WHERE rank <= 500
+    ), m AS (
+        SELECT COUNT(*) AS n_points,
+               CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM top
+    )
+    SELECT n_points,
+           round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 4) + 0.0
+               AS zipf_slope,
+           round((sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n_points AS DOUBLE), 4) + 0.0 AS zipf_intercept,
+           round(((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n_points AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n_points AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 4) + 0.0 AS r2
+    FROM m
+    """,
+)
+
+register(
+    "vocab_coverage_curve",
+    text.vocab_coverage_curve,
+    rf"""
+    WITH tok AS (
+        SELECT lang, unnest({_TOKENS}) AS token FROM documents
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, freq,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, token ASC) AS rk
+        FROM counts
+    )
+    SELECT lang,
+           COUNT(*) AS n_types,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           round(CAST(SUM(CASE WHEN rk <= 10 THEN freq ELSE 0 END) AS DOUBLE)
+                 / SUM(freq), 6) + 0.0 AS cov_top10,
+           round(CAST(SUM(CASE WHEN rk <= 100 THEN freq ELSE 0 END) AS DOUBLE)
+                 / SUM(freq), 6) + 0.0 AS cov_top100,
+           round(CAST(SUM(CASE WHEN rk <= 1000 THEN freq ELSE 0 END) AS DOUBLE)
+                 / SUM(freq), 6) + 0.0 AS cov_top1000
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+
+register(
+    "length_bucket_padding",
+    text.length_bucket_padding,
+    rf"""
+    WITH lens AS (
+        SELECT doc_id, len({_TOKENS}) AS n_tok FROM documents
+    ), g AS (
+        SELECT n_tok,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 16.0)
+                    AS BIGINT) AS batch
+        FROM lens
+    ), gb AS (
+        SELECT batch, COUNT(*) AS bsz, MAX(n_tok) AS mx, SUM(n_tok) AS toks
+        FROM g GROUP BY 1
+    ), gres AS (
+        SELECT 'global_by_id' AS strategy, COUNT(*) AS n_batches,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(mx * bsz - toks) AS BIGINT) AS pad_tokens
+        FROM gb
+    ), b AS (
+        SELECT doc_id, n_tok,
+               ntile(8) OVER (ORDER BY n_tok ASC, doc_id ASC) AS bucket
+        FROM lens
+    ), b2 AS (
+        SELECT bucket, n_tok,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket
+                               ORDER BY n_tok ASC, doc_id ASC) - 1) / 16.0)
+                    AS BIGINT) AS batch
+        FROM b
+    ), bb AS (
+        SELECT bucket, batch, COUNT(*) AS bsz, MAX(n_tok) AS mx,
+               SUM(n_tok) AS toks
+        FROM b2 GROUP BY 1, 2
+    ), bres AS (
+        SELECT 'bucketed_by_length' AS strategy, COUNT(*) AS n_batches,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(mx * bsz - toks) AS BIGINT) AS pad_tokens
+        FROM bb
+    )
+    SELECT strategy, n_batches, total_tokens, pad_tokens,
+           round(CAST(pad_tokens AS DOUBLE)
+                 / (total_tokens + pad_tokens), 6) + 0.0 AS pad_frac
+    FROM (SELECT * FROM gres UNION ALL SELECT * FROM bres)
+    ORDER BY strategy
+    """,
+)
+
+register(
+    "duplicated_span_islands",
+    text.duplicated_span_islands,
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKENS} AS ts FROM documents
+        WHERE len({_TOKENS}) >= 8
+    ), grams AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+               array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+                   AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) g
+    ), dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), dup_pos AS (
+        SELECT doc_id, source, pos FROM grams JOIN dup_grams USING (gram)
+    ), islands AS (
+        SELECT doc_id, source,
+               MAX(pos) - MIN(pos) + 8 AS span_len
+        FROM (
+            SELECT doc_id, source, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup_pos
+        ) GROUP BY doc_id, source, grp
+    ), per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS n_islands,
+               MAX(span_len) AS longest_span,
+               SUM(span_len) AS dup_token_mass
+        FROM islands GROUP BY 1, 2
+    ), nd AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    )
+    SELECT per_doc.source, n_docs,
+           COUNT(*) AS docs_with_dup_spans,
+           CAST(SUM(n_islands) AS BIGINT) AS n_islands,
+           CAST(MAX(longest_span) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(dup_token_mass) AS BIGINT) AS dup_token_mass,
+           round(CAST(COUNT(*) AS DOUBLE) / n_docs, 6) + 0.0 AS affected_frac
+    FROM per_doc JOIN nd ON per_doc.source = nd.source
+    GROUP BY per_doc.source, n_docs
+    ORDER BY per_doc.source
+    """,
+)
+
+register(
+    "dp_noisy_counts",
+    relational.dp_noisy_counts,
+    """
+    WITH c AS (
+        SELECT c_mktsegment, COUNT(*) AS n_exact FROM customer GROUP BY 1
+    ), u AS (
+        SELECT c_mktsegment, n_exact,
+               CAST(CAST(CONCAT('0x', substr(md5(c_mktsegment), 1, 7))
+                    AS BIGINT) AS DOUBLE) / 268435456.0 AS u
+        FROM c
+    )
+    SELECT c_mktsegment, n_exact,
+           round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0.0
+               AS laplace_noise,
+           round(n_exact + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 4)
+               + 0.0 AS n_released
+    FROM u ORDER BY c_mktsegment
+    """,
+)
+
+# MMR is iterative (greedy argmax over a growing selected set) — not
+# SQL-expressible; rows-only + the numpy-oracle pytest in
+# tests/test_pipeline_operators.py.
+register("mmr_diverse_topk", similarity.mmr_diverse_topk, None)
+
+register(
+    "conformal_prediction_interval",
+    relational.conformal_prediction_interval,
+    """
+    WITH o AS (
+        SELECT c_mktsegment, o_totalprice,
+               ((o_orderkey % 2147483647) * 2654435761 % 2147483647) % 5 = 0
+                   AS is_cal
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), model AS (
+        SELECT c_mktsegment, COUNT(*) AS n_train,
+               CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) / 100.0
+                   AS seg_mean
+        FROM o WHERE NOT is_cal GROUP BY 1
+    ), cal AS (
+        SELECT o.c_mktsegment, n_train, seg_mean,
+               abs(o_totalprice - seg_mean) AS resid
+        FROM o JOIN model ON o.c_mktsegment = model.c_mktsegment
+        WHERE is_cal
+    )
+    SELECT c_mktsegment, n_train, COUNT(*) AS n_cal,
+           round(seg_mean, 4) + 0.0 AS seg_mean,
+           round(quantile_cont(resid, 0.9), 4) + 0.0 AS conformal_radius,
+           round(seg_mean - quantile_cont(resid, 0.9), 4) + 0.0 AS pi_lo,
+           round(seg_mean + quantile_cont(resid, 0.9), 4) + 0.0 AS pi_hi
+    FROM cal GROUP BY c_mktsegment, n_train, seg_mean
+    ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "group_kfold_assign",
+    relational.group_kfold_assign,
+    """
+    WITH tot AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT CAST(((user_id % 2147483647) * 2654435761 % 2147483647) % 5
+                AS BIGINT) AS fold,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           round(CAST(COUNT(*) AS DOUBLE) / MIN(n_total), 6) + 0.0
+               AS event_share
+    FROM events CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+# Procrustes needs a 64x64 SVD — not SQL-expressible; rows-only + pytest
+# (orthogonality + exact-recovery residual pins).
+register(
+    "procrustes_align_embeddings", similarity.procrustes_align_embeddings, None
 )

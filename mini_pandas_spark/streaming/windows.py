@@ -673,9 +673,15 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("window.start"), _FMT).alias("window_start"),
         "event_type",
         "n_events",
+        # Rounded in SCALED-INTEGER space: integer±.5 boundaries are
+        # binary-exact, so Spark's repr-based HALF_UP and DuckDB's
+        # binary-value rounding agree (a 4-dp round of cents/n/100 hit a
+        # non-binary-exact .00005 boundary at sf0.1 and split engines).
         (
-            F.round(F.col("win_cents").cast("double") / F.col("n_events") / 100.0, 4)
-            + F.lit(0.0)
+            F.round(F.col("win_cents").cast("double") * 100.0 / F.col("n_events"))
+            .cast("bigint")
+            .cast("double")
+            / 10000.0
         ).alias("win_mean"),
         F.when(
             F.abs(

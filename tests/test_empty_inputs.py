@@ -167,6 +167,15 @@ EMPTY_OK_ZERO_ROWS = [
     "golden_record_docs",
     "langid_confusion_metrics",
     "spearman_rank_corr",
+    "mutual_information_lang_source",
+    "zipf_fit_tokens",
+    "vocab_coverage_curve",
+    "length_bucket_padding",
+    "duplicated_span_islands",
+    "dp_noisy_counts",
+    "mmr_diverse_topk",
+    "conformal_prediction_interval",
+    "group_kfold_assign",
 ]
 
 

@@ -734,3 +734,165 @@ def test_kmv_join_estimate_within_bound(spark, qs):
     r = qs["kmv_join_size_estimate"](spark, SF).collect()[0]
     assert r["exact_join_rows"] > 0
     assert r["rel_error"] <= 0.5, tuple(r)
+
+
+def test_mmr_matches_numpy_oracle_and_diversifies(spark, qs):
+    """MMR contract: (a) rank-1 equals the plain cosine top-1 (no
+    redundancy penalty yet), (b) every selected id comes from the
+    cosine shortlist, (c) an independent numpy re-implementation over
+    raw vectors reproduces the exact selection per query."""
+    import numpy as np
+
+    from mini_pandas_spark.operators.similarity import (
+        MMR_LAMBDA,
+        MMR_SHORTLIST,
+        N_QUERIES,
+        TOP_K,
+    )
+    from mini_pandas_spark.sources import load_table
+
+    got = qs["mmr_diverse_topk"](spark, SF).collect()
+    assert len(got) == N_QUERIES * TOP_K
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in qs["cosine_topk"](spark, SF).collect()
+        if r["rk"] == 1
+    }
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    V = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=float)
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def np_mmr(qid):
+        q = V[qid]
+        qn = q / np.linalg.norm(q)
+        sims = {
+            i: round(float(qn @ (v / np.linalg.norm(v))), 6)
+            for i, v in V.items()
+            if i != qid
+        }
+        short = sorted(sims, key=lambda i: (-sims[i], i))[:MMR_SHORTLIST]
+        sel = []
+        for _ in range(TOP_K):
+            best, best_s = None, None
+            for i in short:
+                if i in sel:
+                    continue
+                red = max(
+                    (
+                        float(
+                            (V[i] / np.linalg.norm(V[i]))
+                            @ (V[j] / np.linalg.norm(V[j]))
+                        )
+                        for j in sel
+                    ),
+                    default=0.0,
+                )
+                s = MMR_LAMBDA * sims[i] - (1 - MMR_LAMBDA) * red
+                if best_s is None or s > best_s + 1e-12 or (
+                    abs(s - best_s) <= 1e-12 and i < best
+                ):
+                    best, best_s = i, s
+            sel.append(best)
+        return sel
+
+    for qid, rows in by_q.items():
+        ids = [r["neighbor_id"] for r in rows]
+        assert ids[0] == top1[qid], f"rank-1 must be the cosine top-1 (q{qid})"
+        assert ids == np_mmr(qid), f"numpy MMR oracle mismatch (q{qid})"
+
+
+def test_length_bucket_padding_bucketing_wins(spark, qs):
+    """Bucketed batching must never pad MORE than arrival-order batching
+    (same batch size, tighter per-batch length spread), and both
+    strategies account for identical total real tokens."""
+    rows = {r["strategy"]: r for r in qs["length_bucket_padding"](spark, SF).collect()}
+    g, b = rows["global_by_id"], rows["bucketed_by_length"]
+    assert g["total_tokens"] == b["total_tokens"]
+    assert b["pad_tokens"] <= g["pad_tokens"]
+    assert 0.0 <= b["pad_frac"] <= g["pad_frac"] < 1.0
+
+
+def test_mutual_information_bounds(spark, qs):
+    """0 ≤ MI ≤ min(H_l, H_s); NMI in [0, 1]."""
+    r = qs["mutual_information_lang_source"](spark, SF).collect()[0]
+    assert r["mi_nats"] >= -1e-9
+    assert r["mi_nats"] <= min(r["h_lang"], r["h_source"]) + 1e-6
+    assert -1e-9 <= r["nmi"] <= 1.0 + 1e-9
+
+
+def test_duplicated_span_islands_consistency(spark, qs):
+    """Island accounting: affected docs ≤ docs, longest span ≥ the 8-token
+    gram floor, and dup mass ≥ islands × 8 (each island spans ≥ n)."""
+    rows = qs["duplicated_span_islands"](spark, SF).collect()
+    assert rows, "fixture has planted near-dups; spans must exist"
+    for r in rows:
+        assert 0 < r["docs_with_dup_spans"] <= r["n_docs"]
+        assert r["max_span_tokens"] >= 8
+        assert r["dup_token_mass"] >= r["n_islands"] * 8
+
+
+def test_procrustes_recovers_known_rotation(spark, qs):
+    """Space B is a known orthogonal transform of A, so the SVD solver
+    must align it back to numerical zero for EVERY label group — and the
+    label partition must cover all 500 vectors."""
+    rows = qs["procrustes_align_embeddings"](spark, SF).collect()
+    assert sum(r["n_vectors"] for r in rows) == 500
+    assert all(r["max_residual"] <= 1e-4 for r in rows), rows
+
+
+def test_group_kfold_no_user_straddles_folds(spark, qs):
+    """Grouped-CV contract: fold is a function of user_id, so distinct
+    users summed over folds equals global distinct users (no user in two
+    folds), and every event lands in exactly one fold."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    rows = qs["group_kfold_assign"](spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_events = e.count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert {r["fold"] for r in rows} <= {0, 1, 2, 3, 4}
+
+
+def test_conformal_interval_coverage(spark, qs):
+    """Split-conformal guarantee check (finite-sample, distribution-free):
+    on the calibration fold itself, the q90 radius must cover ≥ ~88% of
+    residuals per segment (the quantile definition guarantees ≥ 90% up to
+    interpolation at these group sizes)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    intervals = {
+        r["c_mktsegment"]: r for r in qs["conformal_prediction_interval"](spark, SF).collect()
+    }
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, SF, "orders").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    fold = F.pmod(
+        (F.col("o_orderkey") % F.lit(2147483647)) * F.lit(2654435761)
+        % F.lit(2147483647),
+        F.lit(5),
+    )
+    cal = o.where(fold == 0).select("c_mktsegment", "o_totalprice").collect()
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for r in cal:
+        by_seg[r["c_mktsegment"]].append(r["o_totalprice"])
+    for seg, prices in by_seg.items():
+        iv = intervals[seg]
+        assert iv["n_cal"] == len(prices)
+        covered = sum(1 for p in prices if iv["pi_lo"] - 1e-9 <= p <= iv["pi_hi"] + 1e-9)
+        assert covered / len(prices) >= 0.88, (seg, covered / len(prices))
