@@ -284,37 +284,6 @@ N_PROBE = 4
 LLOYD_ITERS = 1
 
 
-def _lloyd_partials_fn(cn_now: list, cids_now: list):
-    """One Lloyd step's map side: per-Arrow-batch nearest-centroid
-    assignment emitting (cell, count, vector-sum) partials — k×partitions
-    tiny rows for the driver to combine (treeAggregate shape).  Returned
-    closure is self-contained (imports inside, captures only the two
-    lists by value)."""
-
-    def partials(batches):
-        import numpy as np
-        import pandas as pd
-
-        Cn = np.asarray(cn_now)
-        ids = np.asarray(cids_now)
-        for pdf in batches:
-            M = np.stack(pdf["v"].to_numpy())
-            best = (M @ Cn.T).argmax(axis=1)
-            rows = []
-            for j in np.unique(best):
-                sel = M[best == j]
-                rows.append(
-                    {
-                        "cid": int(ids[j]),
-                        "n": int(sel.shape[0]),
-                        "s": sel.sum(axis=0).tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return partials
-
-
 # Trained-quantizer memo, keyed by (sf_dir, k, iters).  Training is fully
 # deterministic (init = lowest vec_ids, partials combined in sorted cid
 # order, partition-invariant by pytest pin), so every embedding query in a
@@ -326,45 +295,122 @@ def _lloyd_partials_fn(cn_now: list, cids_now: list):
 _QUANTIZER_MEMO: dict = {}
 
 
-def _trained_quantizer(vec: DataFrame, sf_dir: str, k: int, iters: int):
-    key = (sf_dir, k, iters)
-    hit = _QUANTIZER_MEMO.get(key)
-    if hit is not None:
-        return hit
-    init = vec.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
-    out = _train_quantizer(vec, init, iters=iters)
-    _QUANTIZER_MEMO[key] = out
-    return out
+SAMPLE_MOD = 4  # 1-in-4 deterministic training sample (vec_id % 4 == 0)
 
 
-def _train_quantizer(vec: DataFrame, init_rows: list, iters: int):
-    """k-means coarse quantizer: deterministic init from the given rows
-    (lowest vec_ids), each Lloyd iteration ONE shuffle-free mapInPandas
-    pass over ``vec`` whose per-partition partials the driver combines.
-    Returns (cell ids ascending, L2-normalized centroids) so cosine
-    argmax is dot argmax downstream."""
+def _sample_predicate(extra_below: int):
+    """Deterministic quantizer-training sample: every 4th vec_id, plus
+    the low-id rows the caller needs anyway (init centroids / queries)."""
+    return (F.pmod(F.col("vec_id"), F.lit(SAMPLE_MOD)) == 0) | (
+        F.col("vec_id") < extra_below
+    )
+
+
+def _lloyd_local(sample_rows: list, k: int, iters: int):
+    """Driver-local Lloyd over a collected sample — the 100 TB recipe
+    (train the coarse quantizer on a hash-sample, index the full corpus
+    with it).  Replaces one full-corpus mapInPandas pass per iteration
+    with microseconds of numpy on ≤ a few hundred rows; update rule is
+    identical to the old distributed trainer (only non-empty cells
+    update, cell ids re-sort ascending, centroids L2-normalize so cosine
+    argmax is dot argmax).  Deterministic: sample sorted by vec_id, ties
+    in argmax break to the lowest cell id."""
     import numpy as np
 
-    init_rows = sorted(init_rows, key=lambda r: r["vec_id"])
+    rows = sorted(sample_rows, key=lambda r: r["vec_id"])
+    init = [r for r in rows if r["vec_id"] < k]
+    cids = [int(r["vec_id"]) for r in init]
+    C = np.stack([np.asarray(r["v"], dtype=float) for r in init])
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    S = np.stack([np.asarray(r["v"], dtype=float) for r in rows])
+    for _ in range(iters):
+        best = (S @ cn.T).argmax(axis=1)
+        sums = {}
+        for j in np.unique(best):
+            sel = S[best == j]
+            sums[cids[j]] = (sel.shape[0], sel.sum(axis=0))
+        cids = sorted(sums)
+        C = np.stack([sums[c][1] / sums[c][0] for c in cids])
+        cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return cids, cn.tolist()
+
+
+def _lloyd_distributed(vec: DataFrame, k: int, iters: int):
+    """Full-corpus Lloyd: each iteration is ONE shuffle-free mapInPandas
+    pass emitting per-partition (cell, count, vector-sum) partials that
+    the driver combines (k x partitions tiny rows — MLlib's treeAggregate
+    shape).  Used where cell placement must see every vector (the
+    near-dup exactness pin); ivf_ann_topk uses the sampled local trainer
+    instead.  Same update rule as _lloyd_local."""
+    import numpy as np
+
+    init_rows = sorted(
+        vec.filter(F.col("vec_id") < k).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )
     cids = [int(r["vec_id"]) for r in init_rows]
     C = np.stack([np.asarray(r["v"], dtype=float) for r in init_rows])
     cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
     for _ in range(iters):
+        cn_now, cids_now = cn, cids
+
+        def partials(batches):
+            # self-contained closure (pickled by value; no module refs)
+            import numpy as np
+            import pandas as pd
+
+            Cn = np.asarray(cn_now)
+            ids = np.asarray(cids_now)
+            for pdf in batches:
+                M = np.stack(pdf["v"].to_numpy())
+                best = (M @ Cn.T).argmax(axis=1)
+                rows = []
+                for j in np.unique(best):
+                    sel = M[best == j]
+                    rows.append(
+                        {
+                            "cid": int(ids[j]),
+                            "n": int(sel.shape[0]),
+                            "s": sel.sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
         parts = (
             vec.select("v")
-            .mapInPandas(
-                _lloyd_partials_fn(cn, cids), schema="cid long, n long, s array<double>"
-            )
+            .mapInPandas(partials, schema="cid long, n long, s array<double>")
             .collect()
         )
         sums = {}
         for r in sorted(parts, key=lambda r: r["cid"]):
-            n0, s0 = sums.get(r["cid"], (0, np.zeros(DIM)))
+            n0, s0 = sums.get(r["cid"], (0, np.zeros(len(r["s"]))))
             sums[r["cid"]] = (n0 + r["n"], s0 + np.asarray(r["s"]))
         cids = sorted(sums)
         C = np.stack([sums[c][1] / sums[c][0] for c in cids])
         cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
     return cids, cn
+
+
+def _trained_quantizer(
+    vec: DataFrame, sf_dir: str, k: int, iters: int, sample_mod: int | None = None
+):
+    """Memoized quantizer training.  ``sample_mod=None`` trains on the
+    FULL corpus (one distributed pass per iteration — cell placement
+    sees every vector; required by embedding_near_dup_pairs' pair-set ==
+    exact pytest pin); ``sample_mod=m`` trains driver-locally on the
+    deterministic 1-in-m sample (the 100 TB recipe; used by
+    ivf_ann_topk, whose contract is a recall floor, not exactness)."""
+    key = (sf_dir, k, iters, sample_mod)
+    hit = _QUANTIZER_MEMO.get(key)
+    if hit is not None:
+        return hit
+    if sample_mod is None:
+        out = _lloyd_distributed(vec, k, iters)
+    else:
+        sample = vec.filter(_sample_predicate(k)).select("vec_id", "v").collect()
+        out = _lloyd_local(sample, k, iters)
+    _QUANTIZER_MEMO[key] = out
+    return out
 
 
 def _assign_topp_np(vec: DataFrame, cids: list, cn: list, n_probe: int) -> DataFrame:
@@ -420,22 +466,21 @@ def _assign_np(vec: DataFrame, cids: list, cn: list) -> DataFrame:
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-style coarse quantizer (16
-    centroids, 1 Lloyd iteration, deterministic init = lowest vec_ids;
-    measured recall at sf0.1: 0.98 on the round-2 fixture, 0.90 on the
-    round-1 one vs 0.92 for 2 iterations — the second pass bought 0.02
-    recall for a full corpus pass + collect, so the cold path drops it),
-    then each query probes its 4 nearest cells and ranks cell members by
-    exact cosine.
+    centroids, 1 Lloyd iteration over a deterministic 1-in-4 sample,
+    init = lowest vec_ids; measured recall on the round-3 fixture: 0.92
+    at sf0.1, 0.78 at sf0.01 — sample-trained cells trade ~0.06 recall
+    for deleting a full corpus pass from the cold path; floor pinned at
+    0.6), then each query probes its 4 nearest cells and ranks cell
+    members by exact cosine.
 
-    This is the engine's second iterative algorithm (after
-    dedup_clusters): a Python driver loop where each Lloyd step is ONE
-    shuffle-free mapInPandas pass emitting per-partition (cell, count,
-    vector-sum) partials that the driver combines — k×partitions tiny
-    rows, MLlib's treeAggregate shape (switch to a tree combine at
-    extreme k×partitions).  At 100 TB: train the quantizer on a
-    hash-sample, write the corpus partitioned by cell, and nprobe bounds
-    query I/O to nprobe/k of the data.  Rows-only + pytest recall vs
-    cosine_topk.
+    Training runs on a DETERMINISTIC 1-in-4 hash-sample collected in the
+    SAME driver job that fetches init centroids and query vectors, with
+    Lloyd iterated locally in numpy — the 100 TB recipe made literal
+    (train the quantizer on a sample, index the full corpus with it):
+    the cold path pays ONE bounded collect instead of a full-corpus
+    mapInPandas pass per iteration.  At 100 TB: write the corpus
+    partitioned by cell; nprobe bounds query I/O to nprobe/k of the
+    data.  Rows-only + pytest recall vs cosine_topk.
     """
     import numpy as np
 
@@ -454,18 +499,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold-path plan-compilation jobs this algorithm pays before Lloyd.
     # On a quantizer-memo hit (cell layout already trained this session)
     # only the query rows are fetched and the Lloyd pass is skipped.
-    key = (sf_dir, N_CENTROIDS, LLOYD_ITERS)
+    key = (sf_dir, N_CENTROIDS, LLOYD_ITERS, SAMPLE_MOD)
     cached = _QUANTIZER_MEMO.get(key)
     if cached is None:
         head = (
-            vec.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+            vec.filter(_sample_predicate(max(N_CENTROIDS, N_QUERIES)))
             .select("vec_id", "v", "nrm")
             .collect()
         )
         head.sort(key=lambda r: r["vec_id"])
-        init = [r for r in head if r["vec_id"] < N_CENTROIDS]
         qrows = [r for r in head if r["vec_id"] < N_QUERIES]
-        cids, cn = _train_quantizer(vec, init, iters=LLOYD_ITERS)
+        cids, cn = _lloyd_local(head, N_CENTROIDS, LLOYD_ITERS)
         _QUANTIZER_MEMO[key] = (cids, cn)
     else:
         cids, cn = cached

@@ -87,9 +87,10 @@ def test_dedup_exact_total_preserved(spark, qs):
 
 
 def test_ivf_ann_recall_vs_brute_force(spark, qs):
-    """IVF (16 cells, 1 Lloyd iter, 4-probe) measures 0.90 recall on
-    this clustered corpus (0.92 with 2 iters; the extra pass isn't worth
-    a full corpus scan); floor at 0.6."""
+    """IVF (16 cells, 1 sample-trained Lloyd iter, 4-probe) measures
+    0.78 recall at sf0.01 / 0.92 at sf0.1 on the round-3 fixture (the
+    1-in-4 sample trade; full-corpus training measured 0.90/0.98);
+    floor at 0.6."""
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in qs["cosine_topk"](spark, SF).collect()
