@@ -89,6 +89,17 @@ HEADLINE = [
     "seasonal_decompose_daily",
     "bpe_merge_step",
     "curriculum_stages",
+    # round-3 additions
+    "duplicated_span_islands",
+    "mutual_information_lang_source",
+    "vocab_coverage_curve",
+    "zipf_fit_tokens",
+    "length_bucket_padding",
+    "conformal_prediction_interval",
+    "dp_noisy_counts",
+    "group_kfold_assign",
+    "mmr_diverse_topk",
+    "procrustes_align_embeddings",
 ]
 
 

@@ -6,8 +6,13 @@ documents with deterministically mutated copies:
 
 * per extra copy c, docs with ``doc_id % 10 == (c-1) % 10`` become PLANTED
   near-dups of their base doc (one appended token — shingle Jaccard ~0.97),
-* every other doc is salted by interleaving a copy-specific token between
-  all words, which rewrites every shingle (distinct under Jaccard).
+* every other doc is salted by interleaving a DOC-SPECIFIC token between
+  all words, which rewrites every shingle uniquely (distinct under
+  Jaccard).  A copy-wide salt would itself be cross-doc boilerplate:
+  every second shingle becomes (salt, w, salt), shared by all salted
+  docs containing w — measured 80x candidate blowup on the prefix
+  filter at 3x (a genuinely adversarial boilerplate corpus, but not the
+  clean scaling measurement this table is for).
 
 Embeddings scale the same way (cap 3x — the fixture's near-uniform sphere
 geometry makes tau=0.4 verification quadratic-ish by nature, see the
@@ -47,9 +52,10 @@ def build_documents(spark: SparkSession, out_dir: str, m: int) -> None:
     parts = [base]
     for c in range(1, m):
         near = F.pmod(F.col("doc_id"), F.lit(10)) == (c - 1) % 10
+        salt = F.concat(F.lit(f" c{c}d"), F.col("doc_id").cast("string"), F.lit("x "))
         text = F.when(
             near, F.concat(F.col("text"), F.lit(" neardupmarker"))
-        ).otherwise(F.regexp_replace("text", " ", f" q{c}z "))
+        ).otherwise(F.regexp_replace(F.col("text"), F.lit(" "), salt))
         parts.append(
             base.select(
                 (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
