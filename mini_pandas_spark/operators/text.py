@@ -2138,3 +2138,66 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair assembly: within each language,
+    pair the i-th LONGEST document (chosen) with the i-th shortest
+    (rejected) for i ≤ 10 — the deterministic skeleton of building
+    (chosen, rejected) training pairs from a scored corpus.  Token count
+    stands in for the reward score (integer, engine-exact); swapping in
+    a model score changes one expression, not the shape.
+
+    Scale: two per-lang rank windows over a skinny (lang, doc_id,
+    n_tokens) projection share ONE hash exchange on lang; the pair join
+    is on (lang, rank) — bounded at 10 rows per lang regardless of
+    corpus size.  Pairs where chosen and rejected coincide or the gap is
+    non-positive are dropped (degenerate preference).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("lang", "doc_id", token_count("text").alias("n_tok"))
+    w_best = Window.partitionBy("lang").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    w_worst = Window.partitionBy("lang").orderBy(
+        F.col("n_tok").asc(), F.col("doc_id").asc()
+    )
+    best = (
+        lens.withColumn("pair_rank", F.row_number().over(w_best).cast("bigint"))
+        .where(F.col("pair_rank") <= 10)
+        .select(
+            "lang",
+            "pair_rank",
+            F.col("doc_id").alias("chosen_doc"),
+            F.col("n_tok").alias("chosen_tokens"),
+        )
+    )
+    worst = (
+        lens.withColumn("pair_rank", F.row_number().over(w_worst).cast("bigint"))
+        .where(F.col("pair_rank") <= 10)
+        .select(
+            "lang",
+            "pair_rank",
+            F.col("doc_id").alias("rejected_doc"),
+            F.col("n_tok").alias("rejected_tokens"),
+        )
+    )
+    return (
+        best.join(worst, ["lang", "pair_rank"])
+        .where(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("chosen_tokens") > F.col("rejected_tokens"))
+        )
+        .select(
+            "lang",
+            "pair_rank",
+            "chosen_doc",
+            "chosen_tokens",
+            "rejected_doc",
+            "rejected_tokens",
+            (F.col("chosen_tokens") - F.col("rejected_tokens")).alias("token_gap"),
+        )
+        .orderBy("lang", "pair_rank")
+    )

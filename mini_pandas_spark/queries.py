@@ -5747,3 +5747,84 @@ register(
 register(
     "procrustes_align_embeddings", similarity.procrustes_align_embeddings, None
 )
+
+register(
+    "preference_pairs_by_quality",
+    text.preference_pairs_by_quality,
+    rf"""
+    WITH lens AS (
+        SELECT lang, doc_id, len({_TOKENS}) AS n_tok FROM documents
+    ), best AS (
+        SELECT lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n_tok DESC, doc_id ASC) AS pair_rank,
+               doc_id AS chosen_doc, n_tok AS chosen_tokens
+        FROM lens QUALIFY pair_rank <= 10
+    ), worst AS (
+        SELECT lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n_tok ASC, doc_id ASC) AS pair_rank,
+               doc_id AS rejected_doc, n_tok AS rejected_tokens
+        FROM lens QUALIFY pair_rank <= 10
+    )
+    SELECT lang, pair_rank, chosen_doc, chosen_tokens,
+           rejected_doc, rejected_tokens,
+           chosen_tokens - rejected_tokens AS token_gap
+    FROM best JOIN worst USING (lang, pair_rank)
+    WHERE chosen_doc <> rejected_doc AND chosen_tokens > rejected_tokens
+    ORDER BY lang, pair_rank
+    """,
+)
+
+register(
+    "grid_spatial_join",
+    relational.grid_spatial_join,
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               ((c_custkey * 2654435761) % 2147483647 % 18000)
+                   / 100.0 - 90.0 AS c_lat,
+               ((c_custkey * 2246822519) % 2147483647 % 36000)
+                   / 100.0 - 180.0 AS c_lon
+        FROM customer WHERE c_custkey <= 300
+    ), s AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 2654435761) % 2147483647 % 18000)
+                   / 100.0 - 90.0 AS s_lat,
+               ((s_suppkey * 2246822519) % 2147483647 % 36000)
+                   / 100.0 - 180.0 AS s_lon
+        FROM supplier
+    ), s_cells AS (
+        SELECT *,
+               CAST(round((s_lon + 180.0) * 100) AS BIGINT) // 500 AS cx,
+               CAST(round((s_lat + 90.0) * 100) AS BIGINT) // 500 AS cy
+        FROM s
+    ), c_cells AS (
+        SELECT c_custkey, c_lat, c_lon,
+               CAST(round((c_lon + 180.0) * 100) AS BIGINT) // 500
+                   + o.dx AS cx,
+               CAST(round((c_lat + 90.0) * 100) AS BIGINT) // 500
+                   + o.dy AS cy
+        FROM c CROSS JOIN (
+            SELECT dx, dy
+            FROM (SELECT unnest([-1, 0, 1]) AS dx),
+                 (SELECT unnest([-1, 0, 1]) AS dy)
+        ) o
+    ), pairs AS (
+        SELECT DISTINCT c_custkey, s_suppkey, c_lat, c_lon, s_lat, s_lon
+        FROM c_cells JOIN s_cells USING (cx, cy)
+    )
+    SELECT c_custkey, s_suppkey, round(dist_km, 2) + 0.0 AS dist_km
+    FROM (
+        SELECT c_custkey, s_suppkey,
+               2.0 * 6371.0 * asin(sqrt(
+                   pow(sin((radians(s_lat) - radians(c_lat)) / 2), 2)
+                   + cos(radians(c_lat)) * cos(radians(s_lat))
+                     * pow(sin((radians(s_lon) - radians(c_lon)) / 2), 2)))
+                   AS dist_km
+        FROM pairs
+    )
+    WHERE dist_km <= 500.0
+    ORDER BY c_custkey, s_suppkey
+    """,
+)

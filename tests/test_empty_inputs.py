@@ -176,6 +176,8 @@ EMPTY_OK_ZERO_ROWS = [
     "mmr_diverse_topk",
     "conformal_prediction_interval",
     "group_kfold_assign",
+    "preference_pairs_by_quality",
+    "grid_spatial_join",
 ]
 
 

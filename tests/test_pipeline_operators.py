@@ -897,3 +897,60 @@ def test_conformal_interval_coverage(spark, qs):
         assert iv["n_cal"] == len(prices)
         covered = sum(1 for p in prices if iv["pi_lo"] - 1e-9 <= p <= iv["pi_hi"] + 1e-9)
         assert covered / len(prices) >= 0.88, (seg, covered / len(prices))
+
+
+def test_grid_spatial_join_complete_at_low_latitude(spark, qs):
+    """Blocking-completeness pin: every true ≤500 km pair whose endpoints
+    sit below |lat| 60° (where one 5° lon cell ≥ 278 km, so the 9-cell
+    probe is guaranteed to cover the radius) must appear in the blocked
+    result; and every returned pair must verify ≤ 500 km."""
+    import math
+
+    from mini_pandas_spark.operators.relational import (
+        _GEO_MOD,
+        _GEO_PRIME_LAT,
+        _GEO_PRIME_LON,
+    )
+    from mini_pandas_spark.sources import load_table
+
+    got = {
+        (r["c_custkey"], r["s_suppkey"]): r["dist_km"]
+        for r in qs["grid_spatial_join"](spark, SF).collect()
+    }
+    assert all(d <= 500.0 for d in got.values())
+
+    def lat(k):
+        return (k * _GEO_PRIME_LAT) % _GEO_MOD % 18000 / 100.0 - 90.0
+
+    def lon(k):
+        return (k * _GEO_PRIME_LON) % _GEO_MOD % 36000 / 100.0 - 180.0
+
+    def hav(k1, k2):
+        la1, lo1 = math.radians(lat(k1)), math.radians(lon(k1))
+        la2, lo2 = math.radians(lat(k2)), math.radians(lon(k2))
+        a = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    custs = [
+        r["c_custkey"]
+        for r in load_table(spark, SF, "customer")
+        .where("c_custkey <= 300")
+        .select("c_custkey")
+        .collect()
+    ]
+    supps = [
+        r["s_suppkey"]
+        for r in load_table(spark, SF, "supplier").select("s_suppkey").collect()
+    ]
+    missed = [
+        (c, s)
+        for c in custs
+        for s in supps
+        if abs(lat(c)) <= 60 and abs(lat(s)) <= 60
+        and hav(c, s) <= 499.99
+        and (c, s) not in got
+    ]
+    assert not missed, missed[:5]
