@@ -2091,11 +2091,13 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    # cross-doc duplicated gram = present in >1 distinct doc
+    # cross-doc duplicated gram = present in >1 distinct doc; min!=max is
+    # equivalent to COUNT(DISTINCT doc_id)>1 and skips the two-phase
+    # distinct expansion (one map-side-combined agg instead)
     dup_grams = (
         grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     dup_pos = grams.join(dup_grams, "gram").select("doc_id", "source", "pos")

@@ -5637,7 +5637,7 @@ register(
              LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) g
     ), dup_grams AS (
         SELECT gram FROM grams GROUP BY gram
-        HAVING COUNT(DISTINCT doc_id) > 1
+        HAVING MIN(doc_id) <> MAX(doc_id)
     ), dup_pos AS (
         SELECT doc_id, source, pos FROM grams JOIN dup_grams USING (gram)
     ), islands AS (
