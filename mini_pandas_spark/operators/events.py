@@ -542,7 +542,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     bucket = F.when(
-        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        ((F.col("user_id") % F.lit(_AB_MOD)) * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
     per_user = (
@@ -1301,7 +1301,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     bucket = F.when(
-        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        ((F.col("user_id") % F.lit(_AB_MOD)) * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
     per_user = (
@@ -1452,7 +1452,7 @@ def ks_statistic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     bucket = F.when(
-        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        ((F.col("user_id") % F.lit(_AB_MOD)) * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
     pv = (
@@ -2027,7 +2027,7 @@ def conversion_rate_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     bucket = F.when(
-        (F.col("user_id") * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
+        ((F.col("user_id") % F.lit(_AB_MOD)) * F.lit(_AB_PRIME)) % F.lit(_AB_MOD) % F.lit(2) == 0,
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
     per_user = (

@@ -1332,7 +1332,7 @@ def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (SURVEY.md §2.2).
     """
     o = load_table(spark, sf_dir, "orders")
-    h = (F.col("o_orderkey") * F.lit(_RESERVOIR_PRIME)) % F.lit(_RESERVOIR_MOD)
+    h = ((F.col("o_orderkey") % F.lit(_RESERVOIR_MOD)) * F.lit(_RESERVOIR_PRIME)) % F.lit(_RESERVOIR_MOD)
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("h").asc(), F.col("o_orderkey").asc()
     )
@@ -1563,7 +1563,7 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     row_h = (
-        (F.col("o_orderkey") * F.lit(_CK_P1)) % F.lit(_CK_MOD)
+        ((F.col("o_orderkey") % F.lit(_CK_MOD)) * F.lit(_CK_P1)) % F.lit(_CK_MOD)
         + (cents("o_totalprice") * F.lit(_CK_P2)) % F.lit(_CK_MOD)
     ) % F.lit(_CK_MOD)
     per_status = (
@@ -3160,11 +3160,11 @@ _GEO_MOD = 2147483647
 
 
 def _synth_lat(key):
-    return ((key * _GEO_PRIME_LAT) % _GEO_MOD % 18000) / 100.0 - 90.0
+    return (((key % _GEO_MOD) * _GEO_PRIME_LAT) % _GEO_MOD % 18000) / 100.0 - 90.0
 
 
 def _synth_lon(key):
-    return ((key * _GEO_PRIME_LON) % _GEO_MOD % 36000) / 100.0 - 180.0
+    return (((key % _GEO_MOD) * _GEO_PRIME_LON) % _GEO_MOD % 36000) / 100.0 - 180.0
 
 
 def haversine_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

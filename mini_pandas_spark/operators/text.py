@@ -346,7 +346,7 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, split) key space.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
     split = (
         F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
     )
@@ -462,7 +462,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10)
         + F.lit(5) * (F.substring("source", 4, 10).cast("long") % F.lit(10))
     )
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(100)
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(100)
     return (
         d.select("source", rate_pct.alias("rate_pct"), (h < rate_pct).alias("keep"))
         .groupBy("source", "rate_pct")
@@ -657,7 +657,7 @@ def lang_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     mn = cnt.agg(F.min("n_total").alias("min_total"))
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
         REBALANCE_SCALE
     )
     kept = (
@@ -701,7 +701,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tok"),
         F.length("text").alias("n_chars"),
     )
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
     split = (
         F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
     )
@@ -745,7 +745,7 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates back to the source key space.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
@@ -834,7 +834,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = base.where((F.col("n_tok") >= 10) & (F.col("n_tok") <= 500))
     cnt = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     mn = cnt.agg(F.min("n_lang").alias("min_lang"))
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
         REBALANCE_SCALE
     )
     kept = (
@@ -842,7 +842,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mn))
         .where(h * F.col("n_lang") < F.col("min_lang") * F.lit(REBALANCE_SCALE))
     )
-    hs = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
+    hs = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(10)
     split = (
         F.when(hs < 8, F.lit("train")).when(hs < 9, F.lit("val")).otherwise(F.lit("test"))
     )
@@ -1029,7 +1029,7 @@ def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     # u in (0, 1): (h+1) / (MOD+1), h = doc_id*PRIME mod MOD in [0, MOD)
-    h = (F.col("doc_id") * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
+    h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD)
     key = F.round(F.log((h + 1) / F.lit(2147483648.0)) / F.col("n_chars"), 12)
     w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id").asc())
     return (

@@ -1131,8 +1131,8 @@ register(
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM (
       SELECT source,
-             CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
-                  WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+             CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                  WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
                   ELSE 'test' END AS split,
              len({_TOKENS}) AS n_tok
       FROM documents
@@ -1224,7 +1224,7 @@ register(
     SELECT source,
            10 + 5 * (CAST(substr(source, 4) AS BIGINT) % 10) AS rate_pct,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN (doc_id * 2654435761) % 2147483647 % 100
+           CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100
                               < 10 + 5 * (CAST(substr(source, 4) AS BIGINT) % 10)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents
@@ -1255,8 +1255,8 @@ register(
     """
     SELECT 'src' || CAST(i % 20 AS VARCHAR) AS source,
            COUNT(*) AS n_docs,
-           CAST(SUM(20 + (i * 2654435761) % 2147483647 % 50) AS BIGINT) AS sum_tokens,
-           CAST(SUM(CAST(((i * 2654435761) % 2147483647 % 1000) / 1000.0
+           CAST(SUM(20 + ((i % 2147483647) * 2654435761) % 2147483647 % 50) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST((((i % 2147483647) * 2654435761) % 2147483647 % 1000) / 1000.0
                          AS DECIMAL(18,3))) AS DOUBLE) AS sum_quality
     FROM generate_series(0, 499) t(i)
     GROUP BY 1
@@ -1270,11 +1270,11 @@ register(
     "synthetic_stream_rollup",
     _synthetic.synthetic_stream_rollup,
     """
-    SELECT substr('abcde', CAST((i * 2654435761) % 2147483647 % 5 AS INT) + 1, 1)
+    SELECT substr('abcde', CAST(((i % 2147483647) * 2654435761) % 2147483647 % 5 AS INT) + 1, 1)
              AS action,
            COUNT(*) AS n_events,
            CAST(SUM(i) AS BIGINT) AS sum_ids,
-           CAST(SUM(CAST(((i * 2654435761) % 2147483647 % 10000) / 100.0
+           CAST(SUM(CAST((((i % 2147483647) * 2654435761) % 2147483647 % 10000) / 100.0
                          AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
     FROM generate_series(0, 499) t(i)
     GROUP BY 1
@@ -2007,7 +2007,7 @@ register(
     k AS (
         SELECT d.lang, COUNT(*) AS n_kept
         FROM documents d JOIN c USING (lang) CROSS JOIN m
-        WHERE ((d.doc_id * 2654435761) % 2147483647 % 1000000) * c.n_total
+        WHERE (((d.doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000) * c.n_total
               < m.min_total * 1000000
         GROUP BY d.lang
     )
@@ -2063,7 +2063,7 @@ register(
         SELECT lang, doc_id, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY round(ln(((doc_id * 2654435761) % 2147483647 + 1)
+                   ORDER BY round(ln((((doc_id % 2147483647) * 2654435761) % 2147483647 + 1)
                                      / 2147483648.0) / n_chars, 12) DESC,
                             doc_id ASC
                ) AS rk
@@ -2108,8 +2108,8 @@ register(
         FROM embeddings
     )
     SELECT doc_id, source, lang,
-           CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
-                WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+           CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
                 ELSE 'test' END AS split,
            n_tok,
            n_tok >= 10 AND n_tok <= 500
@@ -2201,7 +2201,7 @@ register(
     """
     WITH pu AS (
         SELECT user_id,
-               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+               CASE WHEN ((user_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0
                     THEN 'control' ELSE 'treatment' END AS bucket,
                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    AS n_purch,
@@ -2819,9 +2819,9 @@ register(
     """
     WITH pv AS (
         SELECT CAST(round(value * 100) AS BIGINT) AS v,
-               CAST(SUM(CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+               CAST(SUM(CASE WHEN ((user_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0
                         THEN 1 ELSE 0 END) AS BIGINT) AS c_ctrl,
-               CAST(SUM(CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+               CAST(SUM(CASE WHEN ((user_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0
                         THEN 0 ELSE 1 END) AS BIGINT) AS c_trt
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
@@ -3016,7 +3016,7 @@ register(
     """
     WITH pu AS (
         SELECT user_id,
-               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+               CASE WHEN ((user_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0
                     THEN 'control' ELSE 'treatment' END AS bucket,
                CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
@@ -3123,7 +3123,7 @@ register(
         SELECT doc_id, source,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 2147483647, doc_id
+                   ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id
                ) AS rn
         FROM documents
     )
@@ -3358,12 +3358,12 @@ register(
     kept AS (
         SELECT g.doc_id, g.lang, g.n_tok
         FROM gated g JOIN cnt USING (lang) CROSS JOIN mn
-        WHERE ((g.doc_id * 2654435761) % 2147483647 % 1000000) * cnt.n_lang
+        WHERE (((g.doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000) * cnt.n_lang
               < mn.min_lang * 1000000
     )
     SELECT lang,
-           CASE WHEN (doc_id * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
-                WHEN (doc_id * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
+           CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 8 THEN 'train'
+                WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 < 9 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
@@ -3609,7 +3609,7 @@ register(
     """
     WITH h AS (
         SELECT o_orderstatus, o_orderkey, o_totalprice,
-               (o_orderkey * 2654435761) % 2147483647 AS h
+               ((o_orderkey % 2147483647) * 2654435761) % 2147483647 AS h
         FROM orders
     ), r AS (
         SELECT o_orderstatus, o_orderkey, o_totalprice,
@@ -3778,7 +3778,7 @@ register(
     """
     WITH h AS (
         SELECT o_orderstatus,
-               ((o_orderkey * 2654435761) % 2147483647
+               (((o_orderkey % 2147483647) * 2654435761) % 2147483647
                 + (CAST(round(o_totalprice * 100) AS BIGINT) * 40503)
                   % 2147483647) % 2147483647 AS h
         FROM orders
@@ -4777,7 +4777,7 @@ register(
     """
     WITH per_user AS (
         SELECT user_id,
-               CASE WHEN (user_id * 2654435761) % 2147483647 % 2 = 0
+               CASE WHEN ((user_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0
                     THEN 'control' ELSE 'treatment' END AS bucket,
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    AS converted
@@ -4883,16 +4883,16 @@ register(
     """
     WITH c AS (
         SELECT c_custkey, c_nationkey,
-               radians(((c_custkey * 2654435761) % 2147483647 % 18000)
+               radians((((c_custkey % 2147483647) * 2654435761) % 2147483647 % 18000)
                    / 100.0 - 90.0) AS c_lat,
-               radians(((c_custkey * 2246822519) % 2147483647 % 36000)
+               radians((((c_custkey % 2147483647) * 2246822519) % 2147483647 % 36000)
                    / 100.0 - 180.0) AS c_lon
         FROM customer WHERE c_custkey <= 100
     ), s AS (
         SELECT s_suppkey, s_nationkey,
-               radians(((s_suppkey * 2654435761) % 2147483647 % 18000)
+               radians((((s_suppkey % 2147483647) * 2654435761) % 2147483647 % 18000)
                    / 100.0 - 90.0) AS s_lat,
-               radians(((s_suppkey * 2246822519) % 2147483647 % 36000)
+               radians((((s_suppkey % 2147483647) * 2246822519) % 2147483647 % 36000)
                    / 100.0 - 180.0) AS s_lon
         FROM supplier
     ), scored AS (
@@ -5782,16 +5782,16 @@ register(
     """
     WITH c AS (
         SELECT c_custkey,
-               ((c_custkey * 2654435761) % 2147483647 % 18000)
+               (((c_custkey % 2147483647) * 2654435761) % 2147483647 % 18000)
                    / 100.0 - 90.0 AS c_lat,
-               ((c_custkey * 2246822519) % 2147483647 % 36000)
+               (((c_custkey % 2147483647) * 2246822519) % 2147483647 % 36000)
                    / 100.0 - 180.0 AS c_lon
         FROM customer WHERE c_custkey <= 300
     ), s AS (
         SELECT s_suppkey,
-               ((s_suppkey * 2654435761) % 2147483647 % 18000)
+               (((s_suppkey % 2147483647) * 2654435761) % 2147483647 % 18000)
                    / 100.0 - 90.0 AS s_lat,
-               ((s_suppkey * 2246822519) % 2147483647 % 36000)
+               (((s_suppkey % 2147483647) * 2246822519) % 2147483647 % 36000)
                    / 100.0 - 180.0 AS s_lon
         FROM supplier
     ), s_cells AS (
