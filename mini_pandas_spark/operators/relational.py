@@ -3813,3 +3813,81 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+T_CLOSE_BINS = 10
+T_CLOSE_T = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    completing the privacy-release family next to k_anonymity_audit,
+    l_diversity_audit, and dp_noisy_counts: for every quasi-identifier
+    equivalence class (c_mktsegment, c_nationkey), the Earth Mover's
+    Distance between the class's distribution over an ORDERED sensitive
+    attribute (account-balance decile) and the global distribution; a
+    release violates t-closeness when any class's EMD exceeds t = 0.2.
+    For equally-spaced ordered bins, EMD = Σ|cumQ − cumP| / (bins−1).
+
+    Determinism: deciles come from a global ntile(10) with a custkey
+    tiebreak; all distributions are exact integer-count ratios; the EMD
+    sums 10 terms per class from a windowed cumsum — rounded at 6 dp.
+    Scale: one ntile window (a global sort — at 100 TB the decile
+    boundaries come from approx quantiles or a sampled sort, same
+    downstream shape), then two map-side-combined aggregations and a
+    10-row-per-class cumsum window.  Class count is bounded by the
+    quasi-id domain, not the row count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w_dec = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    binned = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.ntile(T_CLOSE_BINS).over(w_dec).alias("decile"),
+    )
+    per_class = binned.groupBy("c_mktsegment", "c_nationkey", "decile").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    class_tot = per_class.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("n").alias("class_n")
+    )
+    glob = binned.groupBy("decile").agg(F.count(F.lit(1)).alias("gn"))
+    gtot = glob.agg(F.sum("gn").alias("g_total"))
+    # dense (class × decile) grid so empty cells contribute q=0
+    classes = class_tot.select("c_mktsegment", "c_nationkey", "class_n")
+    grid = classes.crossJoin(F.broadcast(glob.join(F.broadcast(gtot))))
+    cells = grid.join(
+        per_class, ["c_mktsegment", "c_nationkey", "decile"], "left"
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "decile",
+        "class_n",
+        (F.coalesce("n", F.lit(0)).cast("double") / F.col("class_n")).alias("q"),
+        (F.col("gn").cast("double") / F.col("g_total")).alias("p"),
+    )
+    w_cum = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("decile")
+    emd_terms = cells.withColumn(
+        "cum_diff", F.abs(F.sum(F.col("q") - F.col("p")).over(w_cum))
+    )
+    per_class_emd = emd_terms.groupBy("c_mktsegment", "c_nationkey", "class_n").agg(
+        (
+            F.round(F.sum("cum_diff") / (T_CLOSE_BINS - 1), 6) + F.lit(0.0)
+        ).alias("emd")
+    )
+    return (
+        per_class_emd.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            (F.round(F.max("emd"), 6) + F.lit(0.0)).alias("max_emd"),
+            F.sum(F.when(F.col("emd") > T_CLOSE_T, 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_violating_t"),
+            F.sum(
+                F.when(F.col("emd") > T_CLOSE_T, F.col("class_n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("individuals_in_violating"),
+        )
+        .orderBy("c_mktsegment")
+    )

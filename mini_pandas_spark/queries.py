@@ -5828,3 +5828,84 @@ register(
     ORDER BY c_custkey, s_suppkey
     """,
 )
+
+register(
+    "t_closeness_audit",
+    relational.t_closeness_audit,
+    """
+    WITH binned AS (
+        SELECT c_mktsegment, c_nationkey,
+               ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                   AS decile
+        FROM customer
+    ), per_class AS (
+        SELECT c_mktsegment, c_nationkey, decile, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2, 3
+    ), class_tot AS (
+        SELECT c_mktsegment, c_nationkey, CAST(SUM(n) AS BIGINT) AS class_n
+        FROM per_class GROUP BY 1, 2
+    ), gdist AS (
+        SELECT decile, COUNT(*) AS gn FROM binned GROUP BY 1
+    ), gtot AS (SELECT CAST(SUM(gn) AS BIGINT) AS g_total FROM gdist),
+    cells AS (
+        SELECT ct.c_mktsegment, ct.c_nationkey, g.decile, ct.class_n,
+               CAST(COALESCE(pc.n, 0) AS DOUBLE) / ct.class_n AS q,
+               CAST(g.gn AS DOUBLE) / gt.g_total AS p
+        FROM class_tot ct
+        CROSS JOIN gdist g CROSS JOIN gtot gt
+        LEFT JOIN per_class pc
+          ON pc.c_mktsegment = ct.c_mktsegment
+         AND pc.c_nationkey = ct.c_nationkey
+         AND pc.decile = g.decile
+    ), cum AS (
+        SELECT c_mktsegment, c_nationkey, class_n,
+               abs(SUM(q - p) OVER (PARTITION BY c_mktsegment, c_nationkey
+                    ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS cum_diff
+        FROM cells
+    ), per_class_emd AS (
+        SELECT c_mktsegment, c_nationkey, class_n,
+               round(SUM(cum_diff) / 9, 6) + 0.0 AS emd
+        FROM cum GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_classes,
+           round(MAX(emd), 6) + 0.0 AS max_emd,
+           CAST(SUM(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_violating_t,
+           CAST(SUM(CASE WHEN emd > 0.2 THEN class_n ELSE 0 END) AS BIGINT)
+               AS individuals_in_violating
+    FROM per_class_emd GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "streaming_topk_trending",
+    _stream_windows.streaming_topk_trending,
+    """
+    WITH win AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT w_start, event_type, n_events,
+               LAG(n_events) OVER (PARTITION BY event_type
+                                   ORDER BY w_start) AS prev_n
+        FROM win
+    ), scored AS (
+        SELECT *, round(CAST(n_events AS DOUBLE) / prev_n, 4) + 0.0 AS ratio
+        FROM lagged
+        WHERE prev_n IS NOT NULL AND n_events >= 10
+    ), trending AS (
+        SELECT * FROM scored WHERE ratio >= 1.5
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           rk, event_type, n_events, prev_n, ratio
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+                    ORDER BY ratio DESC, event_type ASC) AS rk
+        FROM trending
+    ) WHERE rk <= 3 ORDER BY window_start, rk
+    """,
+)

@@ -706,3 +706,72 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth streaming topology: trending detection — a watermarked
+    tumbling-hour windowed count per event type drains through the
+    streaming engine, then a batch post-pass ranks each window's top-3
+    types by count ratio vs their PREVIOUS window (the
+    streaming-agg → downstream-batch-rank split every monitoring
+    pipeline uses, because cross-window lag needs the closed windows).
+
+    Trending = ratio ≥ 1.5 with current count ≥ 10; first windows of a
+    type (no predecessor) are excluded.  The ratio is an exact
+    integer-count quotient rounded at 4 dp; rank ties break on
+    event_type.  Over one AvailableNow drain the result equals the pure
+    batch query, so the whole topology is DuckDB-oracle-gated.
+
+    At scale: the streaming side keeps |types| × watermark-horizon
+    window state; the rank pass reads the compact windowed table, never
+    raw events.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            win.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table(sink)
+
+    from pyspark.sql.window import Window
+
+    w_prev = Window.partitionBy("event_type").orderBy("w_start")
+    ratio = F.col("n_events").cast("double") / F.col("prev_n")
+    scored = (
+        drained.withColumn("prev_n", F.lag("n_events").over(w_prev))
+        .where(F.col("prev_n").isNotNull() & (F.col("n_events") >= 10))
+        .withColumn("ratio", F.round(ratio, 4) + F.lit(0.0))
+        .where(F.col("ratio") >= 1.5)
+    )
+    w_rank = Window.partitionBy("w_start").orderBy(
+        F.col("ratio").desc(), F.col("event_type").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.date_format("w_start", _FMT).alias("window_start"),
+            "rk",
+            "event_type",
+            "n_events",
+            "prev_n",
+            "ratio",
+        )
+        .orderBy("window_start", "rk")
+    )

@@ -178,6 +178,7 @@ EMPTY_OK_ZERO_ROWS = [
     "group_kfold_assign",
     "preference_pairs_by_quality",
     "grid_spatial_join",
+    "t_closeness_audit",
 ]
 
 

@@ -29,6 +29,7 @@ STREAMING_DRAINS = {
     "stream_static_enrich",
     "synthetic_stream_rollup",
     "streaming_hourly_approx_uniques",
+    "streaming_topk_trending",
 }
 
 # These run bounded driver-side jobs at build time (k-means partials,
