@@ -1291,3 +1291,54 @@ def procrustes_align_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MAXSIM_QUERIES = 4
+
+
+def colbert_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval scoring: treat
+    each label group as a multi-vector document and the first 4 vectors
+    as query tokens; a document's score is Σ_q max_{v∈doc} cos(q, v) —
+    the sum-of-max shape of Khattab & Zaharia (SIGIR'20), where every
+    query token independently finds its best match inside the document.
+
+    Plan: the 4-row query side broadcasts; ONE corpus pass scores all
+    (query, vector) pairs; max-per-(query, label) then sum-per-label are
+    two map-side-combined aggregations.  Self-matches are excluded.
+    Determinism: each maxsim is rounded to 6 dp and the 4 per-query
+    terms sum as DECIMAL(18,6) (order-free); rank ties break on label.
+
+    At 100 TB: identical shape with real multi-vector docs — the scored
+    pass is the ANN-prunable part (per query token, only its cell's
+    candidates), and the sum-of-max aggregations never see raw vectors.
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    q = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).filter(F.col("query_id") < MAXSIM_QUERIES)
+    scored = vec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("label").cast("int").alias("label"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("sim"),
+    )
+    per_q_label = scored.groupBy("label", "query_id").agg(
+        F.round(F.max("sim"), 6).alias("maxsim")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("label").asc())
+    return (
+        per_q_label.groupBy("label")
+        .agg(
+            F.sum(F.col("maxsim").cast("decimal(18,6)")).cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_query_terms"),
+        )
+        .select(
+            "label",
+            (F.round("score", 6) + F.lit(0.0)).alias("score"),
+            "n_query_terms",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("rank")
+    )

@@ -5909,3 +5909,31 @@ register(
     ) WHERE rk <= 3 ORDER BY window_start, rk
     """,
 )
+
+register(
+    "colbert_maxsim_labels",
+    similarity.colbert_maxsim_labels,
+    _VEC_CTE
+    + """
+    , q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+    scored AS (
+        SELECT query_id, CAST(label AS INT) AS label,
+               list_dot_product(qv, ve)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(ve, ve))) AS sim
+        FROM v CROSS JOIN q WHERE vec_id != query_id
+    ), per_q AS (
+        SELECT label, query_id, round(MAX(sim), 6) AS maxsim
+        FROM scored GROUP BY 1, 2
+    ), agg AS (
+        SELECT label,
+               CAST(SUM(CAST(maxsim AS DECIMAL(18,6))) AS DOUBLE) AS score,
+               COUNT(*) AS n_query_terms
+        FROM per_q GROUP BY label
+    )
+    SELECT label, round(score, 6) + 0.0 AS score, n_query_terms,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, label ASC) AS BIGINT)
+               AS rank
+    FROM agg ORDER BY rank
+    """,
+)

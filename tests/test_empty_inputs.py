@@ -179,6 +179,7 @@ EMPTY_OK_ZERO_ROWS = [
     "preference_pairs_by_quality",
     "grid_spatial_join",
     "t_closeness_audit",
+    "colbert_maxsim_labels",
 ]
 
 

@@ -212,8 +212,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--out", default="/tmp/scale_stress_neardup")
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma-separated op subset (default: all); lets the 30x+ "
+        "octaves skip the schemes already measured dispersion-bound",
+    )
     args = ap.parse_args()
     mults = [int(x) for x in args.mults.split(",")]
+    only = {x for x in args.ops.split(",") if x}
 
     from mini_pandas_spark.queries import queries
     from mini_pandas_spark.session import get_spark
@@ -233,6 +240,8 @@ def main() -> int:
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         all_pairs_docs = n_docs * (n_docs - 1) // 2
         for name, cand_fn in doc_ops:
+            if only and name not in only:
+                continue
             t0 = time.time()
             out_pairs = qs[name](spark, sf_dir).count()
             wall = time.time() - t0
@@ -251,7 +260,7 @@ def main() -> int:
             print(f"  {name} m={m}: {wall:.1f}s, out={out_pairs}, "
                   f"cand={cand} ({cand/all_pairs_docs:.2%} of all-pairs)",
                   file=sys.stderr)
-        if m <= EMBED_MAX_MULT:
+        if m <= EMBED_MAX_MULT and (not only or "embedding_near_dup_pairs" in only):
             build_embeddings(spark, sf_dir, m)
             n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
             all_pairs_vec = n_vec * (n_vec - 1) // 2
