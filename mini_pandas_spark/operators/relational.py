@@ -3748,16 +3748,22 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cells are computed in INTEGER centi-degrees (the synthesized
     coordinates are integer-derived, so cell ids are integer division —
     no float-floor cross-engine hazard).  The candidate join is an
-    equi-join on (cell_x, cell_y); the 9-cell probe is a bounded
-    explode on the customer side.  Verification is the exact haversine.
-    Caveat (documented, mirrored in the oracle): a fixed-width lon grid
-    under-probes above ~|lat| 60° where 500 km exceeds one 5° lon cell;
-    production geohash blocking widens the neighbor ring with latitude.
-    Customers bounded to custkey ≤ 300 to keep driver output small.
+    equi-join on (cell_x, cell_y); the probe ring is LATITUDE-ADAPTIVE:
+    the longitude probe half-width k = ceil(500 km / (111.045·cos(lat)·5°))
+    cells (capped at 36), so the ring covers the full radius even where
+    meridians converge — a fixed ±1 ring under-probes above |lat| 60°
+    (geohash systems widen rings with latitude the same way).  Latitude
+    probes stay ±1 (one 5° cell ≥ 555 km meridionally).  Verification is
+    the exact haversine.  Longitude probe cells WRAP
+    modulo the 72-cell ring, so pairs straddling the ±180° antimeridian
+    are found.  Remaining documented edge (mirrored in the oracle): the
+    36-cell cap leaves |lat| ≳ 88.5° under-probed.  Customers bounded to custkey ≤ 300 to
+    keep driver output small.
 
     Scale: the blocking equi-join shuffles on cell id — candidates per
-    customer are the 9-cell population, independent of corpus size; at
-    100 TB both sides write bucketed by cell and the join co-locates.
+    customer are the ring population (9 cells at low latitude, more near
+    the poles, hard-capped), independent of corpus size; at 100 TB both
+    sides write bucketed by cell and the join co-locates.
     """
     def coords(df, key, lat_alias, lon_alias):
         return df.select(
@@ -3781,17 +3787,28 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = cell("s_lat", "s_lon")
     s_cells = s.select("s_suppkey", "s_lat", "s_lon", sx.alias("cx"), sy.alias("cy"))
     cx, cy = cell("c_lat", "c_lon")
-    offs = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-    ])
+    # latitude-adaptive longitude half-width (cells), capped at 36
+    kx = F.least(
+        F.ceil(
+            F.lit(GRID_RADIUS_KM)
+            / (
+                F.lit(111.045)
+                * F.greatest(F.cos(F.radians(F.col("c_lat"))), F.lit(1e-6))
+                * F.lit(5.0)
+            )
+        ).cast("bigint"),
+        F.lit(36),
+    )
     c_cells = (
-        c.select("c_custkey", "c_lat", "c_lon", cx.alias("cx0"), cy.alias("cy0"))
-        .select("*", F.explode(offs).alias("o"))
+        c.select("c_custkey", "c_lat", "c_lon", cx.alias("cx0"), cy.alias("cy0"),
+                 kx.alias("kx"))
+        .select("*", F.explode(F.sequence(-F.col("kx"), F.col("kx"))).alias("dx"))
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
         .select(
             "c_custkey", "c_lat", "c_lon",
-            (F.col("cx0") + F.col("o.dx")).alias("cx"),
-            (F.col("cy0") + F.col("o.dy")).alias("cy"),
+            # lon cells wrap the 72-cell ring (antimeridian-safe)
+            F.pmod(F.col("cx0") + F.col("dx"), F.lit(72)).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
         )
     )
     j = c_cells.join(s_cells, ["cx", "cy"])

@@ -5799,17 +5799,21 @@ register(
                CAST(round((s_lon + 180.0) * 100) AS BIGINT) // 500 AS cx,
                CAST(round((s_lat + 90.0) * 100) AS BIGINT) // 500 AS cy
         FROM s
+    ), ck AS (
+        SELECT *,
+               least(CAST(ceil(500.0 / (111.045
+                     * greatest(cos(radians(c_lat)), 1e-6) * 5.0))
+                     AS BIGINT), 36) AS kx
+        FROM c
     ), c_cells AS (
         SELECT c_custkey, c_lat, c_lon,
-               CAST(round((c_lon + 180.0) * 100) AS BIGINT) // 500
-                   + o.dx AS cx,
+               ((CAST(round((c_lon + 180.0) * 100) AS BIGINT) // 500
+                   + dxs.dx) % 72 + 72) % 72 AS cx,
                CAST(round((c_lat + 90.0) * 100) AS BIGINT) // 500
-                   + o.dy AS cy
-        FROM c CROSS JOIN (
-            SELECT dx, dy
-            FROM (SELECT unnest([-1, 0, 1]) AS dx),
-                 (SELECT unnest([-1, 0, 1]) AS dy)
-        ) o
+                   + dys.dy AS cy
+        FROM ck,
+             LATERAL (SELECT unnest(generate_series(-kx, kx)) AS dx) dxs,
+             (SELECT unnest([-1, 0, 1]) AS dy) dys
     ), pairs AS (
         SELECT DISTINCT c_custkey, s_suppkey, c_lat, c_lon, s_lat, s_lon
         FROM c_cells JOIN s_cells USING (cx, cy)

@@ -900,10 +900,10 @@ def test_conformal_interval_coverage(spark, qs):
 
 
 def test_grid_spatial_join_complete_at_low_latitude(spark, qs):
-    """Blocking-completeness pin: every true ≤500 km pair whose endpoints
-    sit below |lat| 60° (where one 5° lon cell ≥ 278 km, so the 9-cell
-    probe is guaranteed to cover the radius) must appear in the blocked
-    result; and every returned pair must verify ≤ 500 km."""
+    """Blocking-completeness pin: with the latitude-adaptive probe ring
+    (lon half-width widens as cos(lat) shrinks, capped at 36 cells),
+    every true ≤500 km pair with both endpoints below |lat| 85° must
+    appear in the blocked result; every returned pair verifies ≤ 500 km."""
     import math
 
     from mini_pandas_spark.operators.relational import (
@@ -949,7 +949,7 @@ def test_grid_spatial_join_complete_at_low_latitude(spark, qs):
         (c, s)
         for c in custs
         for s in supps
-        if abs(lat(c)) <= 60 and abs(lat(s)) <= 60
+        if abs(lat(c)) <= 85 and abs(lat(s)) <= 85
         and hav(c, s) <= 499.99
         and (c, s) not in got
     ]
