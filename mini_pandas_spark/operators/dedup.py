@@ -13,8 +13,9 @@ Algorithm notes (all composed from built-in DataFrame ops; no UDFs):
   candidate pairs, then candidates are verified with exact Jaccard.
   At j≥0.9 the banding scheme's recall is 1-(1-0.9^4)^8 ≈ 0.9998.
 - *SimHash*: 64-bit sign-aggregated token-hash sketch; near-dups are
-  pairs within Hamming distance k, found by the 8×8-bit chunk pigeonhole
-  (distance ≤7 ⇒ some chunk equal) — join per chunk, never all-pairs.
+  pairs within Hamming distance ≤3, found by the 4×16-bit chunk
+  pigeonhole (≤3 flips ⇒ some chunk equal) — join per chunk, never
+  all-pairs; 16-bit chunks keep buckets thin even on clustered sketches.
 
 Scale: the LSH/SimHash paths shuffle O(docs × bands) small rows instead
 of all-pairs; candidate verification touches only bucket-mates.  Skewed
@@ -341,9 +342,19 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ 3 via the 8-chunk
-    pigeonhole (any distance ≤ 7 pair must share an 8-bit chunk, so
-    recall at ≤ 3 is exact) — per-chunk equi-joins, never all-pairs.
+    """SimHash near-dup pairs: Hamming distance ≤ 3 via the 4-chunk
+    pigeonhole over 16-bit chunks (≤ 3 bit flips cannot touch all 4
+    chunks, so any qualifying pair shares one — recall at ≤ 3 is exact)
+    — per-chunk equi-joins, never all-pairs.
+
+    Chunk width is a candidate-volume knob at equal exactness: 16-bit
+    chunks give 65,536 buckets per table vs 256 for 8-bit, which is the
+    difference between ~linear and ~quadratic candidates on corpora
+    whose sketches CLUSTER (the synthetic fixture's template text:
+    measured 114% of all-pairs with 8-bit chunks vs ~0.6% with 16-bit
+    at 1×, identical output — SCALE.md §8).  The wider chunk trades
+    headroom: 8 bits supported Hamming ≤ 7; 4×16 supports ≤ 3, exactly
+    this query's threshold.
     """
     sim = simhash_docs(spark, sf_dir)
     chunks = sim.select(
@@ -353,9 +364,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_idx"),
-                    F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("chunk"),
                 )
-                for c in range(8)
+                for c in range(4)
             ])
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")

@@ -127,7 +127,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> int:
 
 
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> int:
-    """8x8-bit chunk pigeonhole candidate volume of simhash_near_pairs."""
+    """4x16-bit chunk pigeonhole candidate volume of simhash_near_pairs."""
     from mini_pandas_spark.operators.dedup import simhash_docs
 
     sh = simhash_docs(spark, sf_dir).select("doc_id", "simhash")
@@ -138,9 +138,9 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> int:
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.expr(f"(simhash >> {8 * i}) & 255").alias("cv"),
+                        F.expr(f"(simhash >> {16 * i}) & 65535").alias("cv"),
                     )
-                    for i in range(8)
+                    for i in range(4)
                 ]
             )
         ).alias("c"),
