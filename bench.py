@@ -100,6 +100,12 @@ HEADLINE = [
     "group_kfold_assign",
     "mmr_diverse_topk",
     "procrustes_align_embeddings",
+    # round-4 additions (round-3 operators not previously benched)
+    "preference_pairs_by_quality",
+    "grid_spatial_join",
+    "t_closeness_audit",
+    "streaming_topk_trending",
+    "colbert_maxsim_labels",
 ]
 
 
@@ -136,17 +142,40 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record to disk (survives any stdout truncation).
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w") as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+
+    # The grading driver captures only a bounded tail of stdout and parses
+    # the LAST JSON line — round 3's 73-query line overflowed it and the
+    # round's perf record was lost ("parsed": null).  Emit the machine line
+    # with compact separators and keep it under ~3.5 KB: if the full
+    # per-query map would blow that budget, degrade to the slowest-N
+    # queries (total is always present and exact).
+    def compact(res: dict) -> str:
+        return json.dumps(res, separators=(",", ":"))
+
+    line = compact(result)
+    if len(line) > 3500:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
         )
-    )
+        trimmed = dict(result)
+        trimmed["queries"] = slowest
+        trimmed["queries_omitted"] = len(timings) - len(slowest)
+        trimmed["full_record"] = "BENCH_LOCAL.json"
+        line = compact(trimmed)
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -3449,18 +3449,18 @@ def fd_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically), then the bin counts — the statistically-sized
     histogram a profiling pipeline draws instead of guessing bins.
 
-    Scale: two passes — one window to pick exact quartiles (at 100 TB:
-    approx_percentile with the same downstream arithmetic), one
+    Scale: two passes — exact quartiles via the distributed-rank
+    primitive (`ranking.with_global_rank`: parallel range sort +
+    broadcast prefix offsets, no single-task window), then one
     scan+group-by with the broadcast width scalar.
     """
+    from .ranking import with_global_rank
+
     p = load_table(spark, sf_dir, "part")
     base = p.select(cents("p_retailprice").alias("cts"), "p_partkey")
-    w = Window.orderBy("cts", "p_partkey")
-    ranked = base.select(
-        "cts",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = with_global_rank(
+        base, ["cts", "p_partkey"], rank_col="rk", total_col="n"
+    ).select("cts", "rk", "n")
     quart = ranked.agg(
         F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.25), F.col("cts"))).alias("q1"),
         F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.75), F.col("cts"))).alias("q3"),
@@ -3846,21 +3846,33 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     release violates t-closeness when any class's EMD exceeds t = 0.2.
     For equally-spaced ordered bins, EMD = Σ|cumQ − cumP| / (bins−1).
 
-    Determinism: deciles come from a global ntile(10) with a custkey
-    tiebreak; all distributions are exact integer-count ratios; the EMD
-    sums 10 terms per class from a windowed cumsum — rounded at 6 dp.
-    Scale: one ntile window (a global sort — at 100 TB the decile
-    boundaries come from approx quantiles or a sampled sort, same
-    downstream shape), then two map-side-combined aggregations and a
+    Determinism: deciles reproduce global ntile(10) with a custkey
+    tiebreak EXACTLY, but via the distributed-rank primitive
+    (`ranking.with_global_rank`: range repartition + per-partition
+    row_number + broadcast prefix offsets) and pure bigint NTILE
+    arithmetic — no single-task global window anywhere; the DuckDB
+    oracle keeps plain ntile().  All distributions are exact
+    integer-count ratios; the EMD sums 10 terms per class from a
+    windowed cumsum — rounded at 6 dp.  Scale: the rank pass is a
+    parallel range sort; then two map-side-combined aggregations and a
     10-row-per-class cumsum window.  Class count is bounded by the
     quasi-id domain, not the row count.
     """
+    from .ranking import ntile_from_rank, with_global_rank
+
     c = load_table(spark, sf_dir, "customer")
-    w_dec = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    binned = c.select(
+    ranked = with_global_rank(
+        c.select("c_mktsegment", "c_nationkey", "c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        rank_col="rk",
+        total_col="n_all",
+    )
+    binned = ranked.select(
         "c_mktsegment",
         "c_nationkey",
-        F.ntile(T_CLOSE_BINS).over(w_dec).alias("decile"),
+        ntile_from_rank(F.col("rk"), F.col("n_all"), T_CLOSE_BINS).alias(
+            "decile"
+        ),
     )
     per_class = binned.groupBy("c_mktsegment", "c_nationkey", "decile").agg(
         F.count(F.lit(1)).alias("n")

@@ -936,8 +936,17 @@ def weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning math (an unweighted median over-represents short docs; the
     training cost lives where the tokens are).
 
-    Window cumsum over (n_chars, doc_id) ordering; all-integer until the
-    final threshold compare, so both engines pick the identical row.
+    All-integer until the final threshold compare, so both engines pick
+    the identical row.
+
+    Scale (two-phase, no corpus-sized single-task window): phase 1
+    reduces the corpus to one row PER DISTINCT LENGTH (map-side-combined
+    groupBy) and runs the running-sum window over that tiny frame — the
+    same reduction `quantile_binning_orders` uses; phase 2 finds the one
+    crossing length (orderBy().limit(1) = TakeOrderedAndProject), joins
+    it back as a 1-row broadcast, and resolves the doc_id tiebreak with
+    a window over ONLY that single length group.  At 100 TB the widest
+    window input is |distinct lengths| rows, not |docs|.
     """
     from pyspark.sql.window import Window
 
@@ -947,16 +956,37 @@ def weighted_median_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         token_count("text").alias("wt"),
     )
-    w = Window.orderBy("n_chars", "doc_id").rowsBetween(
+    # Phase 1: per-distinct-length token mass + running sum over lengths.
+    per_len = per_doc.groupBy("n_chars").agg(F.sum("wt").alias("gwt"))
+    w_len = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    total = per_doc.agg(F.sum("wt").alias("total_wt"))
-    cum = per_doc.crossJoin(F.broadcast(total)).withColumn(
-        "cum_wt", F.sum("wt").over(w)
+    total = per_len.agg(F.sum("gwt").alias("total_wt"))
+    cum_len = per_len.crossJoin(F.broadcast(total)).withColumn(
+        "cum_thru", F.sum("gwt").over(w_len)
+    )
+    # Phase 2: the single length whose group contains the crossing point.
+    crossing = (
+        cum_len.where(F.col("cum_thru") * 2 >= F.col("total_wt"))
+        .orderBy("n_chars")
+        .limit(1)
+        .select(
+            "n_chars",
+            (F.col("cum_thru") - F.col("gwt")).alias("cum_before"),
+            "total_wt",
+        )
+    )
+    # Resolve the doc_id tiebreak inside that one group only: the join
+    # filters the corpus to a single n_chars value before the window.
+    w_doc = Window.partitionBy("n_chars").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    in_group = per_doc.join(F.broadcast(crossing), "n_chars").withColumn(
+        "cum_wt", F.col("cum_before") + F.sum("wt").over(w_doc)
     )
     return (
-        cum.where(F.col("cum_wt") * 2 >= F.col("total_wt"))
-        .orderBy("n_chars", "doc_id")
+        in_group.where(F.col("cum_wt") * 2 >= F.col("total_wt"))
+        .orderBy("doc_id")
         .limit(1)
         .select(
             F.col("n_chars").alias("weighted_median_chars"),
@@ -1253,7 +1283,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is IN the query survive the explode (the predicate pushes below the
     aggregation), so the shuffle is O(matching postings), exactly like
     scoring against an inverted index; corpus stats ride a 1-row
-    broadcast.
+    broadcast.  The top-10 is ``orderBy().limit(10)`` — Spark compiles
+    it to TakeOrderedAndProject (a per-partition heap + 10-row driver
+    merge), so NO single task ever sees the whole scored corpus; rank
+    numbers are attached by a window over the already-bounded 10 rows.
     """
     from pyspark.sql.window import Window
 
@@ -1290,10 +1323,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    top10 = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= 10)
+        top10.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select("rk", "doc_id", "score", "n_terms_hit")
         .orderBy("rk")
     )
@@ -1359,22 +1392,31 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ventile mean — the distribution-matching diagnostic behind
     quantile normalization of heterogeneous corpora.
 
-    Scale: two window passes (one partitioned by source, one global) over
-    a 2-column projection; the global pass at 100 TB would use
-    approx-percentile bucketing instead of a single-partition rank — the
-    per-source pass (the real work) is already partition-parallel.
-    Output is |sources|×20 rows.
+    Scale: the per-source ventile is a partitioned window (parallel);
+    the GLOBAL ventile reproduces percent_rank exactly from the
+    distributed-rank primitive (`ranking.with_global_rank` — parallel
+    range sort + broadcast prefix offsets; pr = (rk−1)/(N−1) is the
+    same integer-to-double division the window function computes, so
+    the DuckDB oracle keeps plain percent_rank()).  No single-task
+    window anywhere.  Output is |sources|×20 rows.
     """
     from pyspark.sql.window import Window
 
+    from .ranking import with_global_rank
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    w_glob = Window.orderBy("n_chars", "doc_id")
-    ranked = d.select(
+    g = with_global_rank(
+        d, ["n_chars", "doc_id"], rank_col="grk", total_col="n_all"
+    )
+    gpr = (F.col("grk") - 1).cast("double") / F.greatest(
+        F.col("n_all") - 1, F.lit(1)
+    ).cast("double")
+    ranked = g.select(
         "source",
         "n_chars",
         F.least(F.lit(19), F.floor(F.percent_rank().over(w_src) * 20)).cast("bigint").alias("ventile"),
-        F.least(F.lit(19), F.floor(F.percent_rank().over(w_glob) * 20)).cast("bigint").alias("gventile"),
+        F.least(F.lit(19), F.floor(gpr * 20)).cast("bigint").alias("gventile"),
     )
     glob = ranked.groupBy(F.col("gventile").alias("ventile")).agg(
         (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias("global_mean_chars")
@@ -1439,27 +1481,70 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) volume and token mass — the stage manifest a curriculum
     training run consumes.
 
-    Scale: the global rank at 100 TB would swap to approx-percentile
-    thresholds (the reported aggregates are identical); everything else
-    is a single group-by with map-side partials.
+    Scale (exact percent_rank WITHOUT a corpus-sized global window):
+    phase 1 reduces the corpus to one row per distinct length and runs
+    the prefix-count window over that tiny frame; each length group then
+    knows the percent_rank of its first and last member, so its stage is
+    decided by a broadcast join — EXCEPT the (at most two) groups that
+    straddle a 1/3 boundary, whose members get an exact within-group
+    row_number via a window PARTITIONED on n_chars (filtered to those
+    two lengths before the shuffle).  pr = (cum_before + idx - 1) /
+    (N - 1) reproduces percent_rank bit-for-bit (same integers, same
+    double division), so the DuckDB oracle is untouched.
     """
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "lang",
-        "n_chars",
-        F.percent_rank().over(w).alias("pr"),
-    ).select(
-        "lang",
-        "n_chars",
-        F.when(F.col("pr") < 1.0 / 3, F.lit("1_easy"))
-        .when(F.col("pr") < 2.0 / 3, F.lit("2_medium"))
-        .otherwise(F.lit("3_hard"))
-        .alias("stage"),
+    d2 = d.select("lang", "n_chars", "doc_id")
+
+    # Phase 1: per-distinct-length counts + prefix counts (tiny frame).
+    lens = d2.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_len = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    total = lens.agg(F.sum("cnt").alias("n_total"))
+    lens = lens.crossJoin(F.broadcast(total)).withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w_len), F.lit(0))
+    )
+
+    def stage_of(pr):
+        return (
+            F.when(pr < 1.0 / 3, F.lit("1_easy"))
+            .when(pr < 2.0 / 3, F.lit("2_medium"))
+            .otherwise(F.lit("3_hard"))
+        )
+
+    denom = F.greatest(F.col("n_total") - 1, F.lit(1)).cast("double")
+    pr_first = F.col("cum_before").cast("double") / denom
+    pr_last = (F.col("cum_before") + F.col("cnt") - 1).cast("double") / denom
+    lens = lens.withColumn("stage_first", stage_of(pr_first)).withColumn(
+        "stage_last", stage_of(pr_last)
+    )
+
+    # Uniform groups: stage decided per length, one broadcast join.
+    uniform = lens.where(F.col("stage_first") == F.col("stage_last")).select(
+        "n_chars", F.col("stage_first").alias("stage")
+    )
+    part_uniform = d2.join(F.broadcast(uniform), "n_chars").select(
+        "lang", "n_chars", "stage"
+    )
+
+    # Straddling groups (≤2 lengths): exact doc_id tiebreak inside the
+    # group — the broadcast join prunes the corpus BEFORE the window.
+    straddle = lens.where(F.col("stage_first") != F.col("stage_last")).select(
+        "n_chars", "cum_before", "n_total"
+    )
+    w_grp = Window.partitionBy("n_chars").orderBy("doc_id")
+    pr_exact = (
+        F.col("cum_before") + F.row_number().over(w_grp) - 1
+    ).cast("double") / F.greatest(F.col("n_total") - 1, F.lit(1)).cast("double")
+    part_straddle = (
+        d2.join(F.broadcast(straddle), "n_chars")
+        .select("lang", "n_chars", stage_of(pr_exact).alias("stage"))
+    )
+
+    ranked = part_uniform.unionByName(part_straddle)
+    total = total.select(F.col("n_total").cast("bigint").alias("n_total"))
     return (
         ranked.groupBy("stage", "lang")
         .agg(
@@ -1995,22 +2080,22 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     every LLM training loader (padding to the batch max wastes compute;
     bucketing by length collapses the per-batch max spread).
 
-    Scale: both plans are (window rank → integer batch id → per-batch max
-    × count − sum) over one skinny (doc_id, n_tokens) projection; the
-    heavy table never shuffles twice.  All-integer arithmetic — exact.
+    Scale: each plan is ONE distributed-rank pass (`ranking.
+    with_global_rank`: parallel range sort + broadcast prefix offsets —
+    no single-task global window, no corpus/8-sized per-bucket window
+    either) followed by pure bigint arithmetic: the 8-way NTILE bucket,
+    its start offset, and the per-16 batch id are all closed-form
+    functions of the exact global rank; then one per-batch group-by.
+    All-integer — exact, and the DuckDB oracle keeps its plain window
+    ntile/row_number formulation.
     """
-    from pyspark.sql.window import Window
+    from .ranking import bucket_start_from_ntile, ntile_from_rank, with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     lens = d.select("doc_id", token_count("text").alias("n_tok"))
 
-    def waste(df: DataFrame, order_cols, strategy: str, part_cols=()) -> DataFrame:
-        w = Window.partitionBy(*part_cols).orderBy(*order_cols)
-        batched = df.withColumn(
-            "batch",
-            ((F.row_number().over(w) - 1) / LENGTH_BATCH).cast("bigint"),
-        )
-        per_batch = batched.groupBy(*part_cols, "batch").agg(
+    def waste(batched: DataFrame, group_cols, strategy: str) -> DataFrame:
+        per_batch = batched.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("bsz"),
             F.max("n_tok").alias("mx"),
             F.sum("n_tok").alias("toks"),
@@ -2027,16 +2112,31 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_tokens",
         )
 
-    # bucket by global length rank → 8 contiguous length ranges
-    nt = Window.orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
-    bucketed = lens.withColumn("bucket", F.ntile(8).over(nt))
-    global_plan = waste(lens, [F.col("doc_id").asc()], "global_by_id")
-    bucket_plan = waste(
-        bucketed,
-        [F.col("n_tok").asc(), F.col("doc_id").asc()],
-        "bucketed_by_length",
-        part_cols=("bucket",),
+    # arrival order: batch = (rank_by_doc_id − 1) div 16
+    by_id = with_global_rank(lens, ["doc_id"], rank_col="rk").withColumn(
+        "batch", ((F.col("rk") - 1) / LENGTH_BATCH).cast("bigint")
     )
+    global_plan = waste(by_id, ["batch"], "global_by_id")
+
+    # bucketed: NTILE(8) bucket and within-bucket batch, both closed-form
+    # in the (n_tok, doc_id) global rank — one rank pass, zero windows.
+    by_len = with_global_rank(
+        lens, ["n_tok", "doc_id"], rank_col="rk", total_col="n_all"
+    ).withColumn(
+        "bucket", ntile_from_rank(F.col("rk"), F.col("n_all"), 8)
+    )
+    by_len = by_len.withColumn(
+        "batch",
+        (
+            (
+                F.col("rk")
+                - bucket_start_from_ntile(F.col("bucket"), F.col("n_all"), 8)
+                - 1
+            )
+            / LENGTH_BATCH
+        ).cast("bigint"),
+    )
+    bucket_plan = waste(by_len, ["bucket", "batch"], "bucketed_by_length")
     out = global_plan.unionByName(bucket_plan)
     return out.select(
         "strategy",

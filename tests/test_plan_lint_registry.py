@@ -73,6 +73,59 @@ def test_registry_plans_have_no_scale_killers(built_registry):
     assert not failures, failures
 
 
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk(ch.apply(i))
+
+
+# A global window is acceptable ONLY over an input already reduced far
+# below the corpus: an Aggregate (distinct values / group marginals), a
+# GlobalLimit (top-k via TakeOrderedAndProject), or a Distinct.  Anything
+# else funnels the whole input through one task at 100 TB — round-3
+# verdict item: curriculum_stages / weighted_median_doc_length /
+# bm25_search shipped exactly that and were rewritten (two-phase
+# distinct-value reduction or ranking.with_global_rank).
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "Deduplicate", "Distinct"}
+
+# Queries allowed to keep a global window over a non-reduced input, each
+# with a written justification.  Currently empty — keep it that way.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def test_registry_has_no_corpus_global_windows(built_registry):
+    """No Window/WindowGroupLimit with an EMPTY partition spec whose
+    input subtree lacks an Aggregate/Limit/Distinct reduction: such a
+    window sorts the entire input in ONE task — the single worst
+    scale-killer a plan can contain."""
+    failures = {}
+    for name, df in built_registry.items():
+        if name in GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _walk(plan):
+            cls = node.getClass().getSimpleName()
+            if cls not in ("Window", "WindowGroupLimit"):
+                continue
+            try:
+                nparts = node.partitionSpec().length()
+            except Exception:
+                continue
+            if nparts > 0:
+                continue
+            subtree = {
+                n.getClass().getSimpleName()
+                for i in range(node.children().length())
+                for n in _walk(node.children().apply(i))
+            }
+            if not (subtree & _BOUNDING_NODES):
+                failures.setdefault(name, []).append(
+                    f"{cls} over {sorted(subtree)}"
+                )
+    assert not failures, failures
+
+
 def test_registry_outputs_are_atomic(built_registry):
     """No Array/Map/Struct in any registered query's final schema — the
     driver's canonicalizer (pandas sort_values + value hash) crashes on

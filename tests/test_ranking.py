@@ -1,0 +1,78 @@
+"""ranking.with_global_rank / ntile_from_rank / bucket_start_from_ntile
+must reproduce the single-task window functions BIT-FOR-BIT — they are
+the scale-safe substitute the registry's former global windows now use.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_pandas_spark.operators.ranking import (
+    bucket_start_from_ntile,
+    ntile_from_rank,
+    with_global_rank,
+)
+
+
+def _fixture(spark, n=997, parts=7):
+    # non-contiguous ids, duplicate values, adversarial ordering
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            (F.col("id") * 37 % 1000).alias("tie"),
+            (F.col("id") % 13).alias("val"),
+        )
+        .distinct()
+    )
+
+
+def test_global_rank_matches_row_number(spark):
+    df = _fixture(spark)
+    got = with_global_rank(df, ["val", "tie"], rank_col="rk", num_parts=5)
+    w = Window.orderBy("val", "tie")
+    want = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert sorted(got.select("val", "tie", "rk").collect()) == sorted(
+        want.select("val", "tie", "rk").collect()
+    )
+
+
+def test_global_rank_total_col(spark):
+    df = _fixture(spark, n=100)
+    got = with_global_rank(df, ["val", "tie"], rank_col="rk", total_col="n")
+    rows = got.select("rk", "n").collect()
+    n = df.count()
+    assert all(r.n == n for r in rows)
+    assert sorted(r.rk for r in rows) == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("n,b", [(100, 10), (97, 10), (5, 8), (1, 4), (16, 16)])
+def test_ntile_from_rank_matches_window_ntile(spark, n, b):
+    df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+    got = df.select(
+        "rk", ntile_from_rank(F.col("rk"), F.lit(n), b).alias("bucket")
+    )
+    w = Window.orderBy("rk")
+    want = df.select("rk", F.ntile(b).over(w).alias("bucket"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+@pytest.mark.parametrize("n,b", [(100, 10), (97, 10), (23, 8), (7, 8)])
+def test_bucket_start_is_inverse_of_ntile(spark, n, b):
+    # rows before bucket k == count of ranks assigned to buckets < k
+    df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+    assigned = df.select(
+        ntile_from_rank(F.col("rk"), F.lit(n), b).alias("bucket")
+    ).groupBy("bucket").count()
+    counts = {r.bucket: r["count"] for r in assigned.collect()}
+    starts = (
+        spark.range(1, max(counts) + 1)
+        .select(
+            F.col("id").alias("bucket"),
+            bucket_start_from_ntile(F.col("id"), F.lit(n), b).alias("start"),
+        )
+        .collect()
+    )
+    for r in starts:
+        expect = sum(counts.get(k, 0) for k in range(1, r.bucket))
+        assert r.start == expect, (r.bucket, r.start, expect)
