@@ -247,14 +247,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pairs sit at cosine ≥ 0.9 (≤ 26°), where the same design
     prunes to O(N²/cells) with recall ≈ 1 — at 100 TB, train the
     quantizer on a sample, write the corpus partitioned by cell (×probes
-    copies), and each executor joins one cell's bucket.
+    copies), and each executor joins one cell's bucket.  That claim is
+    now MEASURED, not argued: tools/scale_stress_neardup.py builds a
+    clustered-geometry corpus (planted dup pairs at cosine ≥ 0.99,
+    cluster count growing with the corpus — real-embedding shape) and
+    runs this same impl via `_near_dup_pairs_impl` with the scale-path
+    parameters (τ=0.9, cells ∝ N, sampled quantizer): candidate ratio
+    FALLS as the corpus grows at planted-pair recall 1.0 (SCALE.md §8).
     """
+    return _near_dup_pairs_impl(
+        spark, sf_dir, NEAR_DUP_TAU, DEDUP_CELLS, DEDUP_PROBES, None
+    )
+
+
+def _near_dup_pairs_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float,
+    cells: int,
+    probes: int,
+    sample_mod: int | None,
+) -> DataFrame:
+    """Parameterized IVF-blocked near-dup core shared by the registered
+    query (τ=0.4, 16 cells, full-corpus Lloyd — exact-pinned) and the
+    scale path the stress harness measures (τ=0.9, cells ∝ corpus,
+    sampled quantizer — recall-pinned)."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vec = _vectors_with_norm(spark, sf_dir).repartition(n_part).localCheckpoint(
         eager=False
     )
-    cids, cn = _trained_quantizer(vec, sf_dir, DEDUP_CELLS, LLOYD_ITERS)
-    assigned = _assign_topp_np(vec, cids, cn, DEDUP_PROBES)
+    cids, cn = _trained_quantizer(
+        vec, sf_dir, cells, LLOYD_ITERS, sample_mod=sample_mod
+    )
+    assigned = _assign_topp_np(vec, cids, cn, probes)
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("id_a"),
@@ -275,7 +300,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= NEAR_DUP_TAU)
+        .filter(F.col("sim") >= F.lit(tau))
     )
 
 
@@ -284,15 +309,42 @@ N_PROBE = 4
 LLOYD_ITERS = 1
 
 
-# Trained-quantizer memo, keyed by (sf_dir, k, iters).  Training is fully
-# deterministic (init = lowest vec_ids, partials combined in sorted cid
-# order, partition-invariant by pytest pin), so every embedding query in a
-# session — ivf_ann_topk, embedding_near_dup_pairs, the bench loop — can
-# share ONE cell layout instead of re-running the Lloyd pass per query.
-# At 100 TB this is the "train once on a sample, reuse the index layout"
-# contract of a real IVF build.  Driver-side state only (plain floats);
-# nothing here ships to executors.
-_QUANTIZER_MEMO: dict = {}
+# Trained-quantizer memo, keyed by (sf_dir, data fingerprint, k, iters,
+# sample_mod).  Training is fully deterministic (init = lowest vec_ids,
+# partials combined in sorted cid order, partition-invariant by pytest
+# pin), so every embedding query in a session — ivf_ann_topk,
+# embedding_near_dup_pairs, the bench loop — can share ONE cell layout
+# instead of re-running the Lloyd pass per query.  At 100 TB this is the
+# "train once on a sample, reuse the index layout" contract of a real IVF
+# build.  Driver-side state only (plain floats); nothing ships to
+# executors.  The fingerprint (mtime_ns + size of the embeddings parquet)
+# invalidates the memo when tooling rewrites a fixture in-process, and
+# the OrderedDict is LRU-bounded so many stress-harness corpora can't
+# grow it without bound.
+from collections import OrderedDict
+
+_QUANTIZER_MEMO: OrderedDict = OrderedDict()
+_QUANTIZER_MEMO_MAX = 8
+
+
+def _embeddings_fingerprint(sf_dir: str):
+    """Cheap change-detector for the embeddings fixture under sf_dir:
+    (mtime_ns, size) of the parquet file, or the max over part files
+    when it is a directory.  Never reads data."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            best = (st.st_mtime_ns, st.st_size)
+            for entry in os.scandir(path):
+                s = entry.stat()
+                best = max(best, (s.st_mtime_ns, s.st_size))
+            return best
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 SAMPLE_MOD = 4  # 1-in-4 deterministic training sample (vec_id % 4 == 0)
@@ -400,9 +452,10 @@ def _trained_quantizer(
     exact pytest pin); ``sample_mod=m`` trains driver-locally on the
     deterministic 1-in-m sample (the 100 TB recipe; used by
     ivf_ann_topk, whose contract is a recall floor, not exactness)."""
-    key = (sf_dir, k, iters, sample_mod)
+    key = (sf_dir, _embeddings_fingerprint(sf_dir), k, iters, sample_mod)
     hit = _QUANTIZER_MEMO.get(key)
     if hit is not None:
+        _QUANTIZER_MEMO.move_to_end(key)
         return hit
     if sample_mod is None:
         out = _lloyd_distributed(vec, k, iters)
@@ -410,6 +463,8 @@ def _trained_quantizer(
         sample = vec.filter(_sample_predicate(k)).select("vec_id", "v").collect()
         out = _lloyd_local(sample, k, iters)
     _QUANTIZER_MEMO[key] = out
+    while len(_QUANTIZER_MEMO) > _QUANTIZER_MEMO_MAX:
+        _QUANTIZER_MEMO.popitem(last=False)
     return out
 
 
@@ -1211,6 +1266,10 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     abs(s - best_score) <= 1e-12 and ids[j] < ids[best_j]
                 ):
                     best_j, best_score = j, s
+            if best_j is None:
+                # shortlist exhausted (corpus smaller than TOP_K):
+                # emit the truncated list instead of raising
+                break
             selected.append(best_j)
             chosen_vecs.append(Vn[best_j])
             out_rows.append(

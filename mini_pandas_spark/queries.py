@@ -5898,7 +5898,8 @@ register(
                                    ORDER BY w_start) AS prev_n
         FROM win
     ), scored AS (
-        SELECT *, round(CAST(n_events AS DOUBLE) / prev_n, 4) + 0.0 AS ratio
+        SELECT *, CAST(round(n_events * 10000.0 / prev_n) AS BIGINT)
+                  / 10000.0 + 0.0 AS ratio
         FROM lagged
         WHERE prev_n IS NOT NULL AND n_events >= 10
     ), trending AS (

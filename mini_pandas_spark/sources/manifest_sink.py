@@ -37,7 +37,8 @@ def register_manifest_sink(spark: SparkSession) -> None:
 
     class ShardCommit(WriterCommitMessage):
         # simple value object; pickled back to the driver
-        def __init__(self, file_name, n_rows, checksum):
+        def __init__(self, staged_name, file_name, n_rows, checksum):
+            self.staged_name = staged_name
             self.file_name = file_name
             self.n_rows = n_rows
             self.checksum = checksum
@@ -56,23 +57,54 @@ def register_manifest_sink(spark: SparkSession) -> None:
 
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            # Attempt-unique staged name: concurrent speculative or
+            # retried attempts of the same partition each write their
+            # own file (no interleaved/corrupt shard can ever be
+            # committed); only the attempt whose commit message the
+            # driver accepts gets renamed to the final name.
+            attempt = ctx.taskAttemptId()
             os.makedirs(self.path, exist_ok=True)
-            # staged name: not visible to manifest readers until commit
-            fname = f"shard-{pid:05d}.jsonl"
+            staged = f".staged-shard-{pid:05d}-{attempt}.jsonl"
+            final = f"shard-{pid:05d}.jsonl"
             crc, n = 0, 0
-            with open(os.path.join(self.path, fname), "w") as f:
+            with open(os.path.join(self.path, staged), "w") as f:
                 for row in iterator:
                     line = json.dumps(row.asDict(), default=str, sort_keys=True)
                     f.write(line + "\n")
                     crc = zlib.crc32(line.encode(), crc)
                     n += 1
-            return ShardCommit(fname, n, crc & 0x7FFFFFFF)
+            return ShardCommit(staged, final, n, crc & 0x7FFFFFFF)
+
+        def _sweep_staged(self, keep=()):
+            """Remove staged files not in ``keep`` — losers of
+            speculative races and failed attempts leave no orphans."""
+            import os
+
+            keep = set(keep)
+            try:
+                entries = os.listdir(self.path)
+            except OSError:
+                return
+            for name in entries:
+                if name.startswith(".staged-shard-") and name not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
         def commit(self, messages):
             import json
             import os
 
+            # publish exactly the winning attempts, then drop the rest
+            for m in messages:
+                os.replace(
+                    os.path.join(self.path, m.staged_name),
+                    os.path.join(self.path, m.file_name),
+                )
+            self._sweep_staged()
             manifest = {
                 "shards": sorted(
                     (
@@ -93,13 +125,9 @@ def register_manifest_sink(spark: SparkSession) -> None:
             os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
 
         def abort(self, messages):
-            import os
-
-            for m in messages:
-                try:
-                    os.remove(os.path.join(self.path, m.file_name))
-                except OSError:
-                    pass
+            # staged files are never referenced by any manifest; sweep
+            # them ALL (including attempts that never reported back)
+            self._sweep_staged()
 
     class ManifestSinkSource(DataSource):
         @classmethod

@@ -718,9 +718,13 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Trending = ratio ≥ 1.5 with current count ≥ 10; first windows of a
     type (no predecessor) are excluded.  The ratio is an exact
-    integer-count quotient rounded at 4 dp; rank ties break on
-    event_type.  Over one AvailableNow drain the result equals the pure
-    batch query, so the whole topology is DuckDB-oracle-gated.
+    integer-count quotient rounded at 4 dp IN SCALED-INTEGER SPACE
+    (round(n·10⁴/prev) via bigint, mirrored in the oracle — CLAUDE.md
+    invariant #6: integer±.5 is binary-exact, so the engines can't
+    split at a .5 boundary the way a post-hoc double round can); rank
+    ties break on event_type.  Over one AvailableNow drain the result
+    equals the pure batch query, so the whole topology is
+    DuckDB-oracle-gated.
 
     At scale: the streaming side keeps |types| × watermark-horizon
     window state; the rank pass reads the compact windowed table, never
@@ -752,11 +756,17 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w_prev = Window.partitionBy("event_type").orderBy("w_start")
-    ratio = F.col("n_events").cast("double") / F.col("prev_n")
+    # scaled-integer 4-dp round: bigint(round(n·10⁴/prev)) / 10⁴
+    ratio4 = (
+        F.round(F.col("n_events") * 10000.0 / F.col("prev_n"))
+        .cast("bigint")
+        .cast("double")
+        / 10000.0
+    )
     scored = (
         drained.withColumn("prev_n", F.lag("n_events").over(w_prev))
         .where(F.col("prev_n").isNotNull() & (F.col("n_events") >= 10))
-        .withColumn("ratio", F.round(ratio, 4) + F.lit(0.0))
+        .withColumn("ratio", ratio4 + F.lit(0.0))
         .where(F.col("ratio") >= 1.5)
     )
     w_rank = Window.partitionBy("w_start").orderBy(

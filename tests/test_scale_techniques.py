@@ -360,3 +360,30 @@ def test_zstd_codec_roundtrip_and_size(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(raw).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(zst).collect())
     assert a == b
+
+
+def test_clustered_near_dup_recall(spark, tmp_path):
+    """The embedding near-dup SCALE PATH (τ=0.9, cells ∝ corpus, sampled
+    quantizer, 4 probes) must find every planted near-copy pair on a
+    clustered-geometry corpus and nothing else — the executable pin
+    behind SCALE.md §8a's falling-candidate-ratio table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from scale_stress_neardup import CLUSTERED_TAU, build_clustered_embeddings
+
+    from mini_pandas_spark.operators.similarity import (
+        SAMPLE_MOD,
+        _near_dup_pairs_impl,
+    )
+
+    out = str(tmp_path / "clustered")
+    n = build_clustered_embeddings(spark, out, m=1, n_base=600)
+    cells = max(16, n // 25)
+    pairs = _near_dup_pairs_impl(spark, out, CLUSTERED_TAU, cells, 4, SAMPLE_MOD)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()}
+    planted = {(i - 1, i) for i in range(9, n, 10)}
+    assert planted <= got, f"missed {len(planted - got)} planted pairs"
+    # clustered-but-not-duplicate mass (pair cosine ≈ 0.6) must not leak
+    # past τ=0.9 — tolerate nothing: got should be exactly the plants
+    assert got == planted, f"{len(got - planted)} false pairs"

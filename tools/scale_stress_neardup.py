@@ -102,6 +102,97 @@ def build_embeddings(spark: SparkSession, out_dir: str, m: int) -> None:
     )
 
 
+EMB_DIM = 64
+CLUSTER_NOISE = 0.816  # intra-cluster pair cosine ≈ 0.6 (not near-dup)
+DUP_NOISE = 0.08  # planted pair cosine ≈ 0.997
+CLUSTERS_PER_MULT = 48  # topic count grows with the corpus
+CLUSTERED_TAU = 0.9  # the realistic dedup threshold (≤ 26° of angle)
+
+
+def build_clustered_embeddings(
+    spark: SparkSession, out_dir: str, m: int, n_base: int = 2000
+) -> int:
+    """Clustered-geometry embedding corpus — the round-3 verdict's ask:
+    the sf fixtures are near-uniform on the sphere (max pairwise cosine
+    0.51), where NO τ=0.4 blocking can prune; real document embeddings
+    cluster by topic, and near-dup pairs sit at cosine ≥ 0.9.  This
+    fixture plants both: ``CLUSTERS_PER_MULT × m`` random unit centers
+    (topic density constant as the corpus grows), each vector = its
+    cluster center + uniform noise tuned so intra-cluster PAIR cosine ≈
+    0.6 (similar, NOT duplicate), and every vec_id ≡ 9 (mod 10) is a
+    near-copy of vec_id−1 at cosine ≈ 0.997 (the planted dup set the
+    recall column scores against).  Fully deterministic (xxhash64
+    tape), written as plain Spark expressions."""
+    n = n_base * m
+    nclust = CLUSTERS_PER_MULT * m
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    is_dup = F.pmod(F.col("vec_id"), F.lit(10)) == 9
+    base_id = F.when(is_dup, F.col("vec_id") - 1).otherwise(F.col("vec_id"))
+
+    def u(h):  # uniform [-1, 1] from a 64-bit hash
+        return (F.pmod(h, F.lit(2000001)).cast("double") / 1000000.0) - 1.0
+
+    k = F.pmod(F.xxhash64(base_id, F.lit("cl")), F.lit(nclust))
+    coords = []
+    for i in range(EMB_DIM):
+        center = u(F.xxhash64(k, F.lit(i), F.lit("c")))
+        noise = u(F.xxhash64(base_id, F.lit(i), F.lit("n"))) * CLUSTER_NOISE
+        dup_jitter = F.when(
+            is_dup,
+            u(F.xxhash64(F.col("vec_id"), F.lit(i), F.lit("d"))) * DUP_NOISE,
+        ).otherwise(F.lit(0.0))
+        coords.append((center + noise + dup_jitter).cast("float"))
+    df = ids.select(
+        "vec_id",
+        F.array(*coords).alias("embedding"),
+        k.cast("int").alias("label"),
+    )
+    df.repartition(max(2 * m, 4)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return n
+
+
+def clustered_embedding_stats(spark: SparkSession, sf_dir: str, n_vec: int) -> dict:
+    """Run the near-dup SCALE PATH (τ=0.9, cells ∝ corpus so cell
+    population stays bounded, sampled driver-local quantizer, 4 probes)
+    on the clustered fixture; report wall, output pairs, planted-pair
+    recall, and the blocking's candidate volume."""
+    from mini_pandas_spark.operators.similarity import (
+        LLOYD_ITERS,
+        SAMPLE_MOD,
+        _assign_topp_np,
+        _near_dup_pairs_impl,
+        _trained_quantizer,
+        _vectors_with_norm,
+    )
+
+    cells = max(16, n_vec // 25)
+    probes = 4
+    t0 = time.time()
+    out = _near_dup_pairs_impl(
+        spark, sf_dir, CLUSTERED_TAU, cells, probes, SAMPLE_MOD
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.select("id_a", "id_b").collect()}
+    wall = time.time() - t0
+    planted = {(i - 1, i) for i in range(9, n_vec, 10)}
+    recall = len(planted & got) / len(planted)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vec = _vectors_with_norm(spark, sf_dir).repartition(n_part)
+    cids, cn = _trained_quantizer(
+        vec, sf_dir, cells, LLOYD_ITERS, sample_mod=SAMPLE_MOD
+    )
+    cand = pairs_in_buckets(_assign_topp_np(vec, cids, cn, probes), "cell")
+    return dict(
+        wall_sec=round(wall, 2),
+        out_pairs=len(got),
+        candidates=cand,
+        cand_ratio=round(cand / (n_vec * (n_vec - 1) // 2), 6),
+        recall=round(recall, 4),
+        cells=cells,
+    )
+
+
 def pairs_in_buckets(df: DataFrame, *keys: str) -> int:
     """sum over blocking buckets of C(n, 2) — the candidate-pair volume
     the bucketed join materializes."""
@@ -282,13 +373,28 @@ def main() -> int:
             print(f"  embedding_near_dup_pairs m={m}: {wall:.1f}s, "
                   f"out={out_pairs}, cand={cand} "
                   f"({cand/all_pairs_vec:.2%} of all-pairs)", file=sys.stderr)
+        if not only or "embedding_near_dup_clustered" in only:
+            cl_dir = os.path.join(args.out, f"cl{m}")
+            n_vec = build_clustered_embeddings(spark, cl_dir, m)
+            stats = clustered_embedding_stats(spark, cl_dir, n_vec)
+            results.append(
+                dict(op="embedding_near_dup_clustered", mult=m, n=n_vec, **stats)
+            )
+            print(
+                f"  embedding_near_dup_clustered m={m}: "
+                f"{stats['wall_sec']}s, out={stats['out_pairs']}, "
+                f"cand={stats['candidates']} ({stats['cand_ratio']:.2%}), "
+                f"recall={stats['recall']}, cells={stats['cells']}",
+                file=sys.stderr,
+            )
 
-    print("| op | mult | rows | wall (s) | output pairs | candidates | cand/all-pairs |")
-    print("|---|---|---|---|---|---|---|")
+    print("| op | mult | rows | wall (s) | output pairs | candidates | cand/all-pairs | recall |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in results:
         print(
             f"| {r['op']} | {r['mult']}x | {r['n']} | {r['wall_sec']} "
-            f"| {r['out_pairs']} | {r['candidates']} | {r['cand_ratio']:.4%} |"
+            f"| {r['out_pairs']} | {r['candidates']} | {r['cand_ratio']:.4%} "
+            f"| {r.get('recall', '')} |"
         )
     print(json.dumps({"results": results}))
     spark.stop()
