@@ -2,9 +2,10 @@
 ``binary`` columns with typed metadata (mandated extension surface,
 SURVEY.md §2.3 row 13).
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (deterministic fake derived from the payload bytes;
-``real_decode`` raises NotImplementedError).  Everything Spark-side is
+The container has no image/audio codecs (pillow / soundfile / opencv
+re-probed absent every round, rounds 1–4, last 2026-08-15), so the
+*decode* step is a clearly-marked stub (deterministic fake derived from
+the payload bytes; ``real_decode`` raises NotImplementedError).  Everything Spark-side is
 real and tested: the binary column schema, Arrow batch transfer through
 ``mapInPandas``, the per-batch UDF signature, and the output schema — on
 a real cluster you replace ``_fake_decode`` with PIL/ffmpeg and nothing
