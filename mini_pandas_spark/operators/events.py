@@ -2159,3 +2159,104 @@ def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- round-4 additions ------------------------------------------------
+
+DECAY = 0.9
+_GDPR_MOD = 2147483647
+_GDPR_PRIME = 2654435761
+_GDPR_SHARE = 0.05  # erase ~5% of users
+
+
+def time_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user: fold the
+    user's events in time order with score ← score·0.9 + value — the
+    recency-weighted feature every ranking/churn model derives from an
+    event log, expressed as a JVM-side ordered F.aggregate fold (the
+    same ordered-recurrence surface as holt_linear_forecast; SES with
+    per-event steps).
+
+    Determinism: the fold order is pinned by (ts, event_id) — event_id
+    is unique — via array_sort of structs; each step is the identical
+    double expression on both engines, so the fold is bit-reproducible.
+    Scale: ONE shuffle keyed on user_id; state per user is its event
+    array (bounded by per-user activity, the same contract as
+    sessionization).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("value").cast("double").alias("v"),
+            )
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("a")
+    )
+    xs = F.transform(F.col("a"), lambda s: s.getField("v"))
+    folded = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, v: acc * F.lit(DECAY) + v,
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        (F.round(folded, 6) + F.lit(0.0)).alias("decayed_score"),
+    ).orderBy("user_id")
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure audit: a deterministic ~5% of users (selected by
+    multiplicative hash — standing in for a deletion-request table) are
+    erased from the event log via a broadcast ANTI-join, and the audit
+    reports per event type how many rows survive and how many were
+    erased — the compliance report a data-retention pipeline emits with
+    every erasure batch.
+
+    Determinism: the erasure set is a pure hash predicate (invariant #7
+    ordering: reduce mod 2^31−1 before the prime multiply); shares are
+    exact-integer quotients rounded in scaled-integer space.  Scale: the
+    erasure list is |requests| rows (broadcast side of the anti-join);
+    the log streams through one scan + one group-by — at 100 TB the
+    anti-join is the standard tombstone-application plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        (F.col("user_id") % F.lit(_GDPR_MOD)) * F.lit(_GDPR_PRIME)
+    ) % F.lit(_GDPR_MOD)
+    erase = (
+        ev.select("user_id")
+        .distinct()
+        .where(h < F.lit(int(_GDPR_SHARE * _GDPR_MOD)))
+    )
+    kept = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_after"))
+    share4 = (
+        F.round(
+            (F.col("n_before") - F.coalesce(F.col("n_after"), F.lit(0)))
+            * 10000.0
+            / F.col("n_before")
+        )
+        .cast("bigint")
+        .cast("double")
+        / 10000.0
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .select(
+            "event_type",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce(F.col("n_after"), F.lit(0))).alias(
+                "n_erased"
+            ),
+            (share4 + F.lit(0.0)).alias("erased_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -2303,3 +2303,317 @@ def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pair_rank")
     )
+
+
+# --- round-4 additions ------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token bigrams by pointwise mutual information
+    (PMI = ln P(xy)/(P(x)P(y)), min count 5) — the classic collocation
+    statistic a tokenizer/phrase-mining pass computes over a corpus
+    (word2vec's phrase pass, NPMI boilerplate detection).
+
+    Determinism: all counts are exact integers; P-ratios are single
+    double divisions in an identical tree on both engines; the PMI is
+    rounded at 6 dp in scaled-integer space with (w1, w2) tiebreaks.
+    Scale: the token array is built ONCE per doc (invariant #4 — the
+    per-element lambda touches only element_at on the precomputed
+    array); unigram/bigram tables shuffle on the word keys with
+    map-side combine; totals ride a 1-row broadcast; the top-20 is
+    TakeOrderedAndProject.  Nothing is corpus-global except two exact
+    1-row aggregates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(tokens("text").alias("ts")).select(
+        "ts", F.size("ts").alias("n")
+    )
+    uni = (
+        per_doc.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = per_doc.agg(
+        F.sum("n").alias("t_tokens"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("t_bigrams"),
+    )
+    bg = per_doc.where(F.col("n") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("w1"),
+                    F.element_at(F.col("ts"), (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= PMI_MIN_COUNT)
+    )
+    ux = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    j = big.join(ux, "w1").join(uy, "w2").crossJoin(F.broadcast(totals))
+    num = F.col("cxy").cast("double") / F.col("t_bigrams")
+    den = (F.col("cx").cast("double") / F.col("t_tokens")) * (
+        F.col("cy").cast("double") / F.col("t_tokens")
+    )
+    pmi6 = (
+        F.round(F.log(num / den) * 1000000.0).cast("bigint").cast("double")
+        / 1000000.0
+    )
+    return (
+        j.select("w1", "w2", "cxy", "cx", "cy", (pmi6 + F.lit(0.0)).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID heuristic against the
+    gold ``lang`` labels: per (gold, predicted) cell count and its share
+    of the gold language's rows — the evaluation report that decides
+    whether a cheap classifier is good enough to gate a corpus.
+
+    Scale: reuses lang_id_heuristic's per-row expressions (one scan),
+    then a |langs|²-bounded group-by; row shares divide exact integers
+    and round in scaled-integer space.
+    """
+    base = lang_id_heuristic(spark, sf_dir).select("lang", "pred_lang")
+    cm = base.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    share6 = (
+        F.round(F.col("n") * 1000000.0 / F.col("n_lang"))
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "n_lang",
+            (share6 + F.lit(0.0)).alias("row_share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+EDIT_BLOCK_PREFIX = 12
+EDIT_HEAD = 40
+EDIT_MAX_DIST = 10
+
+
+def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the record-linkage classic:
+    block documents by (lang, first-12-char prefix), compare only
+    block-mates, and keep pairs whose 40-char heads sit within
+    Levenshtein distance 10.  The cheap exact-DP companion to the
+    shingle/minhash family for SHORT keys (titles, names, URLs).
+
+    Scale: the only pair-generating join is an equi-join on the blocking
+    key, so candidates are Σ_blocks C(n,2) — prefix blocks stay small
+    because two documents must agree on their first two words to meet
+    (measured ≤7 per block at sf0.1); the DP runs only on 40-char heads
+    (bounded cost per candidate).  Levenshtein is the same classic DP on
+    both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    probe = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, EDIT_BLOCK_PREFIX).alias("blk"),
+        F.substring("text", 1, EDIT_HEAD).alias("head"),
+    )
+    a = probe.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk", F.col("head").alias("ha")
+    )
+    b = probe.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("head").alias("hb"),
+    )
+    dist = F.levenshtein(F.col("ha"), F.col("hb"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "lang", dist.cast("bigint").alias("edit_dist"))
+        .where(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .orderBy("id_a", "id_b")
+    )
+
+
+MIXTURE_EPOCH_CAP = 3
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture allocation with an epoch cap (the DoReMi-adjacent
+    static rebalance every pretraining data plan starts from): aim each
+    source at the uniform token share, but never take more than 3 epochs
+    of a source's data.  alloc_s = min(3·toks_s, ⌊total/n_sources⌋);
+    weight = epochs over the source (alloc/toks); sample_prob =
+    alloc / Σalloc.
+
+    Determinism: ALL-INTEGER until the final divisions (the Σalloc
+    normalizer is a bigint sum, never an order-dependent double sum);
+    quotients round in scaled-integer space.  Scale: one group-by to
+    per-source token masses, 1-row broadcast totals, arithmetic on
+    |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("toks"),
+    )
+    tot = per_src.agg(
+        F.sum("toks").alias("t_all"), F.count(F.lit(1)).alias("n_src")
+    )
+    j = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "target_toks", (F.col("t_all") / F.col("n_src")).cast("bigint")
+    )
+    alloc = F.least(
+        F.lit(MIXTURE_EPOCH_CAP) * F.col("toks"), F.col("target_toks")
+    )
+    j = j.withColumn("alloc_toks", alloc)
+    tot_alloc = j.agg(F.sum("alloc_toks").alias("alloc_all"))
+
+    def r6(x):
+        return (
+            F.round(x * 1000000.0).cast("bigint").cast("double") / 1000000.0
+            + F.lit(0.0)
+        )
+
+    return (
+        j.crossJoin(F.broadcast(tot_alloc))
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            "target_toks",
+            "alloc_toks",
+            r6(F.col("toks").cast("double") / F.col("t_all")).alias(
+                "actual_share"
+            ),
+            r6(F.col("alloc_toks").cast("double") / F.col("toks")).alias(
+                "epochs"
+            ),
+            r6(F.col("alloc_toks").cast("double") / F.col("alloc_all")).alias(
+                "sample_prob"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_STRAT_MOD = 2147483647
+_STRAT_PRIME = 2654435761
+# downsample dominant languages harder (rate = kept fraction)
+STRAT_RATES = (("en", 0.3), ("de", 0.6), ("es", 0.6), ("fr", 0.6), ("zh", 0.9))
+
+
+def lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep each document with a
+    language-specific rate, decided by a multiplicative hash of doc_id —
+    the reproducible downsampling step of a language-rebalance plan
+    (reruns and backfills keep IDENTICAL rows; no RNG state anywhere).
+
+    Scale: a pure per-row predicate (no shuffle, pushes to the scan
+    boundary); the hash stays under 2^31·prime < 2^63 (invariant #7:
+    reduce mod 2^31−1 BEFORE the prime multiply).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id") % F.lit(_STRAT_MOD)) * F.lit(_STRAT_PRIME)
+    ) % F.lit(_STRAT_MOD)
+    thr = None
+    for lang, rate in STRAT_RATES:
+        t = F.lit(int(rate * _STRAT_MOD))
+        thr = F.when(F.col("lang") == lang, t) if thr is None else thr.when(
+            F.col("lang") == lang, t
+        )
+    thr = thr.otherwise(F.lit(0))
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"), thr.alias("thr"))
+        .where(F.col("h") < F.col("thr"))
+        .select("doc_id", "lang", "source", "h")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET = 20_000
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfill a fixed token budget across languages: every language
+    gets an equal share of what remains, except languages with fewer
+    available tokens, which contribute everything — the classic
+    max-min fair allocation (waterfilling), closed-form over languages
+    sorted by availability: the first index i where
+    level_i = ⌊(B − Σ_{j<i} toks_j) / (n−i)⌋ ≤ toks_i is the water
+    line; languages before it are exhausted, the rest get level_i.
+
+    Determinism: all-integer arithmetic (floor divisions of exact
+    counts).  Scale: the corpus collapses to |langs| rows in ONE
+    map-side-combined group-by; the window ordering those rows is over
+    an aggregated 5-row frame (lint-exempt by construction).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.sum(token_count("text")).alias("toks"))
+    w = Window.orderBy("toks", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_idx = Window.orderBy("toks", "lang")
+    tot = per_lang.agg(F.count(F.lit(1)).alias("n_lang"))
+    ranked = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .withColumn("cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .withColumn("idx", F.row_number().over(w_idx) - 1)
+    )
+    level = (
+        (F.lit(TOKEN_BUDGET) - F.col("cum_before"))
+        / (F.col("n_lang") - F.col("idx"))
+    ).cast("bigint")
+    ranked = ranked.withColumn("level", level)
+    # water line = first (asc) index whose level fits inside its toks;
+    # if the budget exceeds total availability no index qualifies — the
+    # fallback row (line beyond every index, level 0) makes every
+    # language take the "exhausted" branch (alloc = everything it has).
+    line = (
+        ranked.where(F.col("level") <= F.col("toks"))
+        .orderBy("idx")
+        .limit(1)
+        .select(F.col("idx").alias("line_idx"), F.col("level").alias("water_level"))
+        .unionByName(
+            tot.select(
+                F.col("n_lang").cast("int").alias("line_idx"),
+                F.lit(0).cast("bigint").alias("water_level"),
+            )
+        )
+        .orderBy("line_idx")
+        .limit(1)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(line))
+        .select(
+            "lang",
+            "toks",
+            F.when(F.col("idx") < F.col("line_idx"), F.col("toks"))
+            .otherwise(F.col("water_level"))
+            .alias("alloc_toks"),
+        )
+        .orderBy("lang")
+    )

@@ -5942,3 +5942,214 @@ register(
     FROM agg ORDER BY rank
     """,
 )
+
+# --- round-4 additions ------------------------------------------------
+
+register(
+    "pmi_bigrams",
+    text.pmi_bigrams,
+    rf"""
+    WITH per AS (
+        SELECT {_TOKENS} AS ts, len({_TOKENS}) AS n FROM documents
+    ),
+    uni AS (
+        SELECT t AS w, COUNT(*) AS c
+        FROM (SELECT unnest(ts) AS t FROM per) GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t_tokens,
+               CAST(SUM(greatest(n - 1, 0)) AS BIGINT) AS t_bigrams
+        FROM per
+    ),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS cxy FROM (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+                  FROM per WHERE n >= 2)
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, cxy, cx, cy,
+           CAST(round(ln((CAST(cxy AS DOUBLE) / t_bigrams)
+                / ((CAST(cx AS DOUBLE) / t_tokens)
+                   * (CAST(cy AS DOUBLE) / t_tokens)))
+                * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS pmi
+    FROM big
+    JOIN (SELECT w AS w1, c AS cx FROM uni) USING (w1)
+    JOIN (SELECT w AS w2, c AS cy FROM uni) USING (w2)
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+
+register(
+    "lang_confusion_matrix",
+    text.lang_confusion_matrix,
+    f"""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter({_TOKENS}, x -> x IN ('the','a','of','and','to','in'))) AS en_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('el','la','de','y','en','que'))) AS es_hits,
+               len(list_filter({_TOKENS}, x -> x IN ('le','la','de','et','un','une'))) AS fr_hits
+        FROM documents
+    ), p AS (
+        SELECT lang,
+               CASE WHEN en_hits > es_hits AND en_hits > fr_hits THEN 'en'
+                    WHEN es_hits > en_hits AND es_hits > fr_hits THEN 'es'
+                    WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+        FROM t
+    ), cm AS (
+        SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+    ), tot AS (
+        SELECT lang, COUNT(*) AS n_lang FROM p GROUP BY 1
+    )
+    SELECT cm.lang, cm.pred_lang, cm.n, tot.n_lang,
+           CAST(round(cm.n * 1000000.0 / tot.n_lang) AS BIGINT)
+               / 1000000.0 + 0.0 AS row_share
+    FROM cm JOIN tot ON cm.lang = tot.lang
+    ORDER BY cm.lang, cm.pred_lang
+    """,
+)
+
+register(
+    "edit_distance_near_dup",
+    text.edit_distance_near_dup,
+    """
+    WITH probe AS (
+        SELECT doc_id, lang, substr(text, 1, 12) AS blk,
+               substr(text, 1, 40) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM probe a JOIN probe b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+
+register(
+    "domain_mixture_weights",
+    text.domain_mixture_weights,
+    f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKENS})) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS t_all, COUNT(*) AS n_src
+        FROM per_src
+    ), j AS (
+        SELECT source, n_docs, toks, t_all,
+               CAST(t_all / n_src AS BIGINT) AS target_toks,
+               least(3 * toks, CAST(t_all / n_src AS BIGINT)) AS alloc_toks
+        FROM per_src CROSS JOIN tot
+    ), ta AS (
+        SELECT CAST(SUM(alloc_toks) AS BIGINT) AS alloc_all FROM j
+    )
+    SELECT source, n_docs, toks, target_toks, alloc_toks,
+           CAST(round(CAST(toks AS DOUBLE) / t_all * 1000000.0) AS BIGINT)
+               / 1000000.0 + 0.0 AS actual_share,
+           CAST(round(CAST(alloc_toks AS DOUBLE) / toks * 1000000.0) AS BIGINT)
+               / 1000000.0 + 0.0 AS epochs,
+           CAST(round(CAST(alloc_toks AS DOUBLE) / alloc_all * 1000000.0) AS BIGINT)
+               / 1000000.0 + 0.0 AS sample_prob
+    FROM j CROSS JOIN ta
+    ORDER BY source
+    """,
+)
+
+register(
+    "lang_rebalance_sample",
+    text.lang_rebalance_sample,
+    """
+    SELECT doc_id, lang, source,
+           ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+    FROM documents
+    WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 <
+          CASE lang WHEN 'en' THEN 644245094
+                    WHEN 'de' THEN 1288490188
+                    WHEN 'es' THEN 1288490188
+                    WHEN 'fr' THEN 1288490188
+                    WHEN 'zh' THEN 1932735282
+                    ELSE 0 END
+    ORDER BY doc_id
+    """,
+)
+
+register(
+    "token_budget_waterfill",
+    text.token_budget_waterfill,
+    f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(SUM(len({_TOKENS})) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+    ), ranked AS (
+        SELECT lang, toks,
+               COALESCE(CAST(SUM(toks) OVER (ORDER BY toks, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before,
+               ROW_NUMBER() OVER (ORDER BY toks, lang) - 1 AS idx,
+               COUNT(*) OVER () AS n_lang
+        FROM per_lang
+    ), lv AS (
+        SELECT *, CAST((20000 - cum_before) / (n_lang - idx) AS BIGINT)
+                  AS level
+        FROM ranked
+    ), line AS (
+        SELECT idx AS line_idx, level AS water_level FROM lv
+        WHERE level <= toks
+        UNION ALL
+        SELECT CAST(n_lang AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT COUNT(*) AS n_lang FROM per_lang)
+        ORDER BY line_idx LIMIT 1
+    )
+    SELECT lang, toks,
+           CASE WHEN idx < line_idx THEN toks ELSE water_level END
+               AS alloc_toks
+    FROM lv CROSS JOIN line
+    ORDER BY lang
+    """,
+)
+
+register(
+    "time_decayed_user_score",
+    events.time_decayed_user_score,
+    """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list_reduce(
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                   (acc, v) -> acc * 9e-1 + v
+               ) AS folded
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, round(folded, 6) + 0.0 AS decayed_score
+    FROM per_user ORDER BY user_id
+    """,
+)
+
+register(
+    "gdpr_erasure_audit",
+    events.gdpr_erasure_audit,
+    """
+    WITH erase AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ((user_id % 2147483647) * 2654435761) % 2147483647 < 107374182
+    ), before AS (
+        SELECT event_type, COUNT(*) AS n_before FROM events GROUP BY 1
+    ), after AS (
+        SELECT event_type, COUNT(*) AS n_after FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM erase)
+        GROUP BY 1
+    )
+    SELECT b.event_type, b.n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           b.n_before - COALESCE(a.n_after, 0) AS n_erased,
+           CAST(round((b.n_before - COALESCE(a.n_after, 0)) * 10000.0
+                / b.n_before) AS BIGINT) / 10000.0 + 0.0 AS erased_share
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type
+    ORDER BY b.event_type
+    """,
+)
