@@ -779,3 +779,89 @@ def golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("golden_doc_id")
     )
+
+
+# --- round-4 additions ------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix: for every pair of
+    sources, |vocab_a ∩ vocab_b| / |vocab_a ∪ vocab_b| over distinct
+    token types — the corpus-similarity diagnostic behind "are these
+    two crawls the same site?" and mixture-dedup decisions.
+
+    Scale: the corpus collapses FIRST to distinct (source, token) rows
+    (map-side-combined — vocabulary-sized, not corpus-sized); the only
+    pair-generating join is the token-keyed self-join over that reduced
+    table, where each token contributes at most |sources|² rows.
+    All-integer until one division, rounded in scaled-integer space.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac6 = (
+        F.round(F.col("inter") * 1000000.0 / union_sz)
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            union_sz.alias("union_sz"),
+            (jac6 + F.lit(0.0)).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def neardup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate FLOW matrix: project the exact 3-gram
+    Jaccard ≥ 0.8 pair set (the same pair set minhash_lsh_pairs is
+    pinned against) onto source pairs — which sources duplicate which
+    is the report that decides crawl-priority and dedup ordering.
+
+    Scale: reuses ngram_jaccard_pairs' reduced pair set (O(near-dups)
+    rows), then two broadcast-able joins to the skinny (doc_id, source)
+    projection and a |sources|²-bounded group-by.  Within-source
+    duplication appears on the diagonal (src_a == src_b).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("src_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("src_b"),
+        )
+    )
+    return (
+        labeled.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )

@@ -2175,7 +2175,10 @@ def time_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency-weighted feature every ranking/churn model derives from an
     event log, expressed as a JVM-side ordered F.aggregate fold (the
     same ordered-recurrence surface as holt_linear_forecast; SES with
-    per-event steps).
+    per-event steps).  Complements time_decayed_user_value, which is the
+    CLOSED-FORM wall-clock variant (Σ value·exp(−λ·age)); this one is
+    the step-recurrence EWMA whose weight depends on event ORDER, the
+    form session-based recommenders use.
 
     Determinism: the fold order is pinned by (ts, event_id) — event_id
     is unique — via array_sort of structs; each step is the identical

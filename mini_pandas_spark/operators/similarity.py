@@ -1401,3 +1401,152 @@ def colbert_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy("rank")
     )
+
+
+# --- round-4 additions ------------------------------------------------
+
+EVAL_QUERIES = 8
+EVAL_K = 10
+# DCG rank discounts 1/log2(k+1) and their prefix sums (ideal DCG),
+# frozen as 12-dp DECIMAL LITERALS shared verbatim with the DuckDB
+# oracle — zero libm in either engine's plan, and the ≤10-term DCG sums
+# run in exact decimal, so group-aggregation order can't move a bit.
+DCG_DISCOUNTS = (
+    "1.000000000000", "0.630929753571", "0.500000000000", "0.430676558073",
+    "0.386852807235", "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318",
+)
+IDCG_PREFIX = (
+    "1.000000000000", "1.630929753571", "2.130929753571", "2.561606311644",
+    "2.948459118879", "3.304666305987", "3.637999639320", "3.953464516106",
+    "4.254494511770", "4.543559338088",
+)
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-retrieval evaluation — MRR@10, Recall@10, nDCG@10 per
+    query, with "relevant" = shares the query's label (the standard IR
+    eval harness every embedding-model data pipeline runs after
+    building an index).
+
+    Determinism: the rank discounts and ideal-DCG denominators are
+    frozen decimal literals (no libm anywhere); DCG sums in exact
+    decimal; reciprocal-rank and recall are single divisions of exact
+    integers; nDCG rounds in scaled-integer space with per-query
+    (sim desc, neighbor_id) ranking tiebroken uniquely.  Scale: the
+    query side is 8 broadcast rows; the corpus streams once; ranking is
+    a per-query window (WindowGroupLimit prunes to 10 rows per query
+    before the metric join).
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") < EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = vec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    totals = scored.groupBy("query_id").agg(F.sum("rel").alias("n_rel"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(s).cast("decimal(18,12)") for s in DCG_DISCOUNTS]),
+        F.col("rk"),
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= EVAL_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+            F.sum(
+                F.when(F.col("rel") == 1, disc).otherwise(
+                    F.lit("0").cast("decimal(18,12)")
+                )
+            ).alias("dcg"),
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(s).cast("decimal(18,12)") for s in IDCG_PREFIX]),
+        F.least(F.lit(EVAL_K), F.col("n_rel")).cast("int"),
+    )
+    ndcg6 = (
+        F.round(
+            F.col("dcg").cast("double") / idcg.cast("double") * 1000000.0
+        )
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return (
+        top.join(totals, "query_id")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.col("hits").cast("bigint").alias("hits_at_10"),
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.lit(1.0) / F.col("first_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr_at_10"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("hits").cast("double") / F.col("n_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_10"),
+            (
+                F.when(F.col("n_rel") > 0, ndcg6).otherwise(F.lit(0.0))
+                + F.lit(0.0)
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SEMDECON_HELDOUT = 50  # vec_id < 50 stand in for the eval/benchmark set
+SEMDECON_TAU = 0.95
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) train/test decontamination: flag every
+    training vector whose cosine to ANY held-out benchmark vector
+    reaches τ = 0.95 — the leakage check n-gram decontamination misses
+    (paraphrases land near-parallel in embedding space while sharing no
+    8-gram; this is decontaminate_ngram_overlap's semantic twin).
+
+    Determinism: exact cosine (sequential-fold dot), per-vector MAX over
+    the held-out side (max of identically-computed doubles is
+    order-independent), rounded at 6 dp with exact comparisons.  Scale:
+    the held-out side is small by definition (a benchmark) → broadcast;
+    the corpus streams ONCE and aggregates by vec_id with map-side
+    combine — the same plan at 100 TB with a bigger broadcast table.
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    held = vec.filter(F.col("vec_id") < SEMDECON_HELDOUT).select(
+        F.col("vec_id").alias("held_id"),
+        F.col("v").alias("hv"),
+        F.col("nrm").alias("hnrm"),
+    )
+    train = vec.filter(F.col("vec_id") >= SEMDECON_HELDOUT)
+    sim = dot(F.col("hv"), F.col("v")) / (F.col("hnrm") * F.col("nrm"))
+    per_vec = (
+        train.join(F.broadcast(held))
+        .groupBy("vec_id")
+        .agg(F.round(F.max(sim), 6).alias("max_sim"))
+    )
+    return per_vec.select(
+        "vec_id",
+        (F.col("max_sim") + F.lit(0.0)).alias("max_held_sim"),
+        (F.col("max_sim") >= SEMDECON_TAU).alias("is_contaminated"),
+    ).orderBy("vec_id")

@@ -6153,3 +6153,141 @@ register(
     ORDER BY b.event_type
     """,
 )
+
+register(
+    "retrieval_eval_metrics",
+    similarity.retrieval_eval_metrics,
+    _VEC_CTE
+    + """
+    , q AS (
+        SELECT vec_id AS query_id, ve AS qv, label AS qlabel
+        FROM v WHERE vec_id < 8
+    ), scored AS (
+        SELECT query_id,
+               v.vec_id AS neighbor_id,
+               CASE WHEN v.label = qlabel THEN 1 ELSE 0 END AS rel,
+               round(list_dot_product(qv, ve)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(ve, ve))), 6) AS sim
+        FROM v CROSS JOIN q WHERE v.vec_id != query_id
+    ), totals AS (
+        SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel
+        FROM scored GROUP BY query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored
+    ), top AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+               SUM(CASE WHEN rel = 1 THEN
+                   (CASE rk WHEN 1 THEN 1.000000000000::DECIMAL(18,12)
+                            WHEN 2 THEN 0.630929753571::DECIMAL(18,12)
+                            WHEN 3 THEN 0.500000000000::DECIMAL(18,12)
+                            WHEN 4 THEN 0.430676558073::DECIMAL(18,12)
+                            WHEN 5 THEN 0.386852807235::DECIMAL(18,12)
+                            WHEN 6 THEN 0.356207187108::DECIMAL(18,12)
+                            WHEN 7 THEN 0.333333333333::DECIMAL(18,12)
+                            WHEN 8 THEN 0.315464876786::DECIMAL(18,12)
+                            WHEN 9 THEN 0.301029995664::DECIMAL(18,12)
+                            ELSE 0.289064826318::DECIMAL(18,12) END)
+                   ELSE 0::DECIMAL(18,12) END) AS dcg
+        FROM ranked WHERE rk <= 10 GROUP BY query_id
+    )
+    SELECT t.query_id, n_rel, hits AS hits_at_10,
+           CASE WHEN first_rel IS NOT NULL THEN 1.0e0 / first_rel
+                ELSE 0.0e0 END AS rr_at_10,
+           CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel
+                ELSE 0.0e0 END AS recall_at_10,
+           CASE WHEN n_rel > 0 THEN
+               CAST(round(CAST(dcg AS DOUBLE)
+                   / CAST((CASE least(10, n_rel)
+                            WHEN 1 THEN 1.000000000000::DECIMAL(18,12)
+                            WHEN 2 THEN 1.630929753571::DECIMAL(18,12)
+                            WHEN 3 THEN 2.130929753571::DECIMAL(18,12)
+                            WHEN 4 THEN 2.561606311644::DECIMAL(18,12)
+                            WHEN 5 THEN 2.948459118879::DECIMAL(18,12)
+                            WHEN 6 THEN 3.304666305987::DECIMAL(18,12)
+                            WHEN 7 THEN 3.637999639320::DECIMAL(18,12)
+                            WHEN 8 THEN 3.953464516106::DECIMAL(18,12)
+                            WHEN 9 THEN 4.254494511770::DECIMAL(18,12)
+                            ELSE 4.543559338088::DECIMAL(18,12) END) AS DOUBLE)
+                   * 1000000.0) AS BIGINT) / 1000000.0 + 0.0
+           ELSE 0.0e0 END AS ndcg_at_10
+    FROM top t JOIN totals USING (query_id)
+    ORDER BY query_id
+    """,
+)
+
+register(
+    "source_vocab_overlap",
+    dedup.source_vocab_overlap,
+    f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, t AS w FROM (
+            SELECT source, unnest({_TOKENS}) AS t FROM documents
+        )
+    ), sizes AS (
+        SELECT source, COUNT(*) AS sz FROM vocab GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        FROM vocab a JOIN vocab b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, inter,
+           sa.sz + sb.sz - inter AS union_sz,
+           CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT)
+               / 1000000.0 + 0.0 AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+
+register(
+    "neardup_flow_matrix",
+    dedup.neardup_flow_matrix,
+    _SHINGLES_CTE
+    + """
+    , nd AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    )
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           COUNT(*) AS n_pairs
+    FROM nd
+    JOIN documents da ON nd.doc_a = da.doc_id
+    JOIN documents db ON nd.doc_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+)
+
+register(
+    "semantic_decontamination",
+    similarity.semantic_decontamination,
+    _VEC_CTE
+    + """
+    , held AS (
+        SELECT vec_id AS held_id, ve AS hv FROM v WHERE vec_id < 50
+    ), per_vec AS (
+        SELECT v.vec_id,
+               round(MAX(list_dot_product(hv, ve)
+                   / (sqrt(list_dot_product(hv, hv))
+                      * sqrt(list_dot_product(ve, ve)))), 6) AS max_sim
+        FROM v CROSS JOIN held
+        WHERE v.vec_id >= 50
+        GROUP BY v.vec_id
+    )
+    SELECT vec_id, max_sim + 0.0 AS max_held_sim,
+           max_sim >= 0.95 AS is_contaminated
+    FROM per_vec ORDER BY vec_id
+    """,
+)

@@ -45,6 +45,18 @@ EMPTY_OK_ZERO_ROWS = [
     "training_manifest",
     "cohort_retention",
     "event_transition_matrix",
+    "pmi_bigrams",
+    "lang_confusion_matrix",
+    "edit_distance_near_dup",
+    "lang_rebalance_sample",
+    "token_budget_waterfill",
+    "time_decayed_user_score",
+    "gdpr_erasure_audit",
+    "retrieval_eval_metrics",
+    "source_vocab_overlap",
+    "neardup_flow_matrix",
+    "semantic_decontamination",
+    "domain_mixture_weights",
     "rfm_features",
     "snapshot_diff",
     "mad_anomaly_events",
