@@ -106,6 +106,19 @@ HEADLINE = [
     "t_closeness_audit",
     "streaming_topk_trending",
     "colbert_maxsim_labels",
+    # round-4 new operators
+    "lang_confusion_matrix",
+    "edit_distance_near_dup",
+    "domain_mixture_weights",
+    "lang_rebalance_sample",
+    "token_budget_waterfill",
+    "time_decayed_user_score",
+    "gdpr_erasure_audit",
+    "retrieval_eval_metrics",
+    "source_vocab_overlap",
+    "neardup_flow_matrix",
+    "semantic_decontamination",
+    "join_cardinality_estimate",
 ]
 
 

@@ -788,7 +788,9 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard matrix: for every pair of
     sources, |vocab_a ∩ vocab_b| / |vocab_a ∪ vocab_b| over distinct
     token types — the corpus-similarity diagnostic behind "are these
-    two crawls the same site?" and mixture-dedup decisions.
+    two crawls the same site?" and mixture-dedup decisions.  The same
+    reduce-then-self-join shape as audience_overlap_jaccard (user sets
+    per event type), applied to vocabulary sets per source.
 
     Scale: the corpus collapses FIRST to distinct (source, token) rows
     (map-side-combined — vocabulary-sized, not corpus-sized); the only

@@ -2219,7 +2219,10 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased from the event log via a broadcast ANTI-join, and the audit
     reports per event type how many rows survive and how many were
     erased — the compliance report a data-retention pipeline emits with
-    every erasure batch.
+    every erasure batch.  Complements gdpr_delete_propagation (the
+    relational customer→orders→lineitem CASCADE): this is the
+    event-log side, where erasure is a tombstone anti-join against a
+    request list rather than a key cascade.
 
     Determinism: the erasure set is a pure hash predicate (invariant #7
     ordering: reduce mod 2^31−1 before the prime multiply); shares are

@@ -46,8 +46,19 @@ def with_global_rank(
         num_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_parts, *order_cols).withColumn(
-        "_gr_pid", F.spark_partition_id()
+    # localCheckpoint is LOAD-BEARING, not an optimization: the offsets
+    # branch and the window branch prune to different columns, so
+    # without it Catalyst plans TWO range exchanges whose boundary
+    # sampling draws from different RDD seeds — boundary-adjacent rows
+    # can land in different partitions per branch and the offsets no
+    # longer describe the window's partitions (caught by the sf0.1
+    # oracle sweep as small rank drift).  Materializing the ranged
+    # frame once makes the pid assignment a single physical fact both
+    # branches share.  eager=False keeps plan-build side-effect-free.
+    part = (
+        df.repartitionByRange(num_parts, *order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     counts = part.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_cnt"))

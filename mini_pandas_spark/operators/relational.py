@@ -3920,3 +3920,58 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size and skew forecast from per-key histograms — the planner
+    diagnostic a pipeline runs BEFORE submitting a 100 TB join: for each
+    candidate equi-join, the exact output size Σ_k cnt_a(k)·cnt_b(k),
+    the heaviest key's contribution, and the skew factor (max key
+    contribution / mean per-key contribution).  A skew factor ≫ 1 says
+    "salt this join or let AQE split it".
+
+    Determinism: everything is exact integer arithmetic on group-by
+    counts until two final scaled-integer-rounded ratios.  Scale: each
+    side collapses to its per-key histogram FIRST (map-side combine), so
+    the estimator's join runs on |distinct keys| rows, never data rows —
+    the whole point of estimating before joining.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    def estimate(a: DataFrame, ka: str, b: DataFrame, kb: str, name: str) -> DataFrame:
+        ha = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        hb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        per_key = ha.join(hb, "k").select(
+            "k", (F.col("ca") * F.col("cb")).alias("rows_k")
+        )
+        return per_key.agg(
+            F.lit(name).alias("join_name"),
+            F.count(F.lit(1)).alias("n_join_keys"),
+            F.sum("rows_k").alias("est_join_rows"),
+            F.max("rows_k").alias("max_key_rows"),
+        )
+
+    est = (
+        estimate(o, "o_orderkey", li, "l_orderkey", "orders_x_lineitem")
+        .unionByName(estimate(c, "c_custkey", o, "o_custkey", "customer_x_orders"))
+        .unionByName(estimate(ev, "user_id", ev, "user_id", "events_self_user"))
+    )
+    skew4 = (
+        F.round(
+            F.col("max_key_rows") * F.col("n_join_keys") * 10000.0
+            / F.col("est_join_rows")
+        )
+        .cast("bigint")
+        .cast("double")
+        / 10000.0
+    )
+    return est.select(
+        "join_name",
+        "n_join_keys",
+        "est_join_rows",
+        "max_key_rows",
+        (skew4 + F.lit(0.0)).alias("skew_factor"),
+    ).orderBy("join_name")

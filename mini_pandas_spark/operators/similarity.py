@@ -554,8 +554,16 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold-path plan-compilation jobs this algorithm pays before Lloyd.
     # On a quantizer-memo hit (cell layout already trained this session)
     # only the query rows are fetched and the Lloyd pass is skipped.
-    key = (sf_dir, N_CENTROIDS, LLOYD_ITERS, SAMPLE_MOD)
+    key = (
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        N_CENTROIDS,
+        LLOYD_ITERS,
+        SAMPLE_MOD,
+    )
     cached = _QUANTIZER_MEMO.get(key)
+    if cached is not None:
+        _QUANTIZER_MEMO.move_to_end(key)
     if cached is None:
         head = (
             vec.filter(_sample_predicate(max(N_CENTROIDS, N_QUERIES)))
@@ -566,6 +574,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qrows = [r for r in head if r["vec_id"] < N_QUERIES]
         cids, cn = _lloyd_local(head, N_CENTROIDS, LLOYD_ITERS)
         _QUANTIZER_MEMO[key] = (cids, cn)
+        while len(_QUANTIZER_MEMO) > _QUANTIZER_MEMO_MAX:
+            _QUANTIZER_MEMO.popitem(last=False)
     else:
         cids, cn = cached
         qrows = sorted(

@@ -2307,78 +2307,14 @@ def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round-4 additions ------------------------------------------------
 
-PMI_MIN_COUNT = 5
-PMI_TOP = 20
-
-
-def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 adjacent-token bigrams by pointwise mutual information
-    (PMI = ln P(xy)/(P(x)P(y)), min count 5) — the classic collocation
-    statistic a tokenizer/phrase-mining pass computes over a corpus
-    (word2vec's phrase pass, NPMI boilerplate detection).
-
-    Determinism: all counts are exact integers; P-ratios are single
-    double divisions in an identical tree on both engines; the PMI is
-    rounded at 6 dp in scaled-integer space with (w1, w2) tiebreaks.
-    Scale: the token array is built ONCE per doc (invariant #4 — the
-    per-element lambda touches only element_at on the precomputed
-    array); unigram/bigram tables shuffle on the word keys with
-    map-side combine; totals ride a 1-row broadcast; the top-20 is
-    TakeOrderedAndProject.  Nothing is corpus-global except two exact
-    1-row aggregates.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(tokens("text").alias("ts")).select(
-        "ts", F.size("ts").alias("n")
-    )
-    uni = (
-        per_doc.select(F.explode("ts").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    totals = per_doc.agg(
-        F.sum("n").alias("t_tokens"),
-        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("t_bigrams"),
-    )
-    bg = per_doc.where(F.col("n") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("ts"), i).alias("w1"),
-                    F.element_at(F.col("ts"), (i + 1).cast("int")).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    big = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cxy"))
-        .where(F.col("cxy") >= PMI_MIN_COUNT)
-    )
-    ux = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
-    uy = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
-    j = big.join(ux, "w1").join(uy, "w2").crossJoin(F.broadcast(totals))
-    num = F.col("cxy").cast("double") / F.col("t_bigrams")
-    den = (F.col("cx").cast("double") / F.col("t_tokens")) * (
-        F.col("cy").cast("double") / F.col("t_tokens")
-    )
-    pmi6 = (
-        F.round(F.log(num / den) * 1000000.0).cast("bigint").cast("double")
-        / 1000000.0
-    )
-    return (
-        j.select("w1", "w2", "cxy", "cx", "cy", (pmi6 + F.lit(0.0)).alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "w1", "w2")
-        .limit(PMI_TOP)
-    )
-
-
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword language-ID heuristic against the
     gold ``lang`` labels: per (gold, predicted) cell count and its share
     of the gold language's rows — the evaluation report that decides
     whether a cheap classifier is good enough to gate a corpus.
+    Complements langid_confusion_metrics (per-class precision/recall/F1
+    summary): this is the full CELL-LEVEL matrix those metrics collapse,
+    the view that shows WHICH languages confuse with which.
 
     Scale: reuses lang_id_heuristic's per-row expressions (one scan),
     then a |langs|²-bounded group-by; row shares divide exact integers
@@ -2462,7 +2398,10 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture allocation with an epoch cap (the DoReMi-adjacent
     static rebalance every pretraining data plan starts from): aim each
     source at the uniform token share, but never take more than 3 epochs
-    of a source's data.  alloc_s = min(3·toks_s, ⌊total/n_sources⌋);
+    of a source's data.  Complements source_mixture_weights (temperature
+    sampling, weight ∝ n^α): temperature reshapes the distribution,
+    while this op answers the BUDGETED question — how many tokens to
+    draw per source under a hard repetition cap.  alloc_s = min(3·toks_s, ⌊total/n_sources⌋);
     weight = epochs over the source (alloc/toks); sample_prob =
     alloc / Σalloc.
 

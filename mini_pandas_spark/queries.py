@@ -5946,42 +5946,6 @@ register(
 # --- round-4 additions ------------------------------------------------
 
 register(
-    "pmi_bigrams",
-    text.pmi_bigrams,
-    rf"""
-    WITH per AS (
-        SELECT {_TOKENS} AS ts, len({_TOKENS}) AS n FROM documents
-    ),
-    uni AS (
-        SELECT t AS w, COUNT(*) AS c
-        FROM (SELECT unnest(ts) AS t FROM per) GROUP BY 1
-    ),
-    tot AS (
-        SELECT CAST(SUM(n) AS BIGINT) AS t_tokens,
-               CAST(SUM(greatest(n - 1, 0)) AS BIGINT) AS t_bigrams
-        FROM per
-    ),
-    big AS (
-        SELECT w1, w2, COUNT(*) AS cxy FROM (
-            SELECT ts[i] AS w1, ts[i + 1] AS w2
-            FROM (SELECT ts, unnest(range(1, len(ts))) AS i
-                  FROM per WHERE n >= 2)
-        ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
-    )
-    SELECT w1, w2, cxy, cx, cy,
-           CAST(round(ln((CAST(cxy AS DOUBLE) / t_bigrams)
-                / ((CAST(cx AS DOUBLE) / t_tokens)
-                   * (CAST(cy AS DOUBLE) / t_tokens)))
-                * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS pmi
-    FROM big
-    JOIN (SELECT w AS w1, c AS cx FROM uni) USING (w1)
-    JOIN (SELECT w AS w2, c AS cy FROM uni) USING (w2)
-    CROSS JOIN tot
-    ORDER BY pmi DESC, w1, w2 LIMIT 20
-    """,
-)
-
-register(
     "lang_confusion_matrix",
     text.lang_confusion_matrix,
     f"""
@@ -6290,4 +6254,55 @@ register(
            max_sim >= 0.95 AS is_contaminated
     FROM per_vec ORDER BY vec_id
     """,
+)
+
+register(
+    "join_cardinality_estimate",
+    relational.join_cardinality_estimate,
+    """
+    WITH est AS (
+        SELECT 'orders_x_lineitem' AS join_name,
+               COUNT(*) AS n_join_keys,
+               CAST(SUM(rows_k) AS BIGINT) AS est_join_rows,
+               CAST(MAX(rows_k) AS BIGINT) AS max_key_rows
+        FROM (
+            SELECT ha.k, ha.ca * hb.cb AS rows_k
+            FROM (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) ha
+            JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) hb
+              ON ha.k = hb.k
+        )
+        UNION ALL
+        SELECT 'customer_x_orders',
+               COUNT(*), CAST(SUM(rows_k) AS BIGINT), CAST(MAX(rows_k) AS BIGINT)
+        FROM (
+            SELECT ha.k, ha.ca * hb.cb AS rows_k
+            FROM (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer GROUP BY 1) ha
+            JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1) hb
+              ON ha.k = hb.k
+        )
+        UNION ALL
+        SELECT 'events_self_user',
+               COUNT(*), CAST(SUM(rows_k) AS BIGINT), CAST(MAX(rows_k) AS BIGINT)
+        FROM (
+            SELECT ha.k, ha.ca * hb.cb AS rows_k
+            FROM (SELECT user_id AS k, COUNT(*) AS ca FROM events GROUP BY 1) ha
+            JOIN (SELECT user_id AS k, COUNT(*) AS cb FROM events GROUP BY 1) hb
+              ON ha.k = hb.k
+        )
+    )
+    SELECT join_name, n_join_keys, est_join_rows, max_key_rows,
+           CAST(round(max_key_rows * n_join_keys * 10000.0 / est_join_rows)
+                AS BIGINT) / 10000.0 + 0.0 AS skew_factor
+    FROM est ORDER BY join_name
+    """,
+)
+
+# Seventh streaming topology: foreachBatch → custom manifest sink →
+# manifest-trust read-back; one AvailableNow drain in complete mode
+# equals the batch hourly aggregation, so it shares events_hourly's
+# oracle end to end (streaming + custom-sink surfaces, one gate).
+register(
+    "streaming_manifest_sink",
+    _stream_windows.streaming_manifest_sink,
+    REGISTRY["events_hourly"][1],
 )

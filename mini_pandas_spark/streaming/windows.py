@@ -785,3 +785,78 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rk")
     )
+
+
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh streaming topology: a watermarked windowed aggregation
+    drains through **foreachBatch into the custom manifest sink**
+    (sources/manifest_sink.py — per-task JSONL shards, attempt-unique
+    staging, atomic checksummed _MANIFEST.json), then the result is
+    read back the way a downstream consumer would: trust ONLY files
+    listed in committed manifests.  This ties the streaming surface and
+    the custom-DataSource WRITE surface into one oracle-gated path —
+    the "stream into a lakehouse table" shape, where every micro-batch
+    commit is atomic and a failed batch leaves nothing visible.
+
+    Over one AvailableNow drain in complete mode the read-back equals
+    the batch hourly aggregation, so the whole topology shares
+    events_hourly's DuckDB oracle.  Scale: shard count = task count per
+    epoch; the manifest commit is O(tasks) driver work; the read-back
+    is a plain parallel JSONL scan of listed shards.
+    """
+    import json
+    import tempfile
+
+    from ..sources.manifest_sink import write_manifest
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stream_manifest_")
+
+    def sink_batch(batch_df, epoch_id):
+        write_manifest(batch_df, os.path.join(root, f"epoch={epoch_id}"))
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(sink_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # manifest-trust read-back: ONLY shards named in committed manifests
+    shard_paths = []
+    for epoch in sorted(os.listdir(root)):
+        mpath = os.path.join(root, epoch, "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            continue  # uncommitted epoch: invisible by contract
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        shard_paths.extend(
+            os.path.join(root, epoch, s["file"]) for s in manifest["shards"]
+        )
+    schema = (
+        "window_start string, event_type string, n_events bigint, "
+        "sum_value double"
+    )
+    if not shard_paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(shard_paths).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )

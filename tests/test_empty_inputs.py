@@ -45,7 +45,6 @@ EMPTY_OK_ZERO_ROWS = [
     "training_manifest",
     "cohort_retention",
     "event_transition_matrix",
-    "pmi_bigrams",
     "lang_confusion_matrix",
     "edit_distance_near_dup",
     "lang_rebalance_sample",

@@ -30,6 +30,7 @@ STREAMING_DRAINS = {
     "synthetic_stream_rollup",
     "streaming_hourly_approx_uniques",
     "streaming_topk_trending",
+    "streaming_manifest_sink",
 }
 
 # These run bounded driver-side jobs at build time (k-means partials,

@@ -76,3 +76,27 @@ def test_bucket_start_is_inverse_of_ntile(spark, n, b):
     for r in starts:
         expect = sum(counts.get(k, 0) for k in range(1, r.bucket))
         assert r.start == expect, (r.bucket, r.start, expect)
+
+
+@pytest.mark.parametrize(
+    "desc,val_expr",
+    [
+        ("all_equal", "0"),                      # every row same value
+        ("heavy_skew", "CASE WHEN id % 100 < 99 THEN 7 ELSE id END"),
+        ("dense_dupes", "id % 3"),
+    ],
+)
+def test_global_rank_boundary_regimes(spark, desc, val_expr):
+    """Adversarial value distributions for the range partitioner: ties
+    spanning partition boundaries, 99%-one-value skew, and tiny
+    cardinality.  The round-4 sf0.1 bug was boundary-sampling drift
+    between plan branches — these regimes maximize boundary pressure."""
+    df = spark.range(2000).selectExpr(
+        f"CAST({val_expr} AS BIGINT) AS val", "id AS tie"
+    )
+    got = with_global_rank(df, ["val", "tie"], rank_col="rk", num_parts=11)
+    w = Window.orderBy("val", "tie")
+    want = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert sorted(got.select("val", "tie", "rk").collect()) == sorted(
+        want.select("val", "tie", "rk").collect()
+    ), desc
