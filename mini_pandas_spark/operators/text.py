@@ -2556,3 +2556,144 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BPE_TRAIN_WORDS = 4000  # driver-local trainer sees the top-N vocab rows
+BPE_N_MERGES = 32
+
+
+def _learn_bpe_merges(word_counts, n_merges: int):
+    """Classic sequential BPE training over a (word, count) table —
+    driver-local, like the IVF quantizer's sampled Lloyd: the trainer
+    sees a BOUNDED top-N vocabulary (TakeOrderedAndProject), never the
+    corpus.  Deterministic: best pair = (max summed count, then
+    lexicographically smallest pair)."""
+    vocab = {}
+    for w, c in word_counts:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + int(c)
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under a REAL learned BPE: train a 32-merge
+    byte-pair vocabulary driver-locally on the corpus's top-4000 words
+    (the bounded-artifact recipe — tokenizer training is an offline
+    driver job over the word-count table, exactly how GPT-2's BPE was
+    built), APPLY it with the standard lowest-rank-first merge loop, and
+    report per language the whitespace-vs-BPE token bill — the
+    fertility number that decides tokenizer/corpus fit.
+
+    Scale: the expensive Python merge loop runs over DISTINCT WORDS only
+    (an Arrow-batched mapInPandas on the vocabulary table — O(|vocab|),
+    never O(corpus)); per-word subtoken counts then join back to
+    per-(lang, word) frequencies, so the corpus itself is touched by
+    nothing but counting.  The merge-rank table ships by VALUE inside
+    the closure (worker-closure invariant #1).  No SQL oracle
+    (sequential merge training is not SQL-expressible) — rows-only,
+    pinned by tests/test_pipeline_operators.py against an independent
+    reference implementation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        d.select("lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = lang_words.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    top_rows = (
+        vocab.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(BPE_TRAIN_WORDS)
+        .collect()
+    )
+    merges = _learn_bpe_merges(
+        [(r["w"], r["cnt"]) for r in top_rows], BPE_N_MERGES
+    )
+    merge_ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    def tokenize_batches(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import pandas as pd
+
+        ranks = merge_ranks
+
+        def n_subtokens(word):
+            sym = list(word)
+            while len(sym) > 1:
+                best_rank, best_pair = None, None
+                for a, b in zip(sym, sym[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (a, b)
+                if best_rank is None:
+                    break
+                a, b = best_pair
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return len(sym)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "n_sub": [n_subtokens(w) for w in pdf["w"]]}
+            )
+
+    sub_counts = vocab.select("w").mapInPandas(
+        tokenize_batches, schema="w string, n_sub int"
+    )
+    joined = lang_words.join(sub_counts, "w")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            (
+                F.round(
+                    F.col("n_bpe_tokens") * 1000000.0 / F.col("n_words")
+                )
+                .cast("bigint")
+                .cast("double")
+                / 1000000.0
+                + F.lit(0.0)
+            ).alias("subtokens_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -6306,3 +6306,8 @@ register(
     _stream_windows.streaming_manifest_sink,
     REGISTRY["events_hourly"][1],
 )
+
+# Sequential BPE training is not SQL-expressible - rows-only; pytest
+# pins the merge loop against an independent reference implementation
+# and the fertility accounting against exact recounts.
+register("bpe_tokenize_fertility", text.bpe_tokenize_fertility, None)

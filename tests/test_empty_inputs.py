@@ -56,6 +56,7 @@ EMPTY_OK_ZERO_ROWS = [
     "neardup_flow_matrix",
     "semantic_decontamination",
     "domain_mixture_weights",
+    "bpe_tokenize_fertility",
     "rfm_features",
     "snapshot_diff",
     "mad_anomaly_events",

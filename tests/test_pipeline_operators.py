@@ -954,3 +954,91 @@ def test_grid_spatial_join_complete_at_low_latitude(spark, qs):
         and (c, s) not in got
     ]
     assert not missed, missed[:5]
+
+
+def test_bpe_tokenize_fertility_reference(spark, qs):
+    """bpe_tokenize_fertility vs an independent pandas/python pipeline:
+    same top-4000 vocab, same deterministic trainer contract (max count,
+    lexicographic tiebreak), same lowest-rank-first application — the
+    per-lang fertility table must match EXACTLY."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    SF = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+    lang_words: Counter = Counter()
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        for w in re.split(r"[^a-z]+", str(text).lower()):
+            if w:
+                lang_words[(lang, w)] += 1
+    vocab: Counter = Counter()
+    for (_, w), c in lang_words.items():
+        vocab[w] += c
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:4000]
+
+    # independent trainer
+    wc = {tuple(w): c for w, c in top}
+    merges = []
+    for _ in range(32):
+        pc: Counter = Counter()
+        for sym, c in wc.items():
+            for pair in zip(sym, sym[1:]):
+                pc[pair] += c
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        nxt = {}
+        for sym, c in wc.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        wc = nxt
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def n_sub(word):
+        sym = list(word)
+        while len(sym) > 1:
+            cand = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(sym, sym[1:]))
+                if p in ranks
+            ]
+            if not cand:
+                break
+            _, _ = min(cand)
+            a, b = merges[min(cand)[0]]
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    sub = {w: n_sub(w) for w in {w for (_, w) in lang_words}}
+    expect = {}
+    for (lang, w), c in lang_words.items():
+        e = expect.setdefault(lang, [0, 0, 0])
+        e[0] += c
+        e[1] += c * len(w)
+        e[2] += c * sub[w]
+
+    got = {
+        r["lang"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in qs["bpe_tokenize_fertility"](spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    # fertility sanity: 1 <= subtokens <= word length for every word
+    assert all(1 <= sub[w] <= len(w) for w in sub)

@@ -45,6 +45,7 @@ BOUNDED_BUILD_JOBS = {
     "pq_ann_topk",
     "mahalanobis_outliers",
     "connected_components_stars",
+    "bpe_tokenize_fertility",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
