@@ -2266,3 +2266,104 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cogroup_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase behavioral context via the COGROUP surface — the one
+    pandas-API entry point the engine had not yet exercised:
+    ``groupBy(...).cogroup(other.groupBy(...)).applyInPandas`` hands each
+    user's purchases AND their other events to one Arrow-batched Python
+    function, which computes for every purchase (a) how many
+    non-purchase events the user produced in the preceding hour and
+    (b) seconds since the user's previous purchase.  The per-key
+    two-table merge is what cogroup exists for (feature backfills,
+    session stitching, label attachment).
+
+    Determinism: all arithmetic on exact epoch-microsecond int64s; the
+    boundary is mirrored exactly in the SQL oracle (strictly-before
+    ``o.ts < p.ts``, inclusive ``o.ts >= p.ts − 1h``); purchase order is
+    (ts, event_id) — unique.  Scale: ONE co-partitioned shuffle on
+    user_id; each task sees one user's two sorted frames (bounded by
+    per-user activity, the sessionization contract); numpy searchsorted
+    keeps the per-key merge O((n+m) log m), no per-row Python loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # the right side's column gets a DISTINCT name: both children derive
+    # from ONE scan, so their attributes share ids — Spark's cogroup
+    # dedup/pruning then renames the right-side duplicate and the Python
+    # function receives a frame WITHOUT the expected column (surfaced as
+    # every group seeing an empty other-side).  A unique name sidesteps
+    # the conflict entirely.
+    others = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("o_ts")
+    )
+
+    def context(key, p_pdf, o_pdf):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        if len(p_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "n_prior_events_1h": pd.Series(dtype="int64"),
+                    "secs_since_prev_purchase": pd.Series(dtype="float64"),
+                }
+            )
+        p = p_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # pin epoch-MICROsecond resolution explicitly — Arrow→pandas may
+        # hand back datetime64[ns] or [us] depending on pandas version
+        p_us = p["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        # a key absent from one side arrives as a COLUMN-LESS empty pdf
+        if "o_ts" in o_pdf.columns:
+            o_us = np.sort(
+                o_pdf["o_ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+        else:
+            o_us = np.empty(0, dtype="int64")
+        hour = 3_600_000_000
+        # count of other events with  p_ts - 1h <= o_ts < p_ts
+        hi = np.searchsorted(o_us, p_us, side="left")
+        lo = np.searchsorted(o_us, p_us - hour, side="left")
+        n_prior = (hi - lo).astype("int64")
+        prev_us = np.concatenate(([np.int64(-1)], p_us[:-1]))
+        secs = (p_us - prev_us) // 1_000_000
+        secs = secs.astype("float64")
+        secs[0] = np.nan  # first purchase has no predecessor
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "event_id": p["event_id"].astype("int64"),
+                "n_prior_events_1h": n_prior,
+                "secs_since_prev_purchase": secs,
+            }
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(others.groupBy("user_id"))
+        .applyInPandas(
+            context,
+            schema=(
+                "user_id long, event_id long, n_prior_events_1h long, "
+                "secs_since_prev_purchase double"
+            ),
+        )
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "n_prior_events_1h",
+        # DOUBLE, not bigint: the column is nullable, and the grading
+        # driver fetches oracles through pandas where nullable ints
+        # promote to float64 — an int64 Spark side would hash
+        # '182028' vs '182028.0' (invariant #3 hazard class)
+        (F.col("secs_since_prev_purchase") + F.lit(0.0)).alias(
+            "secs_since_prev_purchase"
+        ),
+    ).orderBy("user_id", "event_id")

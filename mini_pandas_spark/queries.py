@@ -6311,3 +6311,30 @@ register(
 # pins the merge loop against an independent reference implementation
 # and the fertility accounting against exact recounts.
 register("bpe_tokenize_fertility", text.bpe_tokenize_fertility, None)
+
+register(
+    "cogroup_purchase_context",
+    events.cogroup_purchase_context,
+    """
+    WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), o AS (
+        SELECT user_id, ts FROM events WHERE event_type != 'purchase'
+    ), ctx AS (
+        SELECT p.user_id, p.event_id,
+               (SELECT COUNT(*) FROM o
+                WHERE o.user_id = p.user_id
+                  AND o.ts < p.ts
+                  AND o.ts >= p.ts - INTERVAL 1 HOUR)
+                   AS n_prior_events_1h,
+               CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS DOUBLE)
+                   AS secs_since_prev_purchase
+        FROM p
+    )
+    SELECT user_id, event_id, n_prior_events_1h, secs_since_prev_purchase
+    FROM ctx ORDER BY user_id, event_id
+    """,
+)

@@ -57,6 +57,7 @@ EMPTY_OK_ZERO_ROWS = [
     "semantic_decontamination",
     "domain_mixture_weights",
     "bpe_tokenize_fertility",
+    "cogroup_purchase_context",
     "rfm_features",
     "snapshot_diff",
     "mad_anomaly_events",
