@@ -100,3 +100,15 @@ def test_global_rank_boundary_regimes(spark, desc, val_expr):
     assert sorted(got.select("val", "tie", "rk").collect()) == sorted(
         want.select("val", "tie", "rk").collect()
     ), desc
+
+
+def test_global_rank_more_partitions_than_rows(spark):
+    """num_parts far above the row count leaves most range partitions
+    EMPTY — prefix offsets must still line up over the sparse pid set."""
+    df = spark.range(17).selectExpr("id % 5 AS val", "id AS tie")
+    got = with_global_rank(df, ["val", "tie"], rank_col="rk", num_parts=64)
+    w = Window.orderBy("val", "tie")
+    want = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert sorted(got.select("val", "tie", "rk").collect()) == sorted(
+        want.select("val", "tie", "rk").collect()
+    )
