@@ -840,18 +840,21 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source near-duplicate FLOW matrix: project the exact 3-gram
-    Jaccard ≥ 0.8 pair set (the same pair set minhash_lsh_pairs is
-    pinned against) onto source pairs — which sources duplicate which
-    is the report that decides crawl-priority and dedup ordering.
+    """Cross-source near-duplicate FLOW matrix: project the 3-gram
+    Jaccard ≥ 0.8 pair set onto source pairs — which sources duplicate
+    which is the report that decides crawl-priority and dedup ordering.
 
-    Scale: reuses ngram_jaccard_pairs' reduced pair set (O(near-dups)
-    rows), then two broadcast-able joins to the skinny (doc_id, source)
-    projection and a |sources|²-bounded group-by.  Within-source
-    duplication appears on the diagonal (src_a == src_b).
+    Scale: consumes minhash_lsh_pairs — the banded-LSH scale path whose
+    pair set is pytest-pinned identical to the exact ngram_jaccard_pairs
+    baseline (test_minhash_lsh_equals_exact_jaccard), so the DuckDB
+    oracle (written against exact Jaccard) still holds while the lineage
+    contains no quadratic shingle self-join.  Then two broadcast-able
+    joins to the skinny (doc_id, source) projection and a
+    |sources|²-bounded group-by.  Within-source duplication appears on
+    the diagonal (src_a == src_b).
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     labeled = (

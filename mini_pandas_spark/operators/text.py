@@ -14,6 +14,8 @@ whole-stage codegen fuses them.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1481,85 +1483,132 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) volume and token mass — the stage manifest a curriculum
     training run consumes.
 
-    Scale (exact percent_rank WITHOUT a corpus-sized global window):
-    phase 1 reduces the corpus to one row per distinct length and runs
-    the prefix-count window over that tiny frame; each length group then
-    knows the percent_rank of its first and last member, so its stage is
-    decided by a broadcast join — EXCEPT the (at most two) groups that
-    straddle a 1/3 boundary, whose members get an exact within-group
-    row_number via a window PARTITIONED on n_chars (filtered to those
-    two lengths before the shuffle).  pr = (cum_before + idx - 1) /
-    (N - 1) reproduces percent_rank bit-for-bit (same integers, same
-    double division), so the DuckDB oracle is untouched.
+    Scale (exact percent_rank WITHOUT a corpus-sized global window, and
+    — round-5 rewrite — WITHOUT the two-branch corpus union the round-4
+    plan shipped): stage boundaries are ORDER STATISTICS, so compute the
+    two exact cut documents once with bounded driver control, then the
+    SHIPPED plan is one corpus scan with a pure (n_chars, doc_id)
+    comparison expression + the final group-by.
+
+      1. distinct-length histogram + prefix counts (Aggregate-reduced
+         window; localCheckpoint so the two driver lookups reuse it);
+      2. the cut RANKS k = min{g : (g-1)/(N-1) >= 1/3 (resp. 2/3)} are
+         computed on the driver with the same IEEE-754 double division
+         percent_rank uses — so the DuckDB oracle is untouched;
+      3. the ≤2 straddling length groups are found by a filter on the
+         tiny histogram (collect of ≤2 rows); the j-th-smallest doc_id
+         inside each — the cut document — comes from
+         `ranking.with_global_rank` over the corpus FILTERED to those
+         lengths (predicate pushed into the parquet scan);
+      4. a doc's stage is then just a lexicographic compare against the
+         two broadcast cut tuples: rank < k  ⇔  (n_chars, doc_id) <
+         (cut_len, cut_doc).
+
+    All collects are bounded driver control: one scalar (N), ≤2
+    histogram rows, ≤2 cut documents.
     """
     from pyspark.sql.window import Window
+
+    from .ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     d2 = d.select("lang", "n_chars", "doc_id")
 
-    # Phase 1: per-distinct-length counts + prefix counts (tiny frame).
+    # Distinct-length histogram + prefix counts (tiny, Aggregate-reduced
+    # frame; checkpointed so the N-collect and the cut-row lookup don't
+    # each rescan the corpus).
     lens = d2.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
     w_len = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    total = lens.agg(F.sum("cnt").alias("n_total"))
-    lens = lens.crossJoin(F.broadcast(total)).withColumn(
+    lens = lens.withColumn(
         "cum_before", F.coalesce(F.sum("cnt").over(w_len), F.lit(0))
-    )
+    ).localCheckpoint(eager=False)
 
-    def stage_of(pr):
-        return (
-            F.when(pr < 1.0 / 3, F.lit("1_easy"))
-            .when(pr < 2.0 / 3, F.lit("2_medium"))
-            .otherwise(F.lit("3_hard"))
+    n_total = int(lens.agg(F.sum("cnt")).collect()[0][0] or 0)
+    denom = max(n_total - 1, 1)
+
+    def cut_rank(frac: float) -> int:
+        """Smallest 1-based global rank g with percent_rank >= frac,
+        using the identical double division the engines evaluate; may
+        return n_total+1 (no row reaches the boundary)."""
+        g = min(max(int(frac * denom) + 1, 1), n_total + 1)
+        while g > 1 and (g - 2) / denom >= frac:
+            g -= 1
+        while g <= n_total and (g - 1) / denom < frac:
+            g += 1
+        return g
+
+    cuts = [k for k in (cut_rank(1.0 / 3), cut_rank(2.0 / 3)) if k <= n_total]
+    in_group = [
+        (F.col("cum_before") < k) & (F.col("cum_before") + F.col("cnt") >= k)
+        for k in cuts
+    ]
+    cut_rows = (
+        lens.where(reduce(lambda a, b: a | b, in_group)).collect()
+        if in_group
+        else []
+    )
+    grp = {int(r["n_chars"]): (int(r["cum_before"]), int(r["cnt"])) for r in cut_rows}
+
+    # Cut documents: j-th smallest doc_id within each straddling length
+    # group, via the distributed rank primitive over the length-filtered
+    # corpus (the IN-filter reaches the parquet scan).
+    cut_docs: list[tuple[int, int] | None] = []
+    if grp:
+        lengths = sorted(grp)
+        subset = d2.where(F.col("n_chars").isin(lengths)).select(
+            "n_chars", "doc_id"
+        )
+        ranked = with_global_rank(subset, ["n_chars", "doc_id"], rank_col="srk")
+        # subset-rank of cut k = (count of subset rows in smaller length
+        # groups) + within-group index j = k - cum_before(len).
+        targets = {}
+        for k in cuts:
+            L = next(c for c in lengths if grp[c][0] < k <= grp[c][0] + grp[c][1])
+            prec = sum(grp[c][1] for c in lengths if c < L)
+            targets[k] = prec + (k - grp[L][0])
+        found = {
+            int(r["srk"]): (int(r["n_chars"]), int(r["doc_id"]))
+            for r in ranked.where(
+                F.col("srk").isin(list(targets.values()))
+            ).collect()
+        }
+        cut_docs = [found[targets[k]] for k in cuts]
+
+    def before(i: int):
+        """rank < cuts[i]  ⇔  (n_chars, doc_id) < cut document i."""
+        if i >= len(cut_docs):
+            return F.lit(True)  # cut beyond the corpus: every row is below
+        length, doc = cut_docs[i]
+        return (F.col("n_chars") < F.lit(length)) | (
+            (F.col("n_chars") == F.lit(length)) & (F.col("doc_id") < F.lit(doc))
         )
 
-    denom = F.greatest(F.col("n_total") - 1, F.lit(1)).cast("double")
-    pr_first = F.col("cum_before").cast("double") / denom
-    pr_last = (F.col("cum_before") + F.col("cnt") - 1).cast("double") / denom
-    lens = lens.withColumn("stage_first", stage_of(pr_first)).withColumn(
-        "stage_last", stage_of(pr_last)
+    stage = (
+        F.when(before(0), F.lit("1_easy"))
+        .when(before(1), F.lit("2_medium"))
+        .otherwise(F.lit("3_hard"))
     )
-
-    # Uniform groups: stage decided per length, one broadcast join.
-    uniform = lens.where(F.col("stage_first") == F.col("stage_last")).select(
-        "n_chars", F.col("stage_first").alias("stage")
-    )
-    part_uniform = d2.join(F.broadcast(uniform), "n_chars").select(
-        "lang", "n_chars", "stage"
-    )
-
-    # Straddling groups (≤2 lengths): exact doc_id tiebreak inside the
-    # group — the broadcast join prunes the corpus BEFORE the window.
-    straddle = lens.where(F.col("stage_first") != F.col("stage_last")).select(
-        "n_chars", "cum_before", "n_total"
-    )
-    w_grp = Window.partitionBy("n_chars").orderBy("doc_id")
-    pr_exact = (
-        F.col("cum_before") + F.row_number().over(w_grp) - 1
-    ).cast("double") / F.greatest(F.col("n_total") - 1, F.lit(1)).cast("double")
-    part_straddle = (
-        d2.join(F.broadcast(straddle), "n_chars")
-        .select("lang", "n_chars", stage_of(pr_exact).alias("stage"))
-    )
-
-    ranked = part_uniform.unionByName(part_straddle)
-    total = total.select(F.col("n_total").cast("bigint").alias("n_total"))
     return (
-        ranked.groupBy("stage", "lang")
+        d2.groupBy(stage.alias("stage"), "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             (F.round(F.avg(F.col("n_chars").cast("double")), 2) + F.lit(0.0)).alias("mean_chars"),
         )
-        .crossJoin(F.broadcast(total))
         .select(
             "stage",
             "lang",
             "n_docs",
             "total_chars",
             "mean_chars",
-            (F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6) + F.lit(0.0)).alias("corpus_share"),
+            (
+                F.round(
+                    F.col("n_docs").cast("double") / F.lit(float(max(n_total, 1))), 6
+                )
+                + F.lit(0.0)
+            ).alias("corpus_share"),
         )
         .orderBy("stage", "lang")
     )

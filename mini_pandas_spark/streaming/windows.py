@@ -219,7 +219,7 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gated: the state API v2 Python protocol needs ``protobuf``, which this
     container does not ship (and installs are off-limits; re-probed each
-    round — still absent in rounds 1, 2, 3, and 4 / 2026-08-15) — raises
+    round — still absent in rounds 1-5, last re-probed 2026-08-15 r5) — raises
     NotImplementedError there, so it is NOT in the driver registry;
     streaming_user_totals (applyInPandasWithState) carries the
     oracle-gated stateful-streaming surface.  On a protobuf-equipped

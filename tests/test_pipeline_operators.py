@@ -1042,3 +1042,31 @@ def test_bpe_tokenize_fertility_reference(spark, qs):
     assert got == {k: tuple(v) for k, v in expect.items()}
     # fertility sanity: 1 <= subtokens <= word length for every word
     assert all(1 <= sub[w] <= len(w) for w in sub)
+
+
+def test_extract_patch_features_checksums(spark, qs):
+    """Per-chunk byte checksums pinned against a bytes-level local
+    reference: the payload is the UTF-8 text bytes, so every 256-byte
+    chunk's (length, sum%65536) is recomputable in pure Python — the
+    twin of test_video_frame_sample_stride for the 1->N patch path."""
+    import collections
+
+    from mini_pandas_spark.sources import load_table
+
+    texts = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    got = collections.defaultdict(list)
+    for r in qs["extract_patch_features"](spark, SF).collect():
+        got[r["doc_id"]].append(r)
+    assert set(got) == set(texts)
+    CHUNK = 256
+    for doc_id, rows in got.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        data = texts[doc_id]
+        expect = [
+            (k // CHUNK, len(data[k : k + CHUNK]), sum(data[k : k + CHUNK]) % 65536)
+            for k in range(0, max(len(data), 1), CHUNK)
+        ]
+        assert [(r["chunk_idx"], r["chunk_bytes"], r["checksum"]) for r in rows] == expect
