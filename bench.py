@@ -119,6 +119,15 @@ HEADLINE = [
     "neardup_flow_matrix",
     "semantic_decontamination",
     "join_cardinality_estimate",
+    # round-5 new operators
+    "dsir_importance_weights",
+    "incremental_neardup_lsh",
+    "striped_shard_plan",
+    "multimodal_token_bill",
+    "loss_mask_plan",
+    "perplexity_band_filter",
+    "gate_ablation_report",
+    "split_embedding_drift",
 ]
 
 

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import token_count
 from ..sources import load_table
 
 META_SCHEMA = (
@@ -461,4 +462,55 @@ def phash_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 5)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def multimodal_token_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text sequence budgeting: for every document,
+    price its text tokens (whitespace tokenizer) plus the vision-encoder
+    tokens its binary payload would occupy — one 16-token patch
+    embedding per 256-byte chunk, the same chunk grid
+    `extract_patch_features` emits — and roll the bill up per source.
+    This is the context-window accounting a multimodal training run does
+    before packing interleaved sequences.
+
+    Scale: payload size is `octet_length` (JVM expression — the bytes
+    are never shipped to Python), the chunk count is integer arithmetic,
+    and the only shuffle is the |sources|-row rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.col("text"))
+    n_patches = F.floor(
+        (F.greatest(n_bytes, F.lit(1)) + 255) / 256
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        token_count(F.col("text")).alias("text_tok"),
+        (n_patches * 16).alias("image_tok"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_tok").cast("bigint").alias("text_tokens"),
+            F.sum("image_tok").cast("bigint").alias("image_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "text_tokens",
+            "image_tokens",
+            (F.col("text_tokens") + F.col("image_tokens")).alias("total_tokens"),
+            (
+                F.round(
+                    F.col("image_tokens").cast("double")
+                    / F.greatest(
+                        F.col("text_tokens") + F.col("image_tokens"), F.lit(1)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("image_share"),
+        )
+        .orderBy("source")
     )

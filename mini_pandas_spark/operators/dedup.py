@@ -409,6 +409,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: a recursive CTE computing the same transitive closure.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _cc_min_labels(pairs)
+
+
+def _cc_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label-propagation connected components over an undirected pair
+    graph → (doc_id, cluster_id = component min doc_id).  Only documents
+    appearing in a pair get a row; callers treat absent docs as
+    singletons.  Shared by dedup_clusters (exact pair graph) and
+    neardup_survivors_quality (LSH pair graph)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -443,6 +452,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+def neardup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-duplicate survivorship: cluster the near-dup
+    pair graph (connected components), keep ONE document per cluster —
+    the longest member, min doc_id tiebreak (the "keep the richest copy"
+    rule real curation pipelines apply; swap the sort key for a model
+    quality score) — and report per source how many documents/characters
+    the dedup pass drops.  Documents in no near-dup pair are their own
+    singleton cluster and always survive.
+
+    Scale: pairs come from the banded MinHash path (pytest-pinned
+    identical to the exact pair set, so the exact-graph recursive-CTE
+    oracle holds); components converge in O(diameter) bounded rounds;
+    survivor election is a row_number window PARTITIONED by cluster —
+    the largest window group is one near-dup cluster, never the corpus.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    lab = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = lab.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.select(
+        "source", "n_chars", (F.col("rn") == 1).alias("kept")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(~F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "dropped_chars",
+            (
+                F.round(
+                    (F.col("n_docs") - F.col("n_kept")).cast("double")
+                    / F.col("n_docs"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
 
 
 def blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,4 +939,72 @@ def neardup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("src_a", "src_b")
+    )
+
+
+def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental NEAR-duplicate detection: treat the ~20%
+    of documents whose split hash lands in the val/test band (the
+    train_split_assign recipe) as a NEWLY ARRIVED batch and find every
+    new document that is a word-3-gram Jaccard >= 0.8 near-duplicate of
+    an EXISTING-corpus document — the production shape of dedup at
+    100 TB, where each crawl increment is checked against the standing
+    index instead of re-pairing the whole corpus (the companion of the
+    exact-key `incremental_dedup`).
+
+    Scale: both sides share ONE MinHash sketch pass (the checkpointed
+    `_minhash_sketch_table`); the batch/corpus split is a pure doc_id
+    hash expression, so candidate generation is the banded equi-join of
+    the (tiny) new-batch band table against the corpus band table —
+    at a real 100 TB increment the new side broadcasts.  Verification
+    touches only candidate pairs via the per-doc hash sets.
+
+    Oracle: exact cross-set 3-gram Jaccard in DuckDB — valid because the
+    banded-LSH pair set is pytest-pinned identical to the exact pair set
+    on this corpus (test_minhash_lsh_equals_exact_jaccard), and the
+    batch/corpus pairs are a subset of those pairs.
+    """
+    per_doc = _minhash_sketch_table(spark, sf_dir)
+    bands = _minhash_bands(per_doc)
+
+    def is_new(col):
+        # train_split_assign's multiplicative hash; >= 8 -> val/test band.
+        return ((col % 2147483647) * 2654435761) % 2147483647 % 10 >= 8
+
+    new_b = bands.where(is_new(F.col("doc_id")))
+    old_b = bands.where(~is_new(F.col("doc_id")))
+    cand = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old")
+        )
+        .distinct()
+    )
+    sets = per_doc.select("doc_id", "hashes", "sz")
+    inter = F.size(F.array_intersect(F.col("hn"), F.col("ho"))).cast("long")
+    jac = inter / (F.col("sz_n") + F.col("sz_o") - inter)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_new"),
+                F.col("hashes").alias("hn"),
+                F.col("sz").alias("sz_n"),
+            ),
+            "doc_new",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_old"),
+                F.col("hashes").alias("ho"),
+                F.col("sz").alias("sz_o"),
+            ),
+            "doc_old",
+        )
+        .filter(jac >= 0.8)
+        .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard"))
     )

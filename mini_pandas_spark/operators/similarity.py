@@ -1560,3 +1560,58 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_sim") + F.lit(0.0)).alias("max_held_sim"),
         (F.col("max_sim") >= SEMDECON_TAU).alias("is_contaminated"),
     ).orderBy("vec_id")
+
+
+def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-shift check between hash splits: assign every embedding
+    to train/val with the deterministic multiplicative-hash recipe
+    (train_split_assign's), compute each label's per-split centroid, and
+    report the L2 distance between the two centroids — large drift on a
+    label means the split is not exchangeable there (leakage or skew),
+    the pre-flight eval-integrity check before trusting validation loss.
+
+    Determinism: per-dimension sums run through DECIMAL (the
+    embedding_dim_stats recipe) so addition order can't show; the 64
+    squared-differences are 12-dp-quantized to DECIMAL before the final
+    sum so the across-dim accumulation is exact too.
+
+    Scale: one posexplode pass → (label, dim)-keyed partial-aggregated
+    moments (|labels|·|dims| groups); everything after is arithmetic on
+    a 640-row frame.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    is_train = (
+        (F.col("vec_id") % 2147483647) * 2654435761
+    ) % 2147483647 % 10 < 8
+    exploded = e.select(
+        "label",
+        is_train.alias("train"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select("label", "train", "dim", F.col("val").cast("double").alias("v"))
+    dec = lambda c: c.cast("decimal(28,10)")
+    agg = exploded.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("train"), dec(F.col("v")))).alias("s_t"),
+        F.sum(F.when(~F.col("train"), dec(F.col("v")))).alias("s_v"),
+        F.sum(F.col("train").cast("long")).alias("n_t"),
+        F.sum((~F.col("train")).cast("long")).alias("n_v"),
+    )
+    diff = F.col("s_t").cast("double") / F.col("n_t") - F.col(
+        "s_v"
+    ).cast("double") / F.col("n_v")
+    per_dim = agg.select(
+        "label",
+        "n_t",
+        "n_v",
+        F.round(diff * diff, 12).cast("decimal(28,12)").alias("d2"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.min("n_t").cast("bigint").alias("n_train"),
+            F.min("n_v").cast("bigint").alias("n_val"),
+            (
+                F.round(F.sqrt(F.sum("d2").cast("double")), 6) + F.lit(0.0)
+            ).alias("centroid_drift"),
+        )
+        .orderBy("label")
+    )

@@ -2746,3 +2746,301 @@ def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023): score every document by the mean hashed-unigram
+    log-likelihood ratio between a TARGET distribution (here the English
+    slice, standing in for "looks like the eval domain") and the RAW
+    corpus distribution — the standard cheap proxy for "train on data
+    that resembles the target" at pre-training scale.
+
+    Features are unigrams hashed into 256 buckets (md5-prefix integer,
+    the repo's cross-engine hash recipe), with add-1 smoothing on both
+    distributions.  Per-bucket weights are quantized to DECIMAL(18,9)
+    BEFORE the per-doc sum so document scores are exact integers in
+    1e-9 units — no float-addition-order drift between engines.
+
+    Scale (two slim corpus passes, exactly DSIR's fit/score split):
+    pass 1 reduces token occurrences to the 256-bucket target/raw
+    histogram (map-side combined); the 256-row weight table broadcasts;
+    pass 2 re-derives per-doc bucket counts and sums cnt x weight per
+    doc.  No vocabulary-sized join, no corpus-sized shuffle beyond the
+    (doc, word)-count reduction each pass already needs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    occ = (
+        d.select(
+            "doc_id", "source", "lang", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("long") % 256,
+        )
+    )
+    bstats = occ.groupBy("bucket").agg(
+        F.sum("cnt").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("t_b"),
+    )
+    tot = bstats.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    wtab = (
+        bstats.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("t_b") + 1.0) / (F.col("t_tot") + 256.0))
+                - F.log((F.col("r_b") + 1.0) / (F.col("r_tot") + 256.0)),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("w_b"),
+        )
+    )
+    docs = (
+        occ.join(F.broadcast(wtab), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(7,0)") * F.col("w_b")).alias("imp"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum("imp").cast("double") / F.sum("n_tok"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_logratio_per_token"),
+            F.sum(F.when(F.col("imp") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
+def loss_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning loss-mask bill: designate each document's
+    "prompt" as its first ceil(n_tok/4) tokens capped at 64 (the
+    fixed-budget heuristic an SFT pipeline falls back to when the corpus
+    carries no structural prompt/response delimiter — this one has no
+    punctuation at all), and report per language how many tokens are
+    masked out of the loss versus trained on — the token-accounting step
+    before an SFT run (prompt tokens cost compute but contribute no
+    gradient signal).
+
+    Scale: pure integer/double-exact Catalyst expressions in one corpus
+    scan + a |langs|-row rollup; no UDF, no shuffle beyond the group-by.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    mask = F.least(
+        F.lit(64).cast("long"),
+        F.floor((n_tok + 3) / 4).cast("long"),
+    )
+    per_doc = d.select(
+        "lang",
+        mask.alias("mask_tok"),
+        (n_tok - mask).alias("train_tok"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("mask_tok").cast("bigint").alias("mask_tokens"),
+            F.sum("train_tok").cast("bigint").alias("train_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "mask_tokens",
+            "train_tokens",
+            (
+                F.round(
+                    F.col("mask_tokens").cast("double")
+                    / F.greatest(
+                        F.col("mask_tokens") + F.col("train_tokens"), F.lit(1)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mask_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def striped_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment: rank documents by token
+    count (descending, doc_id tiebreak) and stripe them round-robin
+    across 8 shards — the classic rank-modulo approximation of LPT
+    longest-processing-time balancing, which bounds shard skew by one
+    max-document per stripe without any sequential greedy state.
+
+    Scale: the global rank comes from `ranking.with_global_rank` (range
+    repartition + per-partition row_number + broadcast offsets — no
+    single-task window); the modulo and the 8-row rollup are pure
+    expressions.  The output reports per-shard doc/token totals and each
+    shard's token share so the imbalance is auditable.
+    """
+    from .ranking import with_global_rank
+
+    SHARDS = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    ranked = with_global_rank(
+        d.withColumn("neg_tok", -F.col("n_tok")),
+        ["neg_tok", "doc_id"],
+        rank_col="rk",
+    )
+    assigned = ranked.select(
+        ((F.col("rk") - 1) % SHARDS).cast("int").alias("shard"), "n_tok"
+    )
+    shard_tot = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+    )
+    total = shard_tot.agg(F.sum("shard_tokens").alias("all_tokens"))
+    return (
+        shard_tot.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            (
+                F.round(
+                    F.col("shard_tokens").cast("double")
+                    / F.greatest(F.col("all_tokens"), F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("token_share"),
+        )
+        .orderBy("shard")
+    )
+
+
+def perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band pruning (the SoftDeDup / quality-window heuristic):
+    score every document with the corpus-unigram LM
+    (:func:`unigram_logprob_docs`), compute each source's p10/p90
+    log-prob band, and keep only documents INSIDE their source's band —
+    dropping both tails (too-predictable boilerplate AND too-random
+    noise), the standard cheap stand-in for reference-LM perplexity
+    filtering.
+
+    Determinism: per-doc scores are 6-dp-rounded BEFORE the percentile,
+    so both engines interpolate over identical doubles (Spark
+    `percentile` == DuckDB `quantile_cont`).
+
+    Scale: scoring is the unigram pipeline's two partial-agg shuffles;
+    the band table is |sources| rows (broadcast); the filter + rollup is
+    one more pass over the scored frame.
+    """
+    scored = unigram_logprob_docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = scored.join(d, "doc_id")
+    bands = s.groupBy("source").agg(
+        F.percentile("avg_logprob", F.lit(0.1)).alias("p10"),
+        F.percentile("avg_logprob", F.lit(0.9)).alias("p90"),
+    )
+    joined = s.join(F.broadcast(bands), "source")
+    kept = (F.col("avg_logprob") >= F.col("p10")) & (
+        F.col("avg_logprob") <= F.col("p90")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+            (F.round(F.min("p10"), 6) + F.lit(0.0)).alias("band_lo"),
+            (F.round(F.min("p90"), 6) + F.lit(0.0)).alias("band_hi"),
+        )
+        .orderBy("source")
+    )
+
+
+def gate_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out ablation of the cleaning funnel's quality gates: for
+    each gate (language, token-length bounds, chars-per-token ratio),
+    how many documents/tokens that gate rejects ON ITS OWN, and how many
+    tokens the full stack would additionally keep if the gate were
+    REMOVED (its marginal cost) — the report that tells a curation owner
+    which filter is actually doing the cutting (same gates as
+    :func:`cleaning_funnel`).
+
+    Scale: every gate and every leave-one-out combination is a boolean
+    column over ONE corpus scan fused by codegen; the aggregation
+    reduces to a single row, which then unpivots to |gates| rows via a
+    stack expression — no per-gate rescans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_chars = F.length("text").cast("long")
+    g_lang = F.col("lang") == "en"
+    g_len = (n_tok >= 10) & (n_tok <= 500)
+    g_ratio = n_chars.cast("double") / n_tok <= 8.0
+    full = g_lang & g_len & g_ratio
+    per_doc = d.select(
+        n_tok.alias("n_tok"),
+        g_lang.alias("gl"),
+        g_len.alias("gn"),
+        g_ratio.alias("gr"),
+        full.alias("keep_all"),
+        (g_len & g_ratio).alias("loo_lang"),
+        (g_lang & g_ratio).alias("loo_len"),
+        (g_lang & g_len).alias("loo_ratio"),
+    )
+
+    def fail_docs(g):
+        return F.sum((~F.col(g)).cast("long")).cast("bigint")
+
+    def fail_tokens(g):
+        return F.sum(F.when(~F.col(g), F.col("n_tok")).otherwise(0)).cast("bigint")
+
+    def kept_tokens(g):
+        return F.sum(F.when(F.col(g), F.col("n_tok")).otherwise(0)).cast("bigint")
+
+    one = per_doc.agg(
+        fail_docs("gl").alias("fd_lang"),
+        fail_docs("gn").alias("fd_len"),
+        fail_docs("gr").alias("fd_ratio"),
+        fail_tokens("gl").alias("ft_lang"),
+        fail_tokens("gn").alias("ft_len"),
+        fail_tokens("gr").alias("ft_ratio"),
+        kept_tokens("keep_all").alias("kt_all"),
+        kept_tokens("loo_lang").alias("kt_loo_lang"),
+        kept_tokens("loo_len").alias("kt_loo_len"),
+        kept_tokens("loo_ratio").alias("kt_loo_ratio"),
+    )
+    return one.selectExpr(
+        """stack(3,
+            'lang',  fd_lang,  ft_lang,  kt_all, kt_loo_lang,
+            'len',   fd_len,   ft_len,   kt_all, kt_loo_len,
+            'ratio', fd_ratio, ft_ratio, kt_all, kt_loo_ratio
+        ) AS (gate, docs_failing_alone, tokens_failing_alone,
+              full_stack_kept_tokens, loo_kept_tokens)"""
+    ).selectExpr(
+        "gate",
+        "docs_failing_alone",
+        "tokens_failing_alone",
+        "full_stack_kept_tokens",
+        "loo_kept_tokens",
+        "loo_kept_tokens - full_stack_kept_tokens AS marginal_tokens",
+    ).orderBy("gate")

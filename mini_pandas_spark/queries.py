@@ -6338,3 +6338,337 @@ register(
     FROM ctx ORDER BY user_id, event_id
     """,
 )
+
+
+register(
+    "dsir_importance_weights",
+    text.dsir_importance_weights,
+    r"""
+    WITH occ AS (
+        SELECT doc_id, source, lang, w, COUNT(*) AS cnt FROM (
+            SELECT doc_id, source, lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents
+        ) GROUP BY 1, 2, 3, 4
+    ), occb AS (
+        SELECT doc_id, source, lang, cnt,
+               CAST(CONCAT('0x', substr(md5(w), 1, 7)) AS BIGINT) % 256
+                   AS bucket
+        FROM occ
+    ), bstats AS (
+        SELECT bucket, SUM(cnt) AS r_b,
+               SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_b
+        FROM occb GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM bstats
+    ), wtab AS (
+        SELECT bucket,
+               CAST(round(ln((t_b + 1.0) / (t_tot + 256.0))
+                        - ln((r_b + 1.0) / (r_tot + 256.0)), 9)
+                    AS DECIMAL(18,9)) AS w_b
+        FROM bstats CROSS JOIN tot
+    ), docs AS (
+        SELECT doc_id, source,
+               SUM(CAST(cnt AS DECIMAL(7,0)) * w_b) AS imp,
+               SUM(cnt) AS n_tok
+        FROM occb JOIN wtab USING (bucket) GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(imp) AS DOUBLE) / SUM(n_tok), 6) + 0.0
+               AS mean_logratio_per_token,
+           CAST(SUM(CASE WHEN imp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target_like
+    FROM docs GROUP BY source ORDER BY source
+    """,
+)
+
+register(
+    "loss_mask_plan",
+    text.loss_mask_plan,
+    r"""
+    WITH toks AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ), counted AS (
+        SELECT lang,
+               LEAST(64, CAST(FLOOR((n_tok + 3) / 4.0) AS BIGINT))
+                   AS mask_tok,
+               n_tok - LEAST(64, CAST(FLOOR((n_tok + 3) / 4.0) AS BIGINT))
+                   AS train_tok
+        FROM toks
+    ), rolled AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(mask_tok) AS BIGINT) AS mask_tokens,
+               CAST(SUM(train_tok) AS BIGINT) AS train_tokens
+        FROM counted GROUP BY lang
+    )
+    SELECT lang, n_docs, mask_tokens, train_tokens,
+           round(CAST(mask_tokens AS DOUBLE)
+                 / GREATEST(mask_tokens + train_tokens, 1), 6) + 0.0
+               AS mask_ratio
+    FROM rolled ORDER BY lang
+    """,
+)
+
+register(
+    "striped_shard_plan",
+    text.striped_shard_plan,
+    rf"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKENS}) AS n_tok FROM documents
+    ), r AS (
+        SELECT n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        FROM t
+    ), shards AS (
+        SELECT CAST((rk - 1) % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+        FROM r GROUP BY 1
+    ), tot AS (SELECT SUM(shard_tokens) AS all_tokens FROM shards)
+    SELECT shard, n_docs, shard_tokens,
+           round(CAST(shard_tokens AS DOUBLE)
+                 / GREATEST(all_tokens, 1), 6) + 0.0 AS token_share
+    FROM shards CROSS JOIN tot ORDER BY shard
+    """,
+)
+
+register(
+    "incremental_neardup_lsh",
+    dedup.incremental_neardup_lsh,
+    # Exact cross-set 3-gram Jaccard: valid as an oracle because the
+    # banded-LSH pair set is pytest-pinned identical to the exact pair
+    # set on this corpus (test_minhash_lsh_equals_exact_jaccard) and the
+    # new-vs-old pairs are a subset of it.
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), flags AS (
+        SELECT doc_id,
+               ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 >= 8
+                   AS is_new
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS inter
+        FROM sh a
+        JOIN flags fa ON a.doc_id = fa.doc_id AND fa.is_new
+        JOIN sh b ON a.shingle = b.shingle
+        JOIN flags fb ON b.doc_id = fb.doc_id AND NOT fb.is_new
+        GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_old,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_new = sa.doc_id
+    JOIN sizes sb ON doc_old = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+)
+
+register(
+    "multimodal_token_bill",
+    _binary.multimodal_token_bill,
+    r"""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS text_tok,
+               CAST(FLOOR((GREATEST(strlen(text), 1) + 255) / 256.0)
+                    AS BIGINT) * 16 AS image_tok
+        FROM documents
+    ), rolled AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(text_tok) AS BIGINT) AS text_tokens,
+               CAST(SUM(image_tok) AS BIGINT) AS image_tokens
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, text_tokens, image_tokens,
+           text_tokens + image_tokens AS total_tokens,
+           round(CAST(image_tokens AS DOUBLE)
+                 / GREATEST(text_tokens + image_tokens, 1), 6) + 0.0
+               AS image_share
+    FROM rolled ORDER BY source
+    """,
+)
+
+
+register(
+    "neardup_survivors_quality",
+    dedup.neardup_survivors_quality,
+    # Exact-pair-graph transitive closure (the LSH pair set is pinned
+    # identical) + longest-member survivorship.
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    , p AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL
+        SELECT doc_b, doc_a FROM p
+    ), reach AS (
+        SELECT a AS doc, a AS lbl FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+    ), labels AS (
+        SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+    ), docs AS (
+        SELECT d.source, d.n_chars,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.doc_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    ), ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM docs
+    ), rolled AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS dropped_chars
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+           dropped_chars,
+           round(CAST(n_docs - n_kept AS DOUBLE) / n_docs, 6) + 0.0
+               AS drop_rate
+    FROM rolled ORDER BY source
+    """,
+)
+
+register(
+    "perplexity_band_filter",
+    text.perplexity_band_filter,
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), tc AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM toks
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf.tf * ln(tc.cnt / tot.total)) / SUM(tf.tf), 6)
+                   + 0.0 AS avg_logprob
+        FROM tf JOIN tc USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    ), s AS (
+        SELECT scored.*, d.source FROM scored
+        JOIN documents d USING (doc_id)
+    ), bands AS (
+        SELECT source, quantile_cont(avg_logprob, 0.1) AS p10,
+               quantile_cont(avg_logprob, 0.9) AS p90
+        FROM s GROUP BY source
+    )
+    SELECT s.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN avg_logprob BETWEEN p10 AND p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN avg_logprob BETWEEN p10 AND p90
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(CASE WHEN avg_logprob NOT BETWEEN p10 AND p90
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS dropped_tokens,
+           round(MIN(p10), 6) + 0.0 AS band_lo,
+           round(MIN(p90), 6) + 0.0 AS band_hi
+    FROM s JOIN bands USING (source)
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+
+register(
+    "gate_ablation_report",
+    text.gate_ablation_report,
+    r"""
+    WITH per_doc AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               lang = 'en' AS gl,
+               len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 500
+                   AS gn,
+               CAST(length(text) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+')) <= 8.0
+                   AS gr
+        FROM documents
+    ), one AS (
+        SELECT
+            CAST(SUM(CASE WHEN NOT gl THEN 1 ELSE 0 END) AS BIGINT) AS fd_lang,
+            CAST(SUM(CASE WHEN NOT gn THEN 1 ELSE 0 END) AS BIGINT) AS fd_len,
+            CAST(SUM(CASE WHEN NOT gr THEN 1 ELSE 0 END) AS BIGINT) AS fd_ratio,
+            CAST(SUM(CASE WHEN NOT gl THEN n_tok ELSE 0 END) AS BIGINT) AS ft_lang,
+            CAST(SUM(CASE WHEN NOT gn THEN n_tok ELSE 0 END) AS BIGINT) AS ft_len,
+            CAST(SUM(CASE WHEN NOT gr THEN n_tok ELSE 0 END) AS BIGINT) AS ft_ratio,
+            CAST(SUM(CASE WHEN gl AND gn AND gr THEN n_tok ELSE 0 END) AS BIGINT)
+                AS kt_all,
+            CAST(SUM(CASE WHEN gn AND gr THEN n_tok ELSE 0 END) AS BIGINT)
+                AS kt_loo_lang,
+            CAST(SUM(CASE WHEN gl AND gr THEN n_tok ELSE 0 END) AS BIGINT)
+                AS kt_loo_len,
+            CAST(SUM(CASE WHEN gl AND gn THEN n_tok ELSE 0 END) AS BIGINT)
+                AS kt_loo_ratio
+        FROM per_doc
+    )
+    SELECT 'lang' AS gate, fd_lang AS docs_failing_alone,
+           ft_lang AS tokens_failing_alone, kt_all AS full_stack_kept_tokens,
+           kt_loo_lang AS loo_kept_tokens,
+           kt_loo_lang - kt_all AS marginal_tokens FROM one
+    UNION ALL
+    SELECT 'len', fd_len, ft_len, kt_all, kt_loo_len,
+           kt_loo_len - kt_all FROM one
+    UNION ALL
+    SELECT 'ratio', fd_ratio, ft_ratio, kt_all, kt_loo_ratio,
+           kt_loo_ratio - kt_all FROM one
+    ORDER BY gate
+    """,
+)
+
+register(
+    "split_embedding_drift",
+    similarity.split_embedding_drift,
+    """
+    WITH exploded AS (
+        SELECT label,
+               ((vec_id % 2147483647) * 2654435761) % 2147483647 % 10 < 8
+                   AS train,
+               CAST(t.ord - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(t.ord AS INT)] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS ord) t
+    ), agg AS (
+        SELECT label, dim,
+               SUM(CASE WHEN train THEN CAST(v AS DECIMAL(28,10)) END) AS s_t,
+               SUM(CASE WHEN NOT train THEN CAST(v AS DECIMAL(28,10)) END)
+                   AS s_v,
+               SUM(CASE WHEN train THEN 1 ELSE 0 END) AS n_t,
+               SUM(CASE WHEN NOT train THEN 1 ELSE 0 END) AS n_v
+        FROM exploded GROUP BY label, dim
+    ), per_dim AS (
+        SELECT label, n_t, n_v,
+               CAST(round((CAST(s_t AS DOUBLE) / n_t
+                           - CAST(s_v AS DOUBLE) / n_v)
+                          * (CAST(s_t AS DOUBLE) / n_t
+                             - CAST(s_v AS DOUBLE) / n_v), 12)
+                    AS DECIMAL(28,12)) AS d2
+        FROM agg
+    )
+    SELECT label, CAST(MIN(n_t) AS BIGINT) AS n_train,
+           CAST(MIN(n_v) AS BIGINT) AS n_val,
+           round(sqrt(CAST(SUM(d2) AS DOUBLE)), 6) + 0.0 AS centroid_drift
+    FROM per_dim GROUP BY label ORDER BY label
+    """,
+)

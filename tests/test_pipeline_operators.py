@@ -1070,3 +1070,179 @@ def test_extract_patch_features_checksums(spark, qs):
             for k in range(0, max(len(data), 1), CHUNK)
         ]
         assert [(r["chunk_idx"], r["chunk_bytes"], r["checksum"]) for r in rows] == expect
+
+
+def test_striped_shard_plan_balance_bound(spark, qs):
+    """Round-robin striping over the descending token order keeps doc
+    counts within 1 and bounds the token imbalance by the LARGEST single
+    document (the telescoping stripe argument: shard k's stripe-r doc is
+    >= shard 0's stripe-(r+1) doc)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.functions import token_count
+    from mini_pandas_spark.sources import load_table
+
+    rows = qs["striped_shard_plan"](spark, SF).collect()
+    assert len(rows) == 8
+    n_docs = [r["n_docs"] for r in rows]
+    assert max(n_docs) - min(n_docs) <= 1
+    toks = [r["shard_tokens"] for r in rows]
+    max_doc = (
+        load_table(spark, SF, "documents")
+        .agg(F.max(token_count(F.col("text"))))
+        .collect()[0][0]
+    )
+    assert max(toks) - min(toks) <= max_doc
+
+
+def test_incremental_neardup_is_the_cross_split_slice_of_lsh_pairs(spark, qs):
+    """The incremental pair set must be exactly the new-vs-old slice of
+    the full corpus near-dup pair set (same threshold, same sketch)."""
+    def is_new(doc_id):
+        return ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10 >= 8
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in qs["minhash_lsh_pairs"](spark, SF).collect()
+    }
+    cross_expected = {}
+    for (a, b), j in full.items():
+        if is_new(a) != is_new(b):
+            new, old = (a, b) if is_new(a) else (b, a)
+            cross_expected[(new, old)] = j
+    got = {
+        (r["doc_new"], r["doc_old"]): r["jaccard"]
+        for r in qs["incremental_neardup_lsh"](spark, SF).collect()
+    }
+    assert got == cross_expected
+    assert len(got) > 0  # the fixture's planted dups straddle the split
+
+
+def test_dsir_weights_token_accounting(spark, qs):
+    """DSIR per-source token totals must equal the corpus's exact token
+    counts, and target-like flags stay within doc counts."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.functions import token_count
+    from mini_pandas_spark.sources import load_table
+
+    exact = {
+        r["source"]: (r["n"], r["t"])
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count(F.col("text"))).alias("t"),
+        )
+        .collect()
+    }
+    rows = qs["dsir_importance_weights"](spark, SF).collect()
+    assert {r["source"] for r in rows} == set(exact)
+    for r in rows:
+        n, t = exact[r["source"]]
+        assert r["n_docs"] == n
+        assert r["n_tokens"] == t
+        assert 0 <= r["n_target_like"] <= n
+
+
+def test_multimodal_token_bill_matches_patch_grid(spark, qs):
+    """image_tokens must be exactly 16x the chunk counts the patch
+    extractor emits (same 256-byte grid)."""
+    import collections
+
+    chunks = collections.Counter()
+    for r in qs["extract_patch_features"](spark, SF).collect():
+        chunks[r["doc_id"]] += 1
+    src = {
+        r["doc_id"]: r["source"]
+        for r in qs["multimodal_meta"](spark, SF)
+        .sparkSession.read.parquet(SF + "/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    per_source = collections.Counter()
+    for doc_id, n in chunks.items():
+        per_source[src[doc_id]] += n * 16
+    got = {r["source"]: r["image_tokens"] for r in qs["multimodal_token_bill"](spark, SF).collect()}
+    assert got == dict(per_source)
+
+
+def test_loss_mask_plan_sanity(spark, qs):
+    """Every language masks some prompt tokens and trains on some
+    response tokens; the ratio is a proper fraction."""
+    rows = qs["loss_mask_plan"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mask_tokens"] > 0
+        assert r["train_tokens"] > 0
+        assert 0.0 < r["mask_ratio"] < 1.0
+        assert r["n_docs"] > 0
+
+
+def test_neardup_survivors_accounting(spark, qs):
+    """Survivorship arithmetic: kept + dropped == docs per source;
+    singletons always survive (total drops == near-dup cluster excess);
+    the number of dropped docs equals docs-in-clusters minus clusters."""
+    import collections
+
+    rows = qs["neardup_survivors_quality"](spark, SF).collect()
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+    pairs = qs["minhash_lsh_pairs"](spark, SF).collect()
+    adj = collections.defaultdict(set)
+    for p in pairs:
+        adj[p["doc_a"]].add(p["doc_b"])
+        adj[p["doc_b"]].add(p["doc_a"])
+    seen, n_clusters, n_members = set(), 0, 0
+    for start in adj:
+        if start in seen:
+            continue
+        n_clusters += 1
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            n_members += 1
+            stack.extend(adj[x] - seen)
+    assert sum(r["n_dropped"] for r in rows) == n_members - n_clusters
+
+
+def test_perplexity_band_keeps_inner_80pct(spark, qs):
+    """The p10/p90 band keeps roughly the inner 80% of each source's
+    documents (exact count depends on interpolated thresholds), and
+    every kept+dropped token reconciles with the corpus totals."""
+    rows = qs["perplexity_band_filter"](spark, SF).collect()
+    for r in rows:
+        assert 0.6 * r["n_docs"] <= r["n_kept"] <= 0.95 * r["n_docs"]
+        assert r["band_lo"] <= r["band_hi"]
+        assert r["kept_tokens"] > 0 and r["dropped_tokens"] > 0
+
+
+def test_gate_ablation_consistency(spark, qs):
+    """Leave-one-out kept tokens can never be below the full stack's,
+    and the marginal is their exact difference."""
+    rows = qs["gate_ablation_report"](spark, SF).collect()
+    assert [r["gate"] for r in rows] == ["lang", "len", "ratio"]
+    full = {r["full_stack_kept_tokens"] for r in rows}
+    assert len(full) == 1  # same stack total on every row
+    for r in rows:
+        assert r["loo_kept_tokens"] >= r["full_stack_kept_tokens"]
+        assert (
+            r["marginal_tokens"]
+            == r["loo_kept_tokens"] - r["full_stack_kept_tokens"]
+        )
+
+
+def test_split_embedding_drift_is_small_on_random_split(spark, qs):
+    """A hash split of exchangeable vectors must show small centroid
+    drift (no label effect), and split sizes must cover every vector."""
+    from mini_pandas_spark.sources import load_table
+
+    rows = qs["split_embedding_drift"](spark, SF).collect()
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_train"] + r["n_val"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_train"] > 0 and r["n_val"] > 0
+        assert 0.0 <= r["centroid_drift"] < 1.0  # same distribution both sides
