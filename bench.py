@@ -128,6 +128,7 @@ HEADLINE = [
     "perplexity_band_filter",
     "gate_ablation_report",
     "split_embedding_drift",
+    "dro_mixture_step",
 ]
 
 

@@ -3044,3 +3044,62 @@ def gate_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loo_kept_tokens",
         "loo_kept_tokens - full_stack_kept_tokens AS marginal_tokens",
     ).orderBy("gate")
+
+
+def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style group-DRO reweighting step (Xie et al. 2023):
+    starting from uniform domain weights, compute each source's excess
+    proxy loss (negative mean unigram log-prob relative to the
+    across-source mean) and multiplicatively reweight
+    w' ∝ exp(η·excess), η = 1 — up-weighting domains the reference
+    model finds hard, the inner-loop update DoReMi's proxy training
+    applies per batch.
+
+    Determinism: per-doc scores are the 6-dp-rounded
+    :func:`unigram_logprob_docs` outputs, summed as DECIMAL(18,6); the
+    exp terms are 9-dp-quantized to DECIMAL before the normalizing sum,
+    so both engines normalize the exact same rationals.
+
+    Scale: scoring is the unigram pipeline; everything after is
+    arithmetic on a |sources|-row frame (broadcast normalizer).
+    """
+    scored = unigram_logprob_docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        scored.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("avg_logprob").cast("decimal(18,6)")).alias("s_lp"),
+        )
+        .withColumn(
+            "loss", -(F.col("s_lp").cast("double") / F.col("n_docs"))
+        )
+    )
+    gmean = per_src.agg(
+        (F.sum(F.round(F.col("loss"), 6).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_loss")
+    )
+    exc = per_src.crossJoin(F.broadcast(gmean)).withColumn(
+        "excess", F.round(F.col("loss") - F.col("mean_loss"), 6)
+    )
+    expw = exc.withColumn(
+        "w_raw", F.round(F.exp(F.col("excess")), 9).cast("decimal(18,9)")
+    )
+    norm = expw.agg(F.sum("w_raw").alias("z"))
+    return (
+        expw.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            (F.round(F.col("loss"), 6) + F.lit(0.0)).alias("proxy_loss"),
+            (F.col("excess") + F.lit(0.0)).alias("excess_loss"),
+            (
+                F.round(
+                    F.col("w_raw").cast("double") / F.col("z").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("new_weight"),
+        )
+        .orderBy("source")
+    )

@@ -6672,3 +6672,71 @@ register(
     FROM per_dim GROUP BY label ORDER BY label
     """,
 )
+
+
+register(
+    "stream_static_dedup",
+    _stream_windows.stream_static_dedup,
+    """
+    WITH cut AS (
+        SELECT MIN(ts) + INTERVAL 1 DAY AS c FROM events
+    ), standing AS (
+        SELECT DISTINCT user_id, event_type FROM events, cut WHERE ts < c
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM standing s
+        WHERE s.user_id = e.user_id AND s.event_type = e.event_type
+    )
+    GROUP BY e.event_type
+    """,
+)
+
+
+register(
+    "dro_mixture_step",
+    text.dro_mixture_step,
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), tc AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM toks
+    ), scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(tf.tf * ln(tc.cnt / tot.total)) / SUM(tf.tf), 6)
+                   + 0.0 AS avg_logprob
+        FROM tf JOIN tc USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    ), per_src AS (
+        SELECT d.source, COUNT(*) AS n_docs,
+               -(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)) AS loss
+        FROM scored JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    ), gmean AS (
+        SELECT CAST(SUM(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean_loss
+        FROM per_src
+    ), expw AS (
+        SELECT source, n_docs, loss,
+               round(loss - mean_loss, 6) AS excess,
+               CAST(round(exp(round(loss - mean_loss, 6)), 9)
+                    AS DECIMAL(18,9)) AS w_raw
+        FROM per_src CROSS JOIN gmean
+    ), norm AS (SELECT SUM(w_raw) AS z FROM expw)
+    SELECT source, n_docs,
+           round(loss, 6) + 0.0 AS proxy_loss,
+           excess + 0.0 AS excess_loss,
+           round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0
+               AS new_weight
+    FROM expw CROSS JOIN norm ORDER BY source
+    """,
+)

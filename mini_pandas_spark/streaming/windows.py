@@ -860,3 +860,58 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(shard_paths).select(
         "window_start", "event_type", "n_events", "sum_value"
     )
+
+
+def stream_static_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static incremental dedup (8th streaming topology): arriving
+    events whose (user_id, event_type) key is already registered in a
+    STANDING index — here, every key seen in the corpus's first day —
+    are dropped via a stream-static LEFT ANTI join before aggregation;
+    surviving volume rolls up per event type.  This is the streaming
+    face of incremental_neardup_lsh's batch pattern: each increment is
+    checked against the standing index, never against itself at corpus
+    scale.
+
+    Operational rules encoded: the static side is a batch-derived
+    DISTINCT key table (broadcast — re-read per micro-batch, so it must
+    stay broadcast-sized or be cached); the anti join keeps NO stream
+    state (unlike dropDuplicates, whose state grows with the key
+    domain); the global aggregate drains in complete mode under
+    Trigger.AvailableNow.
+
+    Over static input the result equals the batch anti-join + rollup, so
+    it shares a full ANSI oracle (same gate policy as the other drains).
+    """
+    from ..sources import load_table
+
+    ev_b = load_table(spark, sf_dir, "events")
+    first_day = ev_b.agg(
+        (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("cut")
+    )
+    standing = (
+        ev_b.crossJoin(F.broadcast(first_day))
+        .where(F.col("ts") < F.col("cut"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    ev = read_events_stream(spark, sf_dir)
+    survivors = ev.join(
+        F.broadcast(standing), ["user_id", "event_type"], "left_anti"
+    )
+    agg = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum(F.col("value").cast("decimal(18,2)"), scale=2).alias(
+            "sum_value"
+        ),
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

@@ -31,6 +31,7 @@ STREAMING_DRAINS = {
     "streaming_hourly_approx_uniques",
     "streaming_topk_trending",
     "streaming_manifest_sink",
+    "stream_static_dedup",
 }
 
 # These run bounded driver-side jobs at build time (k-means partials,
