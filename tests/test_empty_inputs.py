@@ -193,6 +193,17 @@ EMPTY_OK_ZERO_ROWS = [
     "grid_spatial_join",
     "t_closeness_audit",
     "colbert_maxsim_labels",
+    # round-5 operators
+    "dsir_importance_weights",
+    "incremental_neardup_lsh",
+    "neardup_survivors_quality",
+    "striped_shard_plan",
+    "multimodal_token_bill",
+    "loss_mask_plan",
+    "perplexity_band_filter",
+    "gate_ablation_report",
+    "split_embedding_drift",
+    "dro_mixture_step",
 ]
 
 
