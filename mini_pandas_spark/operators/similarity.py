@@ -371,6 +371,8 @@ def _lloyd_local(sample_rows: list, k: int, iters: int):
 
     rows = sorted(sample_rows, key=lambda r: r["vec_id"])
     init = [r for r in rows if r["vec_id"] < k]
+    if not init:  # empty corpus/sample: no cells, assignment emits nothing
+        return [], []
     cids = [int(r["vec_id"]) for r in init]
     C = np.stack([np.asarray(r["v"], dtype=float) for r in init])
     cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -400,6 +402,8 @@ def _lloyd_distributed(vec: DataFrame, k: int, iters: int):
         vec.filter(F.col("vec_id") < k).select("vec_id", "v").collect(),
         key=lambda r: r["vec_id"],
     )
+    if not init_rows:  # empty corpus: no cells, assignment emits nothing
+        return [], []
     cids = [int(r["vec_id"]) for r in init_rows]
     C = np.stack([np.asarray(r["v"], dtype=float) for r in init_rows])
     cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).tolist()
@@ -479,7 +483,12 @@ def _assign_topp_np(vec: DataFrame, cids: list, cn: list, n_probe: int) -> DataF
 
         C = np.asarray(cn)
         ids = np.asarray(cids)
-        p = n_probe
+        # A degenerate corpus (or training sample) can yield fewer cells
+        # than the probe count; probing every cell is then the correct
+        # semantics — without the clamp the repeat(p) index and the
+        # reshape(-1) values disagree in length (caught by the
+        # single-row degenerate sweep).
+        p = min(n_probe, C.shape[0])
         for pdf in batches:
             M = np.stack(pdf["v"].to_numpy())
             top = np.argsort(-(M @ C.T), kind="stable", axis=1)[:, :p]
@@ -1615,3 +1624,69 @@ def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _semdedup_report(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Shared tail of the SemDeDup pipeline: pair graph → min-label
+    connected components → keep min vec_id per cluster → per-label drop
+    report.  Factored so the pytest can run the exact pair graph through
+    the identical tail and pin equality with the blocked path."""
+    from .dedup import _cc_min_labels
+
+    labels = _cc_min_labels(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = e.join(labels, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+    )
+    kept = lab.withColumn(
+        "keep", F.col("vec_id") == F.min("vec_id").over(
+            Window.partitionBy("cluster_id")
+        )
+    )
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_kept",
+            (F.col("n_vecs") - F.col("n_kept")).alias("n_dropped"),
+            (
+                F.round(
+                    (F.col("n_vecs") - F.col("n_kept")).cast("double")
+                    / F.col("n_vecs"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("drop_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) composed end-to-end — the fourth
+    composed flagship, next to corpus_curation_pipeline /
+    user_feature_store / entity_resolution_pipeline: IVF-blocked
+    embedding near-dup pairs (cosine ≥ 0.4, cell equi-join only — the
+    measured-sublinear path of SCALE.md §8a) → connected components →
+    keep the min-vec_id member per semantic cluster → per-label kept /
+    dropped report, i.e. the whole "prune semantic duplicates before
+    training" loop in one lazy composition.
+
+    No SQL oracle: the quantizer cells aren't SQL-expressible, and at
+    sf0.1 the blocked pair set is recall-0.956 against exact (operator
+    docstring) so an exact-graph oracle would diverge there by design.
+    The pytest pin runs the EXACT pair graph through the identical
+    pipeline tail and asserts full-output equality at sf0.01, where the
+    pair sets coincide.
+    """
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _semdedup_report(spark, sf_dir, pairs)

@@ -2762,12 +2762,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-doc sum so document scores are exact integers in
     1e-9 units — no float-addition-order drift between engines.
 
-    Scale (two slim corpus passes, exactly DSIR's fit/score split):
-    pass 1 reduces token occurrences to the 256-bucket target/raw
-    histogram (map-side combined); the 256-row weight table broadcasts;
-    pass 2 re-derives per-doc bucket counts and sums cnt x weight per
-    doc.  No vocabulary-sized join, no corpus-sized shuffle beyond the
-    (doc, word)-count reduction each pass already needs.
+    Scale (ONE corpus pass, shared by DSIR's fit and score steps): the
+    (doc, bucket)-level count table is localCheckpointed — the fit
+    branch (256-bucket histogram) and the score branch (per-doc weight
+    sums) prune to different columns, so without it Catalyst plans two
+    full text scans + two corpus-wide shuffles (ReuseExchange can't fire
+    across the differing projections).  At 100 TB the checkpoint is a
+    materialized stage table, the same trade `_minhash_sketch_table`
+    makes; it is no larger than the shuffle files either pass would
+    write anyway.  The 256-row weight table broadcasts; no
+    vocabulary-sized join.
     """
     d = load_table(spark, sf_dir, "documents")
     occ = (
@@ -2780,6 +2784,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("long") % 256,
         )
+        .drop("w")
+        .localCheckpoint(eager=False)
     )
     bstats = occ.groupBy("bucket").agg(
         F.sum("cnt").alias("r_b"),

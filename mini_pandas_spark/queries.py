@@ -6740,3 +6740,9 @@ register(
     FROM expw CROSS JOIN norm ORDER BY source
     """,
 )
+
+
+# SemDeDup composed pipeline: quantizer cells aren't SQL-expressible →
+# rows-only in the driver gate; the pytest runs the exact pair graph
+# through the identical tail and pins full-output equality at sf0.01.
+register("semdedup_pipeline", similarity.semdedup_pipeline, None)

@@ -204,6 +204,7 @@ EMPTY_OK_ZERO_ROWS = [
     "gate_ablation_report",
     "split_embedding_drift",
     "dro_mixture_step",
+    "semdedup_pipeline",
 ]
 
 

@@ -1246,3 +1246,21 @@ def test_split_embedding_drift_is_small_on_random_split(spark, qs):
     for r in rows:
         assert r["n_train"] > 0 and r["n_val"] > 0
         assert 0.0 <= r["centroid_drift"] < 1.0  # same distribution both sides
+
+
+def test_semdedup_pipeline_equals_exact_graph_tail(spark, qs):
+    """The registered (IVF-blocked) SemDeDup report must equal the same
+    pipeline tail fed the EXACT cosine pair graph (pair sets are
+    pinned identical at this SF), and its arithmetic must reconcile."""
+    from mini_pandas_spark.operators.similarity import (
+        _semdedup_report,
+        embedding_near_dup_exact,
+    )
+
+    got = [tuple(r) for r in qs["semdedup_pipeline"](spark, SF).collect()]
+    exact_pairs = embedding_near_dup_exact(spark, SF).select("id_a", "id_b")
+    want = [tuple(r) for r in _semdedup_report(spark, SF, exact_pairs).collect()]
+    assert got == want
+    assert sum(r[1] for r in got) == 500  # every vector accounted for
+    for label, n_vecs, n_kept, n_dropped, rate in got:
+        assert n_kept + n_dropped == n_vecs

@@ -47,6 +47,8 @@ BOUNDED_BUILD_JOBS = {
     "mahalanobis_outliers",
     "connected_components_stars",
     "bpe_tokenize_fertility",
+    "semdedup_pipeline",
+    "neardup_survivors_quality",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
