@@ -129,6 +129,8 @@ HEADLINE = [
     "gate_ablation_report",
     "split_embedding_drift",
     "dro_mixture_step",
+    "event_runs_udtf",
+    "pii_pseudonymize_join",
 ]
 
 

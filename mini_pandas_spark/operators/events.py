@@ -2367,3 +2367,111 @@ def cogroup_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_prev_purchase"
         ),
     ).orderBy("user_id", "event_id")
+
+
+def event_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user run-length encoding of the event-type sequence via a
+    Python UDTF taking a TABLE ARGUMENT with PARTITION BY / ORDER BY
+    (the Spark 4 polymorphic table-function surface this engine had not
+    yet exercised — the lateral-apply variant is chunk_tokens_udtf):
+    Spark feeds each user's rows to a fresh UDTF instance in (ts,
+    event_id) order; eval() folds the run-length state and terminate()
+    emits one row per user with the run count and the longest run
+    (first-reached wins ties, which is what the strictly-greater update
+    implements).
+
+    Scale: the TABLE(... PARTITION BY user_id) contract IS the shuffle —
+    one exchange on user_id, then a narrow ordered fold per partition
+    (Arrow-batched; per-user sequential state like
+    applyInPandasWithState, but in the SQL-callable form).  For a
+    corpus-scale hot path the same answer comes from the islands SQL the
+    oracle runs; the UDTF form is the extension-point demonstration.
+    """
+    from pyspark.sql.functions import udtf
+
+    # useArrow explicit: the registry-wide plan lint forbids
+    # row-at-a-time BatchEvalPython; Arrow UDTF eval is the allowed form.
+    @udtf(
+        returnType=(
+            "user_id long, n_runs int, longest_run_len int,"
+            " longest_run_type string"
+        ),
+        useArrow=True,
+    )
+    class EventRuns:
+        # self-contained: pickled by value (local class, builtins only)
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.cur = 0
+            self.n = 0
+            self.best = 0
+            self.best_t = None
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            t = row["event_type"]
+            if t == self.prev:
+                self.cur += 1
+            else:
+                self.n += 1
+                self.cur = 1
+                self.prev = t
+            if self.cur > self.best:
+                self.best = self.cur
+                self.best_t = t
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.best, self.best_t
+
+    spark.udtf.register("event_runs", EventRuns)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__events_for_runs"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, n_runs, longest_run_len, longest_run_type
+        FROM event_runs(TABLE(__events_for_runs)
+                        PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
+
+
+def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization with referential integrity:
+    replace user/customer ids in BOTH the events fact and the customer
+    dimension with an md5-derived 60-bit pseudonym (same recipe both
+    sides, no salt table to leak), then prove analytics still work by
+    joining ONLY on pseudonyms — per-segment event counts and distinct
+    pseudonymous users.  This is the tokenize-at-ingest pattern a
+    governed lakehouse applies so downstream jobs never see raw ids
+    (complement of pii_mask_docs' free-text redaction).
+
+    Scale: the pseudonym is a pure expression (no lookup table, no
+    shuffle to tokenize); the join shape is unchanged — hash keys are
+    just longer.  Collision risk at 60 bits is ~n²/2⁶¹.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def pseud(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    ev_p = ev.select(
+        pseud(F.col("user_id")).alias("p_user"), "event_type"
+    )
+    cust_p = cust.select(
+        pseud(F.col("c_custkey")).alias("p_user"), "c_mktsegment"
+    )
+    return (
+        ev_p.join(F.broadcast(cust_p), "p_user")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("p_user").cast("bigint").alias("n_pseudonyms"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -6746,3 +6746,60 @@ register(
 # rows-only in the driver gate; the pytest runs the exact pair graph
 # through the identical tail and pins full-output equality at sf0.01.
 register("semdedup_pipeline", similarity.semdedup_pipeline, None)
+
+
+register(
+    "event_runs_udtf",
+    events.event_runs_udtf,
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM events
+    ), runs AS (
+        SELECT user_id, event_type,
+               SUM(chg) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS run_id
+        FROM ordered
+    ), rl AS (
+        SELECT user_id, run_id, MIN(event_type) AS event_type,
+               COUNT(*) AS len
+        FROM runs GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, event_type, len,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, run_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_runs
+        FROM rl
+    )
+    SELECT user_id, CAST(n_runs AS INT) AS n_runs,
+           CAST(len AS INT) AS longest_run_len,
+           event_type AS longest_run_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+
+register(
+    "pii_pseudonymize_join",
+    events.pii_pseudonymize_join,
+    """
+    WITH ev_p AS (
+        SELECT CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS p_user,
+               event_type
+        FROM events
+    ), cust_p AS (
+        SELECT CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS p_user,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT p_user) AS BIGINT) AS n_pseudonyms
+    FROM ev_p JOIN cust_p USING (p_user)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)

@@ -205,6 +205,8 @@ EMPTY_OK_ZERO_ROWS = [
     "split_embedding_drift",
     "dro_mixture_step",
     "semdedup_pipeline",
+    "event_runs_udtf",
+    "pii_pseudonymize_join",
 ]
 
 
