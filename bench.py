@@ -129,7 +129,6 @@ HEADLINE = [
     "gate_ablation_report",
     "split_embedding_drift",
     "dro_mixture_step",
-    "event_runs_udtf",
     "pii_pseudonymize_join",
 ]
 

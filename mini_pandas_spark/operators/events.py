@@ -2385,7 +2385,10 @@ def event_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Arrow-batched; per-user sequential state like
     applyInPandasWithState, but in the SQL-callable form).  For a
     corpus-scale hot path the same answer comes from the islands SQL the
-    oracle runs; the UDTF form is the extension-point demonstration.
+    oracle runs; the UDTF form is the extension-point demonstration (and
+    is excluded from bench.py's headline for the same reason: per-row
+    eval is the API's cost, not this engine's scale path — measured
+    5.4s at sf0.1 vs well under 1s for the islands plan).
     """
     from pyspark.sql.functions import udtf
 
