@@ -1146,7 +1146,10 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, viol in pairs:
             aggs.append(viol.alias(name))
             names.append(name)
-        row = df.agg(*aggs)
+        # One aggregate row per table, but unpivoted by a per-constraint
+        # select union — checkpoint it so each table really is scanned
+        # once, not once per constraint.
+        row = df.agg(*aggs).localCheckpoint(eager=False)
         out = None
         for name in names:
             r = row.select(

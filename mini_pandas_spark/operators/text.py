@@ -1966,7 +1966,15 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
     log-sum runs over the tiny joint table.
     """
     d = load_table(spark, sf_dir, "documents")
-    joint = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_ls"))
+    # The joint-count table feeds every downstream branch (marginals,
+    # total, MI terms, both entropies) — checkpoint it so the corpus
+    # groupBy really does run once (the plan audit showed Catalyst
+    # re-deriving it 8× across the branches without this).
+    joint = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_ls"))
+        .localCheckpoint(eager=False)
+    )
     ml = joint.groupBy("lang").agg(F.sum("n_ls").alias("n_l"))
     ms = joint.groupBy("source").agg(F.sum("n_ls").alias("n_s"))
     tot = joint.agg(F.sum("n_ls").alias("n"))
@@ -2560,7 +2568,13 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    per_lang = d.groupBy("lang").agg(F.sum(token_count("text")).alias("toks"))
+    # |langs| rows feeding four branches (total, ranked, water line,
+    # final allocation) — checkpoint so the corpus group-by runs once.
+    per_lang = (
+        d.groupBy("lang")
+        .agg(F.sum(token_count("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     w = Window.orderBy("toks", "lang").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2912,10 +2926,12 @@ def striped_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ranked.select(
         ((F.col("rk") - 1) % SHARDS).cast("int").alias("shard"), "n_tok"
     )
+    # 8 rows, but consumed by the total aggregate AND the final select —
+    # checkpoint so the rank pipeline underneath runs once per query.
     shard_tot = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("shard_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = shard_tot.agg(F.sum("shard_tokens").alias("all_tokens"))
     return (
         shard_tot.crossJoin(F.broadcast(total))
@@ -2955,7 +2971,12 @@ def perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = unigram_logprob_docs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    s = scored.join(d, "doc_id")
+    # The scored frame feeds BOTH the band computation and the final
+    # filter+rollup; without a checkpoint Catalyst re-plans the whole
+    # unigram pipeline (3 corpus scans + 2 shuffles) once per branch —
+    # the skinny (doc, tokens, score, source) stage table is the right
+    # thing to materialize instead (plan audit: 8 parquet scans → 4).
+    s = scored.join(d, "doc_id").localCheckpoint(eager=False)
     bands = s.groupBy("source").agg(
         F.percentile("avg_logprob", F.lit(0.1)).alias("p10"),
         F.percentile("avg_logprob", F.lit(0.9)).alias("p90"),
@@ -3071,6 +3092,10 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = unigram_logprob_docs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # per_src is |sources| rows but feeds THREE branches (global mean,
+    # exp weights, normalizer); checkpoint it so the unigram pipeline
+    # underneath runs once, not once per branch (plan audit caught 16
+    # parquet scans without this).
     per_src = (
         scored.join(d, "doc_id")
         .groupBy("source")
@@ -3081,6 +3106,7 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "loss", -(F.col("s_lp").cast("double") / F.col("n_docs"))
         )
+        .localCheckpoint(eager=False)
     )
     gmean = per_src.agg(
         (F.sum(F.round(F.col("loss"), 6).cast("decimal(18,6)")).cast("double")
@@ -3091,7 +3117,7 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expw = exc.withColumn(
         "w_raw", F.round(F.exp(F.col("excess")), 9).cast("decimal(18,9)")
-    )
+    ).localCheckpoint(eager=False)  # feeds the normalizer AND the output
     norm = expw.agg(F.sum("w_raw").alias("z"))
     return (
         expw.crossJoin(F.broadcast(norm))

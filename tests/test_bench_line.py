@@ -63,3 +63,36 @@ def test_final_line_current_headline_suite_fits():
     line = bench.final_line(rec)
     assert len(line) < bench.FINAL_BUDGET
     json.loads(line)
+
+
+def test_final_line_property_never_overflows():
+    """Property: for ANY query map (names up to 64 chars, values up to
+    1e6, up to 500 entries), the final line stays under budget and
+    round-trips the exact total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=64
+    )
+    timings = st.dictionaries(
+        names, st.floats(min_value=0, max_value=1e6, allow_nan=False), max_size=500
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(timings=timings)
+    def check(timings):
+        rec = {
+            "metric": "headline_suite_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+        }
+        line = bench.final_line(rec)
+        assert len(line) < bench.FINAL_BUDGET
+        parsed = json.loads(line)
+        assert parsed["value"] == rec["value"]
+        assert set(parsed["queries"]) <= set(timings)
+
+    check()
