@@ -130,6 +130,7 @@ HEADLINE = [
     "split_embedding_drift",
     "dro_mixture_step",
     "pii_pseudonymize_join",
+    "context_budget_curve",
 ]
 
 

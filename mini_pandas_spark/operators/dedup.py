@@ -1008,3 +1008,34 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size spectrum: how many clusters have
+    exactly k members, for every observed k ≥ 2 plus the singleton count
+    — the histogram every dedup paper plots (duplicate mass lives in the
+    tail) and the number that predicts how much a dedup pass will
+    shrink the corpus.
+
+    Scale: pairs come from the banded MinHash path (pinned identical to
+    exact), components from the bounded-round CC loop; the histogram is
+    two tiny re-aggregations of the |clustered-docs|-row label table.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_min_labels(pairs).localCheckpoint(eager=False)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("k"))
+    hist = sizes.groupBy("k").agg(F.count(F.lit(1)).alias("n_clusters"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_clustered = labels.count()  # bounded: docs appearing in any pair
+    singles = (
+        hist.sparkSession.range(1)
+        .select(
+            F.lit(1).cast("bigint").alias("k"),
+            F.lit(n_docs - n_clustered).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(F.col("k").cast("bigint"), F.col("n_clusters").cast("bigint"))
+        .unionByName(singles)
+        .orderBy("k")
+    )

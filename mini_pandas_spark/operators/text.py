@@ -3135,3 +3135,62 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def context_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length selection curve: for each candidate context budget
+    (512 / 1024 / 2048 / 4096 tokens), the cost of training on this
+    corpus with document-level chunk-and-pad — sequences produced
+    (ceil(n/B) per doc), pad tokens wasted (last-chunk remainder), and
+    the packing efficiency real/total — the table that decides a run's
+    max_seq_len before any data is moved (the packed variant is
+    pack_sequences; this is the no-cross-doc-attention baseline).
+
+    Scale: one corpus scan computes every budget's bill as parallel
+    expressions (a 4-element stack over the same token count — no
+    rescans), then a 4-row rollup.
+    """
+    budgets = [512, 1024, 2048, 4096]
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    per_doc = d.select(n_tok.alias("n"))
+    stacked = per_doc.selectExpr(
+        "n",
+        "stack({}, {}) AS (budget)".format(
+            len(budgets), ", ".join(str(b) for b in budgets)
+        ),
+    )
+    chunks = F.floor((F.col("n") + F.col("budget") - 1) / F.col("budget")).cast(
+        "long"
+    )
+    bill = stacked.select(
+        "budget",
+        "n",
+        chunks.alias("n_chunks"),
+        (chunks * F.col("budget") - F.col("n")).alias("pad"),
+    )
+    return (
+        bill.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_sequences"),
+            F.sum("n").cast("bigint").alias("real_tokens"),
+            F.sum("pad").cast("bigint").alias("pad_tokens"),
+        )
+        .select(
+            "budget",
+            "n_docs",
+            "n_sequences",
+            "real_tokens",
+            "pad_tokens",
+            (
+                F.round(
+                    F.col("real_tokens").cast("double")
+                    / (F.col("real_tokens") + F.col("pad_tokens")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("efficiency"),
+        )
+        .orderBy("budget")
+    )

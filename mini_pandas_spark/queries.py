@@ -6803,3 +6803,70 @@ register(
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
+
+
+register(
+    "context_budget_curve",
+    text.context_budget_curve,
+    r"""
+    WITH per_doc AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents
+    ), stacked AS (
+        SELECT n, unnest([512, 1024, 2048, 4096]) AS budget FROM per_doc
+    ), bill AS (
+        SELECT budget, n,
+               CAST(FLOOR((n + budget - 1) / CAST(budget AS DOUBLE)) AS BIGINT)
+                   AS n_chunks
+        FROM stacked
+    )
+    SELECT budget, COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_sequences,
+           CAST(SUM(n) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_chunks * budget - n) AS BIGINT) AS pad_tokens,
+           round(CAST(SUM(n) AS DOUBLE)
+                 / (SUM(n) + SUM(n_chunks * budget - n)), 6) + 0.0
+               AS efficiency
+    FROM bill GROUP BY budget ORDER BY budget
+    """,
+)
+
+register(
+    "neardup_cluster_sizes",
+    dedup.neardup_cluster_sizes,
+    # Exact-pair-graph closure (LSH pair set pinned identical) → component
+    # size histogram + singleton count.
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    , p AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL
+        SELECT doc_b, doc_a FROM p
+    ), reach AS (
+        SELECT a AS doc, a AS lbl FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+    ), labels AS (
+        SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+    ), ksz AS (
+        SELECT cluster_id, COUNT(*) AS k FROM labels GROUP BY cluster_id
+    ), hist AS (
+        SELECT k, COUNT(*) AS n_clusters FROM ksz GROUP BY k
+    ), singles AS (
+        SELECT CAST(1 AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(*) FROM labels) AS BIGINT) AS n_clusters
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n_clusters AS BIGINT) AS n_clusters
+    FROM hist
+    UNION ALL
+    SELECT k, n_clusters FROM singles
+    ORDER BY k
+    """,
+)

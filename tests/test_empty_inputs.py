@@ -207,6 +207,8 @@ EMPTY_OK_ZERO_ROWS = [
     "semdedup_pipeline",
     "event_runs_udtf",
     "pii_pseudonymize_join",
+    "context_budget_curve",
+    "neardup_cluster_sizes",
 ]
 
 

@@ -49,6 +49,7 @@ BOUNDED_BUILD_JOBS = {
     "bpe_tokenize_fertility",
     "semdedup_pipeline",
     "neardup_survivors_quality",
+    "neardup_cluster_sizes",
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
