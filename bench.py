@@ -131,6 +131,10 @@ HEADLINE = [
     "dro_mixture_step",
     "pii_pseudonymize_join",
     "context_budget_curve",
+    # round-6 additions
+    "neardup_cluster_sizes",
+    "coreset_kmeans_sample",
+    "tdigest_conformal_radius",
 ]
 
 
@@ -201,6 +205,15 @@ def main() -> None:
     )
     for t in TABLE_NAMES:
         materialize(load_table(spark, sf_dir, t))
+    # Streaming-engine warm-up (not billed): the FIRST streaming query in
+    # a session pays ~4-5s of one-time init (StreamExecution classes,
+    # state-store provider, offset/commit log machinery) that has nothing
+    # to do with the query under test — run one tiny drain here so the
+    # billed streaming rows measure drain cost, not class loading.
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    qs["streaming_hourly_counts"](
+        spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

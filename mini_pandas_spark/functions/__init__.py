@@ -43,6 +43,22 @@ def decimal_sum(expr: Column, scale: int = 4) -> Column:
     return F.sum(expr.cast(DecimalType(28, scale))).cast("double")
 
 
+def round_scaled(expr: Column, k: int) -> Column:
+    """k-dp round of a double in SCALED-INTEGER space:
+    ``bigint(round(x·10^k)) / 10^k``.
+
+    Spark rounds a double's shortest decimal repr (HALF_UP) while DuckDB
+    rounds the binary value, so a plain ``round(x, k)`` of a computed
+    quotient can split the engines at a non-binary-exact .5 boundary;
+    integer±.5 IS binary-exact, so rounding at integer scale agrees
+    everywhere (CLAUDE.md invariant 6 — the streaming_anomaly_windows
+    fix, generalized).  Mirror in oracles as
+    ``CAST(round(x * 10^k) AS BIGINT) / 10^k.0``.  Only valid while
+    ``|x|·10^k < 2^63`` — fine for losses/weights/ratios at k ≤ 9."""
+    s = float(10**k)
+    return F.round(expr * F.lit(s)).cast("bigint").cast("double") / F.lit(s)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization; matches DuckDB
     regexp_split_to_array(trim(x), '\\s+')."""

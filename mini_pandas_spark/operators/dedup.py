@@ -413,45 +413,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_min_labels(pairs: DataFrame) -> DataFrame:
-    """Min-label-propagation connected components over an undirected pair
-    graph → (doc_id, cluster_id = component min doc_id).  Only documents
-    appearing in a pair get a row; callers treat absent docs as
-    singletons.  Shared by dedup_clusters (exact pair graph) and
-    neardup_survivors_quality (LSH pair graph)."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
+    """Connected components over an undirected pair graph → (doc_id,
+    cluster_id = component min doc_id).  Only documents appearing in a
+    pair get a row; callers treat absent docs as singletons.  Shared by
+    dedup_clusters (exact pair graph), neardup_survivors_quality /
+    neardup_cluster_sizes (LSH pair graph) and the SemDeDup pipeline."""
+    labels, _ = _cc_alternating_stars(pairs)
+    return labels
+
+
+def _cc_alternating_stars(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) →
+    ((doc_id, cluster_id), rounds-to-converge).
+
+    Unlike min-label propagation — O(component diameter) synchronized
+    rounds, so a long duplicate chain (boilerplate drifting across many
+    documents) makes the driver loop the bottleneck — the star operations
+    converge in O(log n) rounds regardless of diameter: each round every
+    node hooks onto the minimum of its (partial) neighborhood, halving
+    tree heights.  At the fixed point the edge set is exactly the star
+    {(v, component_min) : v ≠ component_min}.
+
+    Per round: large-star hangs every strictly-larger neighbor of u onto
+    m = min(Γ(u) ∪ {u}); small-star hangs u's not-larger neighbors (and u
+    itself) onto their minimum.  Both are one groupBy + one equi-join on
+    the node key — no all-pairs work; intermediates are localCheckpointed
+    to truncate lineage (at 100 TB: parquet checkpoints instead, same
+    plan shape).  Convergence = edge fixed point, detected by count +
+    one-sided exceptAll (sets are distinct/canonical, so count-equal plus
+    empty difference ⟺ equality); non-convergence within the 40-round
+    bound raises instead of returning wrong labels.
+    """
+    sym0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = (
+        sym0.select("a")
+        .union(sym0.select(F.col("b").alias("a")))
         .distinct()
-        .withColumn("lbl", F.col("doc_id"))
+        .select(F.col("a").alias("doc_id"))
         .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
-    for _ in range(20):  # diameter bound; converges much earlier
-        neigh_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("lbl").alias("neigh_lbl"))
-        )
-        updated = (
-            labels.join(neigh_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce("neigh_lbl", F.col("lbl"))).alias("lbl"),
+    # canonical orientation big→small, self-loops dropped
+    edges = (
+        sym0.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    converged = edges.isEmpty()
+    while not converged:
+        rounds += 1
+        if rounds > 40:  # >> O(log n) for any feasible corpus
+            raise RuntimeError(
+                "connected components did not converge in 40 star rounds"
             )
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u.
+        # v > u ≥ m(u), so outputs stay strictly oriented big→small.
+        lmin = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the oriented set: m(u) = min of u's smaller
+        # neighbors; emit (v, m(u)) for those neighbors and (u, m(u)).
+        smin = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smin, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smin.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.lbl") != F.col("l.lbl"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+        if small.count() == edges.count():
+            converged = small.exceptAll(edges).isEmpty()
+        edges = small
+    labels = nodes.join(
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("lbl")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")
+    )
+    return labels, rounds
 
 
 def neardup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,6 +1061,7 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= 0.8)
         .select("doc_new", "doc_old", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_new", "doc_old")
     )
 
 

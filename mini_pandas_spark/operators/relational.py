@@ -2564,86 +2564,37 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_canonical(e: DataFrame) -> DataFrame:
-    """Undirected edge set in canonical (lo, hi) form, no self-loops."""
-    return (
-        e.where(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-    )
-
-
 def connected_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the part co-purchase graph via the
     alternating LARGE-STAR / SMALL-STAR algorithm (Kiveris et al.,
-    SoCC'14) — the O(log²n)-round formulation that replaces naive
-    min-label propagation (O(diameter) rounds) on 100 TB graphs, here
-    actually implemented rather than just cited (SCALE.md §7):
+    SoCC'14) — the O(log n)-round formulation that replaces naive
+    min-label propagation (O(diameter) rounds) on 100 TB graphs:
 
     * large-star: every node hangs its larger neighbors onto its
       smallest known neighbor — long chains collapse geometrically;
     * small-star: every node re-hangs its smaller-or-equal neighbors
       (and itself) onto that minimum — stars canonicalize.
 
-    Rounds alternate until the canonical edge set reaches a fixed point
-    (checked by count + order-free hash checksum — no edge-set
-    collect); converged edges form stars whose centers are component
-    minima.  Output: the 20 largest components (size desc, id).
-    Oracle: recursive-CTE transitive closure — algorithm-independent
-    ground truth.
+    Since round 6 the loop lives in ``operators.dedup._cc_alternating_stars``
+    (exceptAll fixed-point detection, convergence round-count pinned on a
+    planted 600-node chain in test_scale_techniques.py) and is shared
+    with the whole dedup-cluster family.  Output: the 20 largest
+    components (size desc, id).  Oracle: recursive-CTE transitive
+    closure — algorithm-independent ground truth.
     """
+    from .dedup import _cc_alternating_stars
+
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     pairs = (
         po.alias("x")
         .join(po.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .groupBy(F.col("x.p").alias("doc_a"), F.col("y.p").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("a", "b")
+        .select("doc_a", "doc_b")
     )
-    edges = _cc_canonical(pairs).localCheckpoint()
-
-    def signature(canon: DataFrame) -> tuple:
-        row = canon.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    def star_round(canon: DataFrame, large: bool) -> DataFrame:
-        sym = canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
-            canon.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
-        j = sym.join(mins, "u").withColumn("m", F.least("minv", F.col("u")))
-        if large:
-            out = j.where(F.col("v") > F.col("u")).select(
-                F.col("v").alias("a"), F.col("m").alias("b")
-            )
-        else:
-            out = j.where(F.col("v") <= F.col("u")).select(
-                F.col("v").alias("a"), F.col("m").alias("b")
-            ).union(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        return _cc_canonical(out).localCheckpoint()
-
-    sig = signature(edges)
-    for _ in range(20):  # O(log² n) expected; hard bound for safety
-        edges = star_round(edges, large=True)
-        edges = star_round(edges, large=False)
-        new_sig = signature(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
-    # converged stars: every node's label is min(self, neighbors)
-    sym = edges.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).union(
-        edges.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
-    )
-    labels = sym.groupBy("node").agg(
-        F.least(F.min("nbr"), F.first("node")).alias("cluster_id")
-    )
+    labels, _ = _cc_alternating_stars(pairs)
     comp = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_nodes"))
     w = Window.orderBy(F.col("n_nodes").desc(), F.col("cluster_id").asc())
     return (

@@ -1690,3 +1690,106 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     return _semdedup_report(spark, sf_dir, pairs)
+
+
+CORESET_M = 64  # coreset size; ~N/8 at sf0.01, fixed so pins are exact
+
+
+def coreset_kmeans_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight k-means coreset via sensitivity sampling (Bachem,
+    Lucic & Krause, "Scalable k-Means Clustering via Lightweight
+    Coresets", KDD 2018): pick CORESET_M weighted vectors whose weighted
+    k-means cost tracks the full corpus's for any candidate centers —
+    the primitive that lets a 100 TB embedding table stand in for itself
+    in driver-side model fitting (k-means/GMM refinement, elbow scans)
+    after ONE distributed pass.
+
+    Construction (all deterministic — no RNG):
+    * coarse centers: the memoized sampled quantizer (k=16, 1 Lloyd
+      iteration over the 1-in-4 hash sample — the IVF recipe);
+    * one corpus pass computes each vector's nearest-center squared
+      distance d² (numpy matmul per Arrow batch; no join, no shuffle);
+    * sensitivity s(x) = ½·(1/N + d²(x)/Σd²)  (Σs = 1): mass splits
+      between uniform coverage and outlier coverage;
+    * sampling: Efraimidis–Spirakis weighted reservoir with the
+      multiplicative-hash uniform u(vec_id) ∈ (0,1) and key
+      ln(u)/s(x) — top-M by key is a TakeOrderedAndProject (bounded
+      driver heap), never a global sort;  hash intermediates stay
+      < 2^63 (reduce mod 2³¹−1 before the prime multiply);
+    * weight w(x) = 1/(M·s(x)) — the Horvitz-Thompson-style inverse
+      that keeps the weighted coreset cost an (approximately) unbiased
+      estimate of the full cost.
+
+    Scale: Σd²/N is a 2-double aggregate; scoring + top-M is one more
+    pass over the (checkpointed) assignment.  Rows-only in the driver
+    gate (quantizer centers aren't SQL-expressible); pytest pins
+    determinism, exact size, positive weights, and the coreset
+    property — weighted cost of the true centers within a band of the
+    full-data cost (tests/test_pipeline_operators.py).
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    cids, cn = _trained_quantizer(vec, sf_dir, k=16, iters=1, sample_mod=SAMPLE_MOD)
+    empty_schema = (
+        "vec_id long, cell bigint, d2 double, sensitivity double, weight double"
+    )
+    if not cids:
+        return spark.createDataFrame([], empty_schema)
+
+    def assign_d2(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cn)
+        ids = np.asarray(cids)
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy())
+            scores = M @ C.T
+            best = scores.argmax(axis=1)
+            # centroids are L2-normalized: d² = |x|² + 1 − 2·(x·c_best)
+            sq = (M * M).sum(axis=1)
+            d2 = sq + 1.0 - 2.0 * scores[np.arange(len(best)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": ids[best],
+                    "d2": np.maximum(d2, 0.0),
+                }
+            )
+
+    assigned = (
+        vec.select("vec_id", "v")
+        .mapInPandas(assign_d2, schema="vec_id long, cell long, d2 double")
+        .localCheckpoint(eager=False)  # feeds the Σd² aggregate AND the scorer
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sum_d2")
+    )
+    p31 = 2147483647
+    u = (
+        ((F.col("vec_id") % p31) * 2654435761 % p31 + 1).cast("double")
+        / (p31 + 1.0)
+    )
+    sens = 0.5 * (1.0 / F.col("n") + F.col("d2") / F.col("sum_d2"))
+    scored = assigned.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "d2",
+        sens.alias("sensitivity"),
+        (F.log(u) / sens).alias("es_key"),
+    )
+    return (
+        scored.orderBy(F.col("es_key").desc(), F.col("vec_id"))
+        .limit(CORESET_M)
+        .select(
+            "vec_id",
+            "cell",
+            (F.round("d2", 6) + F.lit(0.0)).alias("d2"),
+            (F.round("sensitivity", 9) + F.lit(0.0)).alias("sensitivity"),
+            (
+                F.round(1.0 / (F.lit(CORESET_M) * F.col("sensitivity")), 4)
+                + F.lit(0.0)
+            ).alias("weight"),
+        )
+        .orderBy("vec_id")
+    )

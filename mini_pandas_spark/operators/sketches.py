@@ -443,3 +443,154 @@ def kmv_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error"),
     )
+
+
+def tdigest_conformal_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal radius per event_type FROM A MERGEABLE SKETCH:
+    the t-digest composed with the conformal recipe — per-type absolute
+    residuals (|value − type mean|, the calibration scores of
+    relational.conformal_prediction_interval restated over events) are
+    compressed into per-(type, partition) centroid partials in one
+    Arrow pass, merged per type, and the 0.9-quantile radius is read
+    off the merged digest next to the EXACT interpolated percentile of
+    the same residuals, plus the resulting distribution-free interval.
+
+    Why it earns its place next to its siblings: tdigest_by_event_type
+    stores per-key digests, conformal_prediction_interval computes an
+    exact radius — this is the 100 TB deployment shape where the radius
+    must come from a PERSISTED sketch (per-shard digests merged nightly;
+    recalibrating from raw data would rescan the corpus).  Per-type
+    means use exact integer cent sums (no float drift across partials).
+
+    Scale: pass 1 = per-type mean (hash agg, 5 rows, broadcast back);
+    pass 2 = per-partition digest partials (mapInPandas, ≤64 centroids
+    per (type, partition), no shuffle); the per-type merge moves only
+    centroids.  Rows-only in the driver gate (centroid boundaries are
+    partitioning-dependent); tests/test_pipeline_operators.py pins each
+    type's estimate inside the digest's rank-error band around the
+    exact radius.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    means = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("decimal(28,0)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("type_mean"),
+    )
+    resid = ev.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "n",
+        "type_mean",
+        F.abs(F.col("value") - F.col("type_mean")).alias("r"),
+    )
+
+    def partials(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pandas as pd
+
+        cap = 64
+        acc: dict = {}
+        meta: dict = {}
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type"):
+                acc.setdefault(et, []).append(
+                    grp["r"].to_numpy(dtype="float64")
+                )
+                meta[et] = (int(grp["n"].iloc[0]), float(grp["type_mean"].iloc[0]))
+        rows = []
+        for et, chunks_list in acc.items():
+            v = np.sort(np.concatenate(chunks_list))
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            chunks = np.array_split(v, min(cap, v.size))
+            n, tm = meta[et]
+            for c in chunks:
+                rows.append(
+                    {
+                        "event_type": et,
+                        "n": n,
+                        "type_mean": tm,
+                        "mean": float(c.mean()),
+                        "weight": int(c.size),
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "n", "type_mean", "mean", "weight"],
+        )
+
+    sketch = resid.mapInPandas(
+        partials,
+        "event_type string, n long, type_mean double, mean double, weight long",
+    )
+
+    def merge(pdf):
+        # self-contained closure: merge one type's centroid partials,
+        # re-compress to <=64, read q0.9 off the cumulative-weight curve
+        import numpy as np
+        import pandas as pd
+
+        cap = 64
+        et = pdf["event_type"].iloc[0]
+        n, tm = int(pdf["n"].iloc[0]), float(pdf["type_mean"].iloc[0])
+        pdf = pdf[pdf["weight"] > 0].sort_values("mean")
+        m = pdf["mean"].to_numpy(dtype="float64")
+        wgt = pdf["weight"].to_numpy(dtype="float64")
+        target = wgt.sum() / cap
+        out_m, out_w = [], []
+        acc_m, acc_w = 0.0, 0.0
+        for mi, wi in zip(m, wgt):
+            acc_m += mi * wi
+            acc_w += wi
+            if acc_w >= target:
+                out_m.append(acc_m / acc_w)
+                out_w.append(acc_w)
+                acc_m, acc_w = 0.0, 0.0
+        if acc_w > 0:
+            out_m.append(acc_m / acc_w)
+            out_w.append(acc_w)
+        cm = np.cumsum(out_w)
+        i = int(np.searchsorted(cm, 0.9 * cm[-1]))
+        radius = float(out_m[min(i, len(out_m) - 1)])
+        return pd.DataFrame(
+            {
+                "event_type": [et],
+                "n": [n],
+                "type_mean": [tm],
+                "n_centroids": [len(out_m)],
+                "radius_est": [radius],
+            }
+        )
+
+    est = sketch.groupBy("event_type").applyInPandas(
+        merge,
+        "event_type string, n long, type_mean double, n_centroids int, "
+        "radius_est double",
+    )
+    exact = resid.groupBy("event_type").agg(
+        F.percentile("r", F.lit(0.9)).alias("radius_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.round("type_mean", 4) + F.lit(0.0)).alias("type_mean"),
+            "n_centroids",
+            (F.round("radius_est", 4) + F.lit(0.0)).alias("radius_est"),
+            (F.round("radius_exact", 4) + F.lit(0.0)).alias("radius_exact"),
+            (F.round(F.col("type_mean") - F.col("radius_est"), 4) + F.lit(0.0)).alias(
+                "pi_lo"
+            ),
+            (F.round(F.col("type_mean") + F.col("radius_est"), 4) + F.lit(0.0)).alias(
+                "pi_hi"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -19,7 +19,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import token_count, tokens
+from ..functions import round_scaled, token_count, tokens
 from ..sources import load_table
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
@@ -3108,15 +3108,23 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # every k-dp round here is of a computed quotient/difference that
+    # FEEDS FURTHER ARITHMETIC (mean → excess → exp → normalizer), so all
+    # are taken in scaled-integer space (round_scaled, invariant 6) —
+    # a 1-ulp engine split at a .5 boundary would cascade into new_weight.
     gmean = per_src.agg(
-        (F.sum(F.round(F.col("loss"), 6).cast("decimal(18,6)")).cast("double")
-         / F.count(F.lit(1))).alias("mean_loss")
+        (
+            F.sum(round_scaled(F.col("loss"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_loss")
     )
     exc = per_src.crossJoin(F.broadcast(gmean)).withColumn(
-        "excess", F.round(F.col("loss") - F.col("mean_loss"), 6)
+        "excess", round_scaled(F.col("loss") - F.col("mean_loss"), 6)
     )
     expw = exc.withColumn(
-        "w_raw", F.round(F.exp(F.col("excess")), 9).cast("decimal(18,9)")
+        "w_raw", round_scaled(F.exp(F.col("excess")), 9).cast("decimal(18,9)")
     ).localCheckpoint(eager=False)  # feeds the normalizer AND the output
     norm = expw.agg(F.sum("w_raw").alias("z"))
     return (
@@ -3124,11 +3132,12 @@ def dro_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            (F.round(F.col("loss"), 6) + F.lit(0.0)).alias("proxy_loss"),
+            (round_scaled(F.col("loss"), 6) + F.lit(0.0)).alias("proxy_loss"),
             (F.col("excess") + F.lit(0.0)).alias("excess_loss"),
             (
-                F.round(
-                    F.col("w_raw").cast("double") / F.col("z").cast("double"), 6
+                round_scaled(
+                    F.col("w_raw").cast("double") / F.col("z").cast("double"),
+                    6,
                 )
                 + F.lit(0.0)
             ).alias("new_weight"),

@@ -6471,6 +6471,7 @@ register(
     JOIN sizes sa ON doc_new = sa.doc_id
     JOIN sizes sb ON doc_old = sb.doc_id
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+    ORDER BY doc_new, doc_old
     """,
 )
 
@@ -6722,20 +6723,29 @@ register(
         FROM scored JOIN documents d USING (doc_id)
         GROUP BY d.source
     ), gmean AS (
-        SELECT CAST(SUM(CAST(round(loss, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        -- scaled-integer 6-dp rounds mirror the Spark round_scaled
+        -- (bigint(round(x*1e6))/1e6): integer±.5 is binary-exact, so a
+        -- raw round(quotient, 6) can't split the engines (invariant 6)
+        SELECT CAST(SUM(CAST(CAST(round(loss * 1000000.0) AS BIGINT)
+                             / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(*) AS mean_loss
         FROM per_src
     ), expw AS (
         SELECT source, n_docs, loss,
-               round(loss - mean_loss, 6) AS excess,
-               CAST(round(exp(round(loss - mean_loss, 6)), 9)
-                    AS DECIMAL(18,9)) AS w_raw
+               CAST(round((loss - mean_loss) * 1000000.0) AS BIGINT)
+                   / 1000000.0 AS excess,
+               CAST(CAST(round(exp(CAST(round((loss - mean_loss)
+                                             * 1000000.0) AS BIGINT)
+                                   / 1000000.0) * 1000000000.0) AS BIGINT)
+                    / 1000000000.0 AS DECIMAL(18,9)) AS w_raw
         FROM per_src CROSS JOIN gmean
     ), norm AS (SELECT SUM(w_raw) AS z FROM expw)
     SELECT source, n_docs,
-           round(loss, 6) + 0.0 AS proxy_loss,
+           CAST(round(loss * 1000000.0) AS BIGINT) / 1000000.0 + 0.0
+               AS proxy_loss,
            excess + 0.0 AS excess_loss,
-           round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0
+           CAST(round(CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE)
+                      * 1000000.0) AS BIGINT) / 1000000.0 + 0.0
                AS new_weight
     FROM expw CROSS JOIN norm ORDER BY source
     """,
@@ -6870,3 +6880,18 @@ register(
     ORDER BY k
     """,
 )
+
+
+# Lightweight k-means coreset: sensitivity-sampled weighted subset whose
+# weighted k-means cost tracks the corpus (Bachem et al. 2018).  Rows-only:
+# the quantizer centers aren't SQL-expressible; pytest pins determinism,
+# size, positive weights, and the cost-tracking property.
+register("coreset_kmeans_sample", similarity.coreset_kmeans_sample, None)
+
+
+# t-digest conformal radius: per-type 0.9-quantile of calibration
+# residuals read off a MERGEABLE per-partition centroid sketch, emitted
+# beside the exact interpolated percentile.  Rows-only: centroid
+# boundaries are partitioning-dependent; pytest pins each estimate inside
+# the digest's rank-error band around the exact radius.
+register("tdigest_conformal_radius", sketches.tdigest_conformal_radius, None)

@@ -98,6 +98,14 @@ def main() -> int:
 
     spark = get_spark("correctness-check", cpus=8, shuffle_partitions=16)
     failures = 0
+    # The LSH≡exact pin underwrites FOUR oracles (neardup_flow_matrix,
+    # neardup_survivors_quality, neardup_cluster_sizes,
+    # incremental_neardup_lsh all source pairs from minhash_lsh_pairs but
+    # keep exact-Jaccard DuckDB oracles).  Capture both pair sets as the
+    # sweep runs them and cross-assert afterwards, so a band/row-count
+    # retune cannot land without re-proving the equality here, not just
+    # in pytest (ADVICE r5).
+    pair_sets: dict[str, set] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -110,6 +118,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
             continue
+        if name in ("ngram_jaccard_pairs", "minhash_lsh_pairs"):
+            cols = {c: i for i, c in enumerate(scols)}
+            pair_sets[name] = {
+                (r[cols["doc_a"]], r[cols["doc_b"]]) for r in srows
+            }
         # Driver-hashability lint: the grading driver canonicalizes by
         # pandas sort_values + value hash, which crashes on Array/Map/
         # Struct outputs (round-2 red row pca_project_embeddings).  This
@@ -169,6 +182,20 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    if len(pair_sets) == 2:
+        exact = pair_sets["ngram_jaccard_pairs"]
+        lsh = pair_sets["minhash_lsh_pairs"]
+        if exact != lsh:
+            print(
+                "FAIL lsh-pin: minhash_lsh_pairs != ngram_jaccard_pairs "
+                f"(only-exact={sorted(exact - lsh)[:5]}, "
+                f"only-lsh={sorted(lsh - exact)[:5]}) — four exact-Jaccard "
+                "oracles depend on this equality; re-prove before retuning "
+                "N_BANDS/ROWS_PER_BAND"
+            )
+            failures += 1
+        else:
+            print(f"ok   lsh-pin: LSH pair set == exact pair set ({len(exact)} pairs)")
     spark.stop()
     return 1 if failures else 0
 
