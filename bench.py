@@ -135,6 +135,7 @@ HEADLINE = [
     "neardup_cluster_sizes",
     "coreset_kmeans_sample",
     "tdigest_conformal_radius",
+    "streaming_neardup_lsh",
 ]
 
 

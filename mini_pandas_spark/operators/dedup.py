@@ -29,6 +29,8 @@ partitionings, so the driver's rows-only checks are reproducible.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -160,7 +162,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle: MinHash permutations are not expressible in DuckDB
     (different hash primitive) — the driver records a rows-only check.
+
+    The verified pair frame is memoized per (session, fixture) exactly
+    like the sketch table: FOUR downstream queries (neardup_flow_matrix,
+    neardup_survivors_quality, neardup_cluster_sizes, plus this one)
+    consume it, and re-running the band join + verification per consumer
+    is repeated work a pipeline would persist once.
     """
+    key = (
+        "lsh_pairs",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _documents_fingerprint(sf_dir),
+    )
+    hit = _SKETCH_MEMO.get(key)
+    if hit is not None:
+        _SKETCH_MEMO.move_to_end(key)
+        return hit
     per_doc = _minhash_sketch_table(spark, sf_dir)
     melted = _minhash_bands(per_doc)
     cand = (
@@ -178,7 +196,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = per_doc.select("doc_id", "hashes", "sz")
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("long")
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
+    out = (
         cand.join(
             sets.select(
                 F.col("doc_id").alias("doc_a"),
@@ -197,21 +215,65 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
+    _SKETCH_MEMO[key] = out
+    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
+        _SKETCH_MEMO.popitem(last=False)
+    return out
 
 
-def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash sketch (doc_id, mh array, distinct-hash set, size)
-    in ONE Arrow-batched pass — shared by minhash_lsh_pairs and the
-    scale-stress candidate diagnostics."""
-    d = load_table(spark, sf_dir, "documents")
+# Session-scoped sketch-table memo (the quantizer-memo recipe,
+# similarity.py:_QUANTIZER_MEMO): SIX registered queries consume the
+# per-doc MinHash sketch (minhash_lsh_pairs, neardup_flow_matrix,
+# neardup_survivors_quality, neardup_cluster_sizes,
+# incremental_neardup_lsh, dedup_rate consumers) — without the memo each
+# re-runs the Arrow sketch pass over the corpus.  Keyed on
+# (applicationId, sf_dir, fixture fingerprint) so a new session or a
+# regenerated fixture can never see a stale frame; LRU-bounded.  At
+# 100 TB this is the materialized sketch stage-table every dedup
+# pipeline persists once and joins many times.
+_SKETCH_MEMO: OrderedDict = OrderedDict()
+_SKETCH_MEMO_MAX = 8  # 2 entry kinds x up to 3 sf fixtures + slack
 
-    # Per-doc sketching (shingle → hash → 32 minhash mins + distinct-hash
-    # set) runs in ONE Arrow-batched pass: per-row string work is far
-    # cheaper in a vectorized batch than exploding 200 shingle-rows per
-    # doc through a 32-aggregate groupBy (sf0.1: ~4s → ~1s).  The hash is
-    # crc32 (deterministic, C-speed); perms are numpy broadcast mins.
-    perm_a, perm_b, p31, n_perm = _PERM_A, _PERM_B, _P31, N_PERM
+
+def _documents_fingerprint(sf_dir: str):
+    """(mtime_ns, size) change-detector for the documents fixture —
+    never reads data (mirror of similarity._embeddings_fingerprint)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            best = (st.st_mtime_ns, st.st_size)
+            for entry in os.scandir(path):
+                s = entry.stat()
+                best = max(best, (s.st_mtime_ns, s.st_size))
+            return best
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+_SKETCH_SCHEMA = "doc_id long, mh array<long>, hashes array<long>, sz long"
+
+
+def _is_new_doc(col):
+    """train_split_assign's multiplicative hash; >= 8 ⇒ val/test band —
+    the deterministic "newly arrived batch" split shared by
+    incremental_neardup_lsh and the streaming_neardup_lsh topology (and
+    mirrored verbatim in their common DuckDB oracle)."""
+    return ((col % 2147483647) * 2654435761) % 2147483647 % 10 >= 8
+
+
+def _sketch_map_fn():
+    """Build the Arrow-batched MinHash sketch closure (shingle → crc32 →
+    32 permutation mins + distinct-hash set per document).  Returned
+    function is SELF-CONTAINED (captures only lists/ints, imports inside)
+    so it ships to workers from any cwd — shared by the batch sketch
+    table and the streaming near-dup topology."""
+    perm_a, perm_b, p31 = _PERM_A, _PERM_B, _P31
 
     def sketch(batches):
         import zlib
@@ -244,6 +306,32 @@ def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
+    return sketch
+
+
+def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash sketch (doc_id, mh array, distinct-hash set, size)
+    in ONE Arrow-batched pass — shared (via the session-scoped memo
+    above) by every LSH-pair consumer.
+
+    Per-doc sketching runs vectorized per Arrow batch: per-row string
+    work is far cheaper in a batch than exploding 200 shingle-rows per
+    doc through a 32-aggregate groupBy (sf0.1: ~4s → ~1s).  The hash is
+    crc32 (deterministic, C-speed); perms are numpy broadcast mins.
+    """
+    key = (
+        "sketch",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _documents_fingerprint(sf_dir),
+    )
+    hit = _SKETCH_MEMO.get(key)
+    if hit is not None:
+        _SKETCH_MEMO.move_to_end(key)
+        return hit
+    d = load_table(spark, sf_dir, "documents")
+    sketch = _sketch_map_fn()
+
     # The fixture ships one parquet row group → a single scan task; the
     # sketch pass is CPU-bound, so spread it across workers first (the
     # doc table is tiny relative to the compute per doc).
@@ -251,16 +339,17 @@ def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         d.select("doc_id", "text")
         .repartition(n_part)
-        .mapInPandas(
-            sketch,
-            schema="doc_id long, mh array<long>, hashes array<long>, sz long",
-        )
+        .mapInPandas(sketch, schema=_SKETCH_SCHEMA)
     )
     # per_doc feeds three DAG branches (bands, and both sides of the
     # verification join) — persist the small per-doc sketch so the text
     # pass runs exactly once.  At 100 TB this is a materialized stage
     # table instead of a cache.
-    return per_doc.localCheckpoint(eager=False)
+    out = per_doc.localCheckpoint(eager=False)
+    _SKETCH_MEMO[key] = out
+    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
+        _SKETCH_MEMO.popitem(last=False)
+    return out
 
 
 def _minhash_bands(per_doc: DataFrame) -> DataFrame:
@@ -1020,13 +1109,8 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     per_doc = _minhash_sketch_table(spark, sf_dir)
     bands = _minhash_bands(per_doc)
-
-    def is_new(col):
-        # train_split_assign's multiplicative hash; >= 8 -> val/test band.
-        return ((col % 2147483647) * 2654435761) % 2147483647 % 10 >= 8
-
-    new_b = bands.where(is_new(F.col("doc_id")))
-    old_b = bands.where(~is_new(F.col("doc_id")))
+    new_b = bands.where(_is_new_doc(F.col("doc_id")))
+    old_b = bands.where(~_is_new_doc(F.col("doc_id")))
     cand = (
         new_b.alias("n")
         .join(

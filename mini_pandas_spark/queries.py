@@ -6434,14 +6434,14 @@ register(
     """,
 )
 
-register(
-    "incremental_neardup_lsh",
-    dedup.incremental_neardup_lsh,
-    # Exact cross-set 3-gram Jaccard: valid as an oracle because the
-    # banded-LSH pair set is pytest-pinned identical to the exact pair
-    # set on this corpus (test_minhash_lsh_equals_exact_jaccard) and the
-    # new-vs-old pairs are a subset of it.
-    r"""
+# Exact cross-set 3-gram Jaccard: valid as an oracle because the
+# banded-LSH pair set is pytest-pinned identical to the exact pair
+# set on this corpus (test_minhash_lsh_equals_exact_jaccard) and the
+# new-vs-old pairs are a subset of it.  Shared by the batch operator
+# (incremental_neardup_lsh) and its streaming twin
+# (streaming_neardup_lsh) — one AvailableNow drain over the static
+# fixture equals the batch result by construction.
+_INCREMENTAL_NEARDUP_SQL = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
         FROM documents
@@ -6472,7 +6472,12 @@ register(
     JOIN sizes sb ON doc_old = sb.doc_id
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
     ORDER BY doc_new, doc_old
-    """,
+    """
+
+register(
+    "incremental_neardup_lsh",
+    dedup.incremental_neardup_lsh,
+    _INCREMENTAL_NEARDUP_SQL,
 )
 
 register(
@@ -6895,3 +6900,14 @@ register("coreset_kmeans_sample", similarity.coreset_kmeans_sample, None)
 # boundaries are partitioning-dependent; pytest pins each estimate inside
 # the digest's rank-error band around the exact radius.
 register("tdigest_conformal_radius", sketches.tdigest_conformal_radius, None)
+
+
+# Ninth streaming topology: streaming near-dup LSH against a standing
+# band index; one AvailableNow drain over the static fixture equals the
+# batch incremental_neardup_lsh, so both share the exact cross-set
+# Jaccard oracle above.
+register(
+    "streaming_neardup_lsh",
+    _stream_windows.streaming_neardup_lsh,
+    _INCREMENTAL_NEARDUP_SQL,
+)

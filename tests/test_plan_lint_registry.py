@@ -32,6 +32,7 @@ STREAMING_DRAINS = {
     "streaming_topk_trending",
     "streaming_manifest_sink",
     "stream_static_dedup",
+    "streaming_neardup_lsh",
 }
 
 # These run bounded driver-side jobs at build time (k-means partials,
