@@ -136,6 +136,8 @@ HEADLINE = [
     "coreset_kmeans_sample",
     "tdigest_conformal_radius",
     "streaming_neardup_lsh",
+    "observed_scan_metrics",
+    "arrow_byte_histogram",
 ]
 
 

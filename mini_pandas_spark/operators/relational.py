@@ -3929,3 +3929,52 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key_rows",
         (skew4 + F.lit(0.0)).alias("skew_factor"),
     ).orderBy("join_name")
+
+
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free side-channel metrics via the Observation API: while a real
+    per-source aggregation runs over documents, ``df.observe`` captures
+    corpus-level data-quality metrics (row count, total/min/max bytes of
+    n_chars, empty-doc count) from the SAME single scan — the pattern
+    that replaces the separate "profile the table first" pass every
+    pipeline otherwise pays (at 100 TB: one scan instead of two, and the
+    metrics land on the driver without any extra shuffle or action).
+
+    The output row combines the observed metrics with the per-source
+    aggregation's group count, so both channels of the one pass are
+    checked; an ANSI oracle recomputes all of it exactly (everything is
+    integer aggregates — no float drift).  Runs its (bounded: ~5-row
+    collect) action at DataFrame-build time, like the other
+    BOUNDED_BUILD_JOBS queries.
+    """
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_dq")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum((F.col("n_chars") == 0).cast("long")).alias("n_empty"),
+    )
+    per_source = observed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_sources = len(per_source.collect())  # the action that fills `obs`
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_chars"],
+                m["min_chars"],
+                m["max_chars"],
+                m["n_empty"],
+                n_sources,
+            )
+        ],
+        "n_rows long, sum_chars long, min_chars long, max_chars long, "
+        "n_empty long, n_sources long",
+    )

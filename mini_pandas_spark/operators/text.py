@@ -3203,3 +3203,55 @@ def context_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget")
     )
+
+
+def arrow_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-size histogram computed at the RAW ARROW level
+    (``mapInArrow``): each RecordBatch is transformed with pyarrow
+    compute kernels only — UTF-8 byte length per document and its
+    decimal digit count (the order-of-magnitude bucket) — without ever
+    materializing a pandas object.  mapInArrow is the lowest-overhead
+    Python hook Spark has (no pandas conversion on either side); this is
+    the surface you drop to when even a Pandas UDF's to_pandas() copy
+    matters, e.g. byte-level scans of 100 TB of raw documents.
+
+    Digit-count bucketing (len(str(bytes))) is exact integer work in
+    both engines — no log2 libm drift at power boundaries.  Oracle:
+    DuckDB strlen (bytes) + VARCHAR length.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def byte_stats(batches):
+        # self-contained closure (pickled by value; no module refs)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pc.cast(
+                        pc.binary_length(batch.column("text")), pa.int64()
+                    ),
+                }
+            )
+            digits = pc.cast(
+                pc.utf8_length(pc.cast(tbl["n_bytes"], pa.string())),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [tbl["doc_id"].combine_chunks(), tbl["n_bytes"].combine_chunks(), digits.combine_chunks() if hasattr(digits, "combine_chunks") else digits],
+                names=["doc_id", "n_bytes", "digits"],
+            )
+
+    sized = d.select("doc_id", "text").mapInArrow(
+        byte_stats, schema="doc_id long, n_bytes long, digits long"
+    )
+    return (
+        sized.groupBy("digits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("digits")
+    )

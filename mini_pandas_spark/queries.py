@@ -6911,3 +6911,37 @@ register(
     _stream_windows.streaming_neardup_lsh,
     _INCREMENTAL_NEARDUP_SQL,
 )
+
+
+# Observation API: corpus DQ metrics captured from the SAME scan as a
+# real aggregation — one pass instead of a separate profiling query.
+register(
+    "observed_scan_metrics",
+    relational.observed_scan_metrics,
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+               AS n_sources
+    FROM documents
+    """,
+)
+
+
+# mapInArrow surface: RecordBatch-level byte-length histogram, pyarrow
+# compute kernels only (no pandas materialization either side).
+register(
+    "arrow_byte_histogram",
+    text.arrow_byte_histogram,
+    """
+    SELECT CAST(length(CAST(strlen(text) AS VARCHAR)) AS BIGINT) AS digits,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -52,6 +52,7 @@ BOUNDED_BUILD_JOBS = {
     "neardup_survivors_quality",
     "neardup_cluster_sizes",
     "curriculum_stages",  # histogram / cut-row / cut-doc-rank collects
+    "observed_scan_metrics",  # the observe-filling action runs at build
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
