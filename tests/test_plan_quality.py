@@ -78,13 +78,38 @@ def test_no_cartesian_anywhere_in_headline(spark, qs):
         assert "CartesianProduct" not in p, name
 
 
+# Keep in sync with test_plan_lint_registry.STREAMING_DRAINS: building
+# any of these runs a full micro-batch drain, so the plan sweep skips
+# them (their outputs are oracle-gated instead).
 STREAMING_QUERIES = {
     "streaming_hourly_counts",
+    "session_window_agg",
     "streaming_user_totals",
-    "stream_stream_join",
     "streaming_dedup_events",
+    "stream_stream_join",
+    "stream_static_enrich",
     "synthetic_stream_rollup",
+    "streaming_hourly_approx_uniques",
+    "streaming_topk_trending",
+    "streaming_manifest_sink",
+    "stream_static_dedup",
+    "streaming_neardup_lsh",
 }
+
+
+def test_coreset_topm_is_bounded_heap(spark, qs):
+    """coreset_kmeans_sample's top-M selection must plan as
+    TakeOrderedAndProject (bounded driver heap), never a corpus-global
+    Sort — the property that keeps the one-pass coreset one-pass."""
+    p = plan_of(spark, qs, "coreset_kmeans_sample")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_arrow_histogram_prunes_to_two_columns(spark, qs):
+    """arrow_byte_histogram's parquet scan must read ONLY (doc_id, text):
+    column pruning has to survive the mapInArrow boundary."""
+    p = plan_of(spark, qs, "arrow_byte_histogram")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
 def test_global_plan_sweep_all_queries(spark, qs):
