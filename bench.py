@@ -138,6 +138,7 @@ HEADLINE = [
     "streaming_neardup_lsh",
     "observed_scan_metrics",
     "arrow_byte_histogram",
+    "rho_loss_selection",
 ]
 
 

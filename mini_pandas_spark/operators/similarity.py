@@ -254,10 +254,29 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs this same impl via `_near_dup_pairs_impl` with the scale-path
     parameters (τ=0.9, cells ∝ N, sampled quantizer): candidate ratio
     FALLS as the corpus grows at planted-pair recall 1.0 (SCALE.md §8).
+
+    The verified pair frame is memoized per (session, fixture) like the
+    LSH pair frame (operators/dedup._SKETCH_MEMO): semantic_decontamination
+    is standalone, but semdedup_pipeline + this query + their pytest pins
+    each re-ran the quantizer-assign-verify chain without it.
     """
-    return _near_dup_pairs_impl(
-        spark, sf_dir, NEAR_DUP_TAU, DEDUP_CELLS, DEDUP_PROBES, None
+    key = (
+        "emb_pairs",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
     )
+    hit = _EMB_PAIRS_MEMO.get(key)
+    if hit is not None:
+        _EMB_PAIRS_MEMO.move_to_end(key)
+        return hit
+    out = _near_dup_pairs_impl(
+        spark, sf_dir, NEAR_DUP_TAU, DEDUP_CELLS, DEDUP_PROBES, None
+    ).localCheckpoint(eager=False)
+    _EMB_PAIRS_MEMO[key] = out
+    while len(_EMB_PAIRS_MEMO) > _EMB_PAIRS_MEMO_MAX:
+        _EMB_PAIRS_MEMO.popitem(last=False)
+    return out
 
 
 def _near_dup_pairs_impl(
@@ -325,6 +344,12 @@ from collections import OrderedDict
 
 _QUANTIZER_MEMO: OrderedDict = OrderedDict()
 _QUANTIZER_MEMO_MAX = 8
+
+# Verified embedding near-dup pair frame memo (the dedup._SKETCH_MEMO
+# recipe): keyed on (applicationId, fixture fingerprint) so a new session
+# or regenerated fixture never sees a stale frame; LRU-bounded.
+_EMB_PAIRS_MEMO: OrderedDict = OrderedDict()
+_EMB_PAIRS_MEMO_MAX = 4
 
 
 def _embeddings_fingerprint(sf_dir: str):

@@ -3255,3 +3255,82 @@ def arrow_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digits")
     )
+
+
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style data selection (Mindermann et al., "Prioritized
+    Training on Points that are Learnable, Worth Learning, and Not Yet
+    Learnt", ICML 2022), proxied with the two corpus LMs this engine
+    already scores: reducible loss ρ = loss_unigram − loss_bigram =
+    avg_bigram_logprob − avg_logprob.  High ρ = the stronger model finds
+    the document much easier than the weak one — learnable structure,
+    not noise (noise stays hard for both; memorized boilerplate is easy
+    for both).  Select the top-20% per source and report the per-source
+    selection bill.
+
+    Differs from perplexity_band_filter (single-model band — drops both
+    tails of ONE loss) exactly the way RHO differs from loss-based
+    pruning: the signal is the GAP between two models, not a threshold
+    on one.
+
+    Determinism: each per-doc score is 6-dp rounded by its parent
+    operator; ρ is immediately quantized to INTEGER micro-nats
+    (bigint(round(Δ·10⁶)) — integer±.5 is binary-exact, invariant 6),
+    so ranking, thresholds, and sums downstream are exact integer math
+    in both engines; the two emitted doubles are integer-quotient
+    reconstructions.  Docs with <2 tokens have no bigram score and are
+    excluded (inner join; mirrored in the oracle).
+
+    Scale: the two scoring pipelines are the existing shapes; the gap
+    join is per-doc id (hash); selection is a per-source window (largest
+    partition = one source), then a |sources|-row rollup.
+    """
+    uni = unigram_logprob_docs(spark, sf_dir).select("doc_id", "avg_logprob")
+    bi = bigram_logprob_docs(spark, sf_dir).select(
+        "doc_id", "avg_bigram_logprob"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rho_u = F.round(
+        (F.col("avg_bigram_logprob") - F.col("avg_logprob")) * 1e6
+    ).cast("bigint")
+    scored = (
+        uni.join(bi, "doc_id")
+        .join(d, "doc_id")
+        .select("doc_id", "source", rho_u.alias("rho_micro"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("rho_micro").desc(), F.col("doc_id")
+    )
+    nw = Window.partitionBy("source")
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(nw))
+        .withColumn("k", F.expr("(n_src + 4) div 5"))  # ceil(20%)
+    )
+    sel = F.col("rk") <= F.col("k")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_docs"),
+            F.sum(sel.cast("long")).cast("long").alias("n_selected"),
+            F.min(F.when(sel, F.col("rho_micro"))).alias("thr_micro"),
+            F.sum(F.when(sel, F.col("rho_micro"))).cast("long").alias("sum_micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_selected",
+            (F.col("thr_micro").cast("double") / 1e6 + F.lit(0.0)).alias(
+                "sel_threshold_rho"
+            ),
+            (
+                F.col("sum_micro").cast("double")
+                / F.col("n_selected")
+                / 1e6
+                + F.lit(0.0)
+            ).alias("avg_sel_rho"),
+        )
+        .orderBy("source")
+    )

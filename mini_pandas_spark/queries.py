@@ -6945,3 +6945,73 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# RHO-loss-style selection: reducible loss = unigram loss − bigram loss,
+# quantized to integer micro-nats before ranking so both engines select
+# identically; top-20% per source.
+register(
+    "rho_loss_selection",
+    text.rho_loss_selection,
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), tc AS (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM toks
+    ), uni AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(tf.tf * ln(tc.cnt / tot.total)) / SUM(tf.tf), 6)
+                   + 0.0 AS avg_logprob
+        FROM tf JOIN tc USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    ), base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        FROM base, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS v_sz
+        FROM (SELECT unnest(ws) AS t FROM base)
+    ), bi AS (
+        SELECT bg.doc_id,
+               round(AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.v_sz))), 6) + 0.0
+                   AS avg_bigram_logprob
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY bg.doc_id
+    ), scored AS (
+        SELECT u.doc_id, d.source,
+               CAST(round((b.avg_bigram_logprob - u.avg_logprob)
+                          * 1000000.0) AS BIGINT) AS rho_micro
+        FROM uni u JOIN bi b ON u.doc_id = b.doc_id
+        JOIN documents d ON u.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT source, rho_micro,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY rho_micro DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM scored
+    )
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= (n_src + 4) // 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(MIN(CASE WHEN rk <= (n_src + 4) // 5 THEN rho_micro END)
+                AS DOUBLE) / 1000000.0 + 0.0 AS sel_threshold_rho,
+           CAST(SUM(CASE WHEN rk <= (n_src + 4) // 5 THEN rho_micro END)
+                AS DOUBLE)
+               / SUM(CASE WHEN rk <= (n_src + 4) // 5 THEN 1 ELSE 0 END)
+               / 1000000.0 + 0.0 AS avg_sel_rho
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
