@@ -2226,9 +2226,17 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the n-gram table is |tokens| rows (arrays built narrowly per
     doc, no per-element re-split); cross-doc duplication is ONE groupBy
-    on the gram string (map-side combined); islands are a per-doc window
+    on the gram key (map-side combined); islands are a per-doc window
     (row_number difference trick), so nothing ever pairs documents —
     the quadratic near-dup problem becomes two linear aggregations.
+
+    Gram keys are xxhash64 over the 8 token columns, NOT the joined
+    string: the duplication groupBy + position join then shuffle 8-byte
+    keys instead of ~50-byte strings and skip the concat entirely
+    (measured 2.66→1.77s at sf0.1).  A cross-gram collision would need
+    ~|grams|²/2⁶⁴ ≈ 1e-6 luck at sf0.1 (and only ever ADDS a false dup
+    position); the DuckDB oracle works on the literal strings, so the
+    value-hash gate would catch one on the fixtures.
     """
     from pyspark.sql.window import Window
 
@@ -2242,8 +2250,8 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ts") - (DUP_SPAN_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("ts"), i, DUP_SPAN_N)
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("ts"), i + k) for k in range(DUP_SPAN_N)]
                 ),
             )
         ).alias("pos", "gram"),
