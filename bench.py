@@ -139,6 +139,7 @@ HEADLINE = [
     "observed_scan_metrics",
     "arrow_byte_histogram",
     "rho_loss_selection",
+    "ivf_cell_balance",
 ]
 
 

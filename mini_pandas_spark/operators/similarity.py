@@ -1818,3 +1818,67 @@ def coreset_kmeans_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance report: per-cell occupancy of the coarse
+    quantizer (the memoized ivf_ann_topk layout — 16 cells, sampled
+    Lloyd), each cell's share of the corpus, its imbalance factor vs the
+    mean cell, and whether the re-balance policy would SPLIT it
+    (occupancy > 2× mean) or MERGE it (< ¼ mean) — the nightly health
+    check a 100 TB IVF deployment runs before deciding to retrain or
+    re-shard, because one hot cell turns nprobe-bounded reads into a
+    full-scan of that cell.
+
+    Scale: one assignment pass (numpy matmul per Arrow batch, no
+    shuffle) + a 16-row aggregate; shares/factors are exact integer
+    quotients emitted as identical doubles in both engines — but the
+    cell ids come from the driver-side quantizer, so the driver gate is
+    rows-only; pytest pins occupancy-sums-to-N, determinism, and policy
+    consistency.
+    """
+    vec = _vectors_with_norm(spark, sf_dir)
+    cids, cn = _trained_quantizer(
+        vec, sf_dir, N_CENTROIDS, LLOYD_ITERS, sample_mod=SAMPLE_MOD
+    )
+    if not cids:
+        return spark.createDataFrame(
+            [],
+            "cell bigint, n_vecs bigint, share double, imbalance double, "
+            "action string",
+        )
+    assigned = _assign_np(vec, cids, cn)
+    per_cell = assigned.groupBy(F.col("cid").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = per_cell.agg(
+        F.sum("n_vecs").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            (
+                F.col("n_vecs").cast("double") / F.col("n_total") + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.col("n_vecs").cast("double")
+                * F.col("n_cells")
+                / F.col("n_total")
+                + F.lit(0.0)
+            ).alias("imbalance"),
+            F.when(
+                F.col("n_vecs") * F.col("n_cells") > 2 * F.col("n_total"),
+                F.lit("split"),
+            )
+            .when(
+                F.col("n_vecs") * F.col("n_cells") * 4 < F.col("n_total"),
+                F.lit("merge"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+        .orderBy("cell")
+    )

@@ -7015,3 +7015,9 @@ register(
     FROM ranked GROUP BY source ORDER BY source
     """,
 )
+
+
+# IVF index-maintenance: per-cell occupancy + split/merge policy from the
+# memoized quantizer layout.  Rows-only (cells aren't SQL-expressible);
+# pytest pins occupancy accounting, determinism, and policy consistency.
+register("ivf_cell_balance", similarity.ivf_cell_balance, None)

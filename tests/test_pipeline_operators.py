@@ -1353,3 +1353,25 @@ def test_coreset_kmeans_sample_properties(spark, qs):
         coreset_cost,
         full_cost,
     )
+
+
+def test_ivf_cell_balance_accounting(spark, qs):
+    """Cell-balance pins: occupancy sums to the corpus size, rerun is
+    identical (memoized deterministic quantizer), shares/imbalance are
+    the exact integer quotients, and the split/merge policy matches its
+    own emitted numbers."""
+    a = [tuple(r) for r in qs["ivf_cell_balance"](spark, SF).collect()]
+    b = [tuple(r) for r in qs["ivf_cell_balance"](spark, SF).collect()]
+    assert a == b
+    n_total = sum(r[1] for r in a)
+    assert n_total == 500  # sf0.01 embeddings fixture
+    k = len(a)
+    for cell, n_vecs, share, imb, action in a:
+        assert abs(share - n_vecs / n_total) < 1e-12
+        assert abs(imb - n_vecs * k / n_total) < 1e-12
+        want = (
+            "split" if n_vecs * k > 2 * n_total
+            else "merge" if n_vecs * k * 4 < n_total
+            else "keep"
+        )
+        assert action == want
