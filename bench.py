@@ -140,6 +140,8 @@ HEADLINE = [
     "arrow_byte_histogram",
     "rho_loss_selection",
     "ivf_cell_balance",
+    # round-7 additions
+    "manifest_roundtrip_stats",
 ]
 
 

@@ -71,12 +71,42 @@ def shingles(tokens_col) -> F.Column:
     )
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct shingle-set stage table (doc_id, ss, sz),
+    memoized per (session, fixture) like the MinHash sketch table: FOUR
+    registered queries re-tokenize and re-shingle the corpus otherwise
+    (prefix_filter_jaccard_pairs — the suite's heaviest row in round 6 —
+    ngram_jaccard_pairs, boilerplate_shingle_stats,
+    decontaminate_ngram_overlap).  At 100 TB this is the persisted
+    shingle stage table the near-dup family reads many times."""
+    key = (
+        "docsets",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _documents_fingerprint(sf_dir),
+    )
+    hit = _SKETCH_MEMO.get(key)
+    if hit is not None:
+        _SKETCH_MEMO.move_to_end(key)
+        return hit
     d = load_table(spark, sf_dir, "documents")
-    return (
+    out = (
         d.select("doc_id", tokens(F.col("text")).alias("__ts"))
-        .select("doc_id", F.explode(shingles(F.col("__ts"))).alias("shingle"))
-        .distinct()
+        .select("doc_id", shingles(F.col("__ts")).alias("ss"))
+        .withColumn("sz", F.size("ss"))
+        .localCheckpoint(eager=False)
+    )
+    _SKETCH_MEMO[key] = out
+    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
+        _SKETCH_MEMO.popitem(last=False)
+    return out
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingles() is array_distinct per doc, so the explode already yields
+    # unique (doc_id, shingle) rows — no distinct() shuffle needed.
+    return _docsets_table(spark, sf_dir).select(
+        "doc_id", F.explode("ss").alias("shingle")
     )
 
 
@@ -123,7 +153,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline; minhash_lsh_pairs is the 100 TB path.
     """
     sh = _shingle_table(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc sizes come free from the docsets stage table (ss is
+    # distinct per doc) — no groupBy-count shuffle
+    sizes = _docsets_table(spark, sf_dir).select("doc_id", "sz")
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -232,9 +264,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (applicationId, sf_dir, fixture fingerprint) so a new session or a
 # regenerated fixture can never see a stale frame; LRU-bounded.  At
 # 100 TB this is the materialized sketch stage-table every dedup
-# pipeline persists once and joins many times.
+# pipeline persists once and joins many times.  Local-mode assumption
+# (ADVICE r6 #3): see similarity._EMB_PAIRS_MEMO — localCheckpointed
+# entries don't survive executor loss; a cluster port persists to
+# parquet instead.
 _SKETCH_MEMO: OrderedDict = OrderedDict()
-_SKETCH_MEMO_MAX = 8  # 2 entry kinds x up to 3 sf fixtures + slack
+_SKETCH_MEMO_MAX = 12  # 3 entry kinds x up to 3 sf fixtures + slack
 
 
 def _documents_fingerprint(sf_dir: str):
@@ -892,13 +927,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), the never-touch-the-text-again shape of minhash_lsh_pairs.
     """
     t = 0.8
-    d = load_table(spark, sf_dir, "documents")
-    docsets = (
-        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
-        .select("doc_id", shingles(F.col("__ts")).alias("ss"))
-        .withColumn("sz", F.size("ss"))
-        .localCheckpoint(eager=False)
-    )
+    # per-doc shingle sets from the shared memoized stage table (the
+    # suite's heaviest round-6 row re-derived these every run)
+    docsets = _docsets_table(spark, sf_dir)
     # Candidate generation runs on 8-byte xxhash64 shingle keys (the
     # global order (df asc, hash asc) is still a total order, and any
     # order is valid for prefix filtering) — shuffled bytes drop ~3×

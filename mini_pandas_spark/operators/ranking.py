@@ -83,6 +83,72 @@ def with_global_rank(
     return out
 
 
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols,
+    order_cols,
+    rank_col: str = "grk",
+    total_col: str | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Attach the exact 1-based rank of ``order_cols`` WITHIN each
+    ``group_cols`` group (a unique total ordering per group — include a
+    tiebreak key) without ever sorting a whole group in one task — the
+    scale-safe replacement for ``Window.partitionBy(<low-cardinality
+    key>)``: a window partitioned by a ~20-value ``source`` column
+    funnels ~5 TB through one task at 100 TB (round-6 verdict item #1).
+
+    Same scheme as :func:`with_global_rank`, range-keyed on
+    (group_cols + order_cols) so each physical partition holds a
+    contiguous slice of each group's order: local window partitioned by
+    (pid, group) — largest single sort is one range partition — then
+    per-(pid, group) counts roll up to broadcast prefix offsets
+    (P × |groups| rows, tiny).  Optionally attaches the group's total
+    row count as ``total_col`` (percent-rank math needs it).
+    """
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    if num_parts is None:
+        num_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # localCheckpoint load-bearing exactly as in with_global_rank: both
+    # plan branches must observe ONE physical pid assignment.
+    part = (
+        df.repartitionByRange(num_parts, *(group_cols + order_cols))
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = Window.partitionBy("_gr_pid", *group_cols).orderBy(*order_cols)
+    counts = part.groupBy("_gr_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_gr_cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_gr_off", F.coalesce(F.sum("_gr_cnt").over(w_off), F.lit(0))
+    )
+    if total_col is not None:
+        w_tot = Window.partitionBy(*group_cols)
+        offsets = offsets.withColumn(
+            total_col, F.sum("_gr_cnt").over(w_tot).cast("bigint")
+        )
+    keep = ["_gr_pid", *group_cols, "_gr_off"] + (
+        [total_col] if total_col else []
+    )
+    return (
+        part.withColumn("_gr_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets.select(*keep)), ["_gr_pid", *group_cols])
+        .withColumn(
+            rank_col, (F.col("_gr_off") + F.col("_gr_lrk")).cast("bigint")
+        )
+        .drop("_gr_pid", "_gr_lrk", "_gr_off")
+    )
+
+
 def ntile_from_rank(rk: Column, n: Column, buckets: int) -> Column:
     """SQL NTILE(buckets) of the row with global rank ``rk`` (1-based)
     out of ``n`` rows: bucket sizes differ by at most one, the first

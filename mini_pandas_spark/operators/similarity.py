@@ -348,6 +348,13 @@ _QUANTIZER_MEMO_MAX = 8
 # Verified embedding near-dup pair frame memo (the dedup._SKETCH_MEMO
 # recipe): keyed on (applicationId, fixture fingerprint) so a new session
 # or regenerated fixture never sees a stale frame; LRU-bounded.
+# LOCAL-MODE ASSUMPTION (ADVICE r6 #3): entries hold lazily
+# localCheckpointed frames whose lineage is truncated — on a multi-
+# executor cluster an executor loss invalidates checkpoint blocks and a
+# later memo hit would fail with "checkpoint block not found" without
+# self-healing.  Fine on local[N] (blocks live in the one JVM for the
+# session's lifetime); a production port persists these stage tables to
+# parquet (the streaming standing-index tables show that shape).
 _EMB_PAIRS_MEMO: OrderedDict = OrderedDict()
 _EMB_PAIRS_MEMO_MAX = 4
 

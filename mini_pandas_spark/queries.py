@@ -7021,3 +7021,25 @@ register(
 # memoized quantizer layout.  Rows-only (cells aren't SQL-expressible);
 # pytest pins occupancy accounting, determinism, and policy consistency.
 register("ivf_cell_balance", similarity.ivf_cell_balance, None)
+
+
+# Custom-connector ROUND TRIP: documents projected through the
+# checksummed manifest SINK, read back through the manifest SOURCE
+# (manifest-trust + per-shard crc32 re-verification in-stream), then
+# aggregated.  The oracle aggregates the original table — any row lost,
+# duplicated, or mangled by either connector half breaks the hash.
+from .sources import manifest_sink as _manifest  # noqa: E402
+
+register(
+    "manifest_roundtrip_stats",
+    _manifest.manifest_roundtrip_stats,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)

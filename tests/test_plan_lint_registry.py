@@ -53,6 +53,7 @@ BOUNDED_BUILD_JOBS = {
     "neardup_cluster_sizes",
     "curriculum_stages",  # histogram / cut-row / cut-doc-rank collects
     "observed_scan_metrics",  # the observe-filling action runs at build
+    "manifest_roundtrip_stats",  # the manifest-sink write job runs at build
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
@@ -131,6 +132,64 @@ def test_registry_has_no_corpus_global_windows(built_registry):
             if not (subtree & _BOUNDING_NODES):
                 failures.setdefault(name, []).append(
                     f"{cls} over {sorted(subtree)}"
+                )
+    assert not failures, failures
+
+
+# Low-cardinality fixture dimensions: a Window partitioned ONLY by these
+# keys funnels ~1/|key| of the corpus through one task — at 100 TB a
+# ~20-value `source` partition is ~5 TB sorted in one place (round-6
+# verdict item #1: rho_loss_selection's per-source row_number).  Allowed
+# only when the window's input subtree is already reduced (Aggregate /
+# GlobalLimit / Distinct) or rank-limited (WindowGroupLimit — Spark's
+# InferWindowGroupLimit bounds per-group data map-side when a rank
+# filter is pushed, so `filter(row_number <= k)` shapes are safe).
+_LOW_CARD_KEYS = {"source", "lang", "event_type"}
+_LOW_CARD_BOUNDING = _BOUNDING_NODES | {"WindowGroupLimit"}
+
+# Queries allowed to keep a low-cardinality-partitioned window over a
+# non-reduced input, each with a written justification.  Keep empty.
+LOW_CARD_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+import re as _re
+
+_ATTR_RE = _re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def test_registry_has_no_low_cardinality_partition_windows(built_registry):
+    """No Window whose partition keys are ALL low-cardinality fixture
+    dimensions (source/lang/event_type) over a non-reduced,
+    non-rank-limited input: such a window sorts a constant fraction of
+    the corpus in ONE task (round-6 verdict item #1)."""
+    failures = {}
+    for name, df in built_registry.items():
+        if name in LOW_CARD_WINDOW_ALLOWLIST:
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _walk(plan):
+            cls = node.getClass().getSimpleName()
+            if cls != "Window":
+                continue
+            try:
+                spec = node.partitionSpec()
+                nparts = spec.length()
+            except Exception:
+                continue
+            if nparts == 0:
+                continue  # covered by the global-window lint
+            keys = set()
+            for i in range(nparts):
+                keys |= set(_ATTR_RE.findall(spec.apply(i).toString()))
+            if not keys or not keys <= _LOW_CARD_KEYS:
+                continue  # at least one high-cardinality partition key
+            subtree = {
+                n.getClass().getSimpleName()
+                for i in range(node.children().length())
+                for n in _walk(node.children().apply(i))
+            }
+            if not (subtree & _LOW_CARD_BOUNDING):
+                failures.setdefault(name, []).append(
+                    f"Window partitioned by {sorted(keys)} over {sorted(subtree)}"
                 )
     assert not failures, failures
 

@@ -282,3 +282,55 @@ def test_manifest_sink_writes_shards_and_manifest(spark, tmp_path):
         assert n == shard["rows"]
         assert (crc & 0x7FFFFFFF) == shard["checksum"], shard
     assert len(seen) == 25
+
+
+def test_manifest_source_roundtrip_trust_and_checksum(spark, tmp_path):
+    """Custom Python DataSource READER (manifest_source): (a) the round
+    trip through sink+source preserves every row exactly; (b) an orphan
+    shard NOT listed in the committed manifest is invisible
+    (manifest-trust, the lakehouse atomic-visibility contract); (c) a
+    corrupted shard fails the in-stream crc32/row-count re-verification
+    loudly instead of returning silently wrong data."""
+    import json
+    import os
+
+    from mini_pandas_spark.sources import load_table
+    from mini_pandas_spark.sources.manifest_sink import (
+        read_manifest,
+        write_manifest,
+    )
+
+    out = str(tmp_path / "rt")
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "nation")
+        .select("n_nationkey", "n_name")
+        .repartition(4)
+    )
+    write_manifest(df, out)
+    ddl = "n_nationkey bigint, n_name string"
+
+    back = read_manifest(spark, out, ddl)
+    assert sorted(r.n_nationkey for r in back.collect()) == list(range(25))
+    assert back.schema.simpleString() == (
+        "struct<n_nationkey:bigint,n_name:string>"
+    )
+
+    # (b) orphan shard (never committed) must be invisible
+    with open(os.path.join(out, "shard-99999.jsonl"), "w") as f:
+        f.write(json.dumps({"n_nationkey": 999, "n_name": "GHOST"}) + "\n")
+    assert read_manifest(spark, out, ddl).count() == 25
+
+    # (c) corrupt one committed shard -> checksum mismatch must raise
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    victim = os.path.join(out, manifest["shards"][0]["file"])
+    with open(victim) as f:
+        lines = f.readlines()
+    rec = json.loads(lines[0])
+    rec["n_name"] = "TAMPERED"
+    lines[0] = json.dumps(rec, default=str, sort_keys=True) + "\n"
+    with open(victim, "w") as f:
+        f.writelines(lines)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="verification|crc|manifest_source"):
+        read_manifest(spark, out, ddl).count()
