@@ -142,6 +142,10 @@ HEADLINE = [
     "ivf_cell_balance",
     # round-7 additions
     "manifest_roundtrip_stats",
+    "grouped_median_chars",
+    "transpose_returnflag_stats",
+    "streaming_coreset_moments",
+    "auc_stopword_density",
 ]
 
 

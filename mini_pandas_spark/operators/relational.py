@@ -574,6 +574,37 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transpose_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose surface (new in Spark 4): the per-returnflag
+    pricing profile (avg quantity / price / discount, exact decimal sums
+    per the money_avg determinism contract) flipped to one row per
+    METRIC with one column per flag — the presentation flip every BI
+    hand-off does after a groupBy.
+
+    Engine note: transpose names result columns from the index column's
+    VALUES, so analysis runs the child eagerly — fine here because the
+    child is already a ≤|flags|-row aggregate (a bounded build job, like
+    observed_scan_metrics); never transpose a fact-sized frame.  The
+    child is sorted on the index column so the column order (A, N, R)
+    is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            (decimal_sum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            money_avg("l_extendedprice").alias("avg_price"),
+            (decimal_sum(F.col("l_discount"), 2) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+    return stats.transpose("l_returnflag").orderBy("key")
+
+
 def scd2_merge_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 upsert without MERGE INTO (no
     Delta in this image): anti-join + union + deterministic versioning.

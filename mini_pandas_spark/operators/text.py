@@ -1505,6 +1505,113 @@ def quantile_align_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def auc_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected AUC (Mann-Whitney U) of the English-stopword
+    DENSITY score for detecting gold ``lang == 'en'`` — the
+    ranking-metric companion of langid_confusion_metrics (threshold
+    metrics) and calibration_bins_orders (probability calibration):
+    AUC evaluates the score's full ordering, which is what a corpus
+    curation pipeline actually thresholds.
+
+    Distributed-exact shape: AUC never needs per-row ranks — it is fully
+    determined by the per-SCORE (positives, negatives) histogram:
+    U = Σ_s pos_s · (neg_below(s) + neg_s/2).  The corpus reduces to one
+    map-side-combined groupBy on the (integer-scaled) score; the
+    cumulative negative count is a window over that REDUCED frame
+    (lint-bounded); everything stays integer via 2U = Σ pos_s ·
+    (2·neg_below + neg_s), so both engines divide the same exact
+    integers at the end.  Score = round(10⁶ · en_hits / n_tokens)
+    micro-density (integer, invariant 6).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOP))).cast("long")
+    n_tok = F.size(toks).cast("long")
+    score = F.round(en_hits * F.lit(1000000.0) / n_tok).cast("bigint")
+    is_pos = (F.col("lang") == "en").cast("long")
+    hist = (
+        d.select(score.alias("score"), is_pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("pos_s"),
+            F.sum(F.lit(1) - F.col("pos")).alias("neg_s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum("neg_s").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_s") * (F.lit(2) * F.col("neg_below") + F.col("neg_s"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+            + F.lit(0.0)
+        ).alias("auc"),
+    )
+
+
+def grouped_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source median document length WITHOUT a per-source
+    window sort: the distributed grouped-rank primitive
+    (`ranking.with_grouped_rank` — range repartition on (source,
+    n_chars, doc_id), per-partition local ranks, broadcast per-(pid,
+    source) prefix offsets) assigns each doc its within-source rank;
+    the median is then the mean of the ≤2 middle-ranked rows.  A
+    ``Window.partitionBy("source")`` would sort a whole ~5 TB source in
+    one task at 100 TB (round-6 verdict item #1); this shape never
+    sorts more than one range partition per task.
+
+    Determinism: ranks are exact integers; the median is
+    (lo + hi) / 2 over int64 values — the same IEEE double DuckDB's
+    quantile_cont(0.5) interpolation produces on integers.
+    """
+    from .ranking import with_grouped_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    g = with_grouped_rank(
+        d, ["source"], ["n_chars", "doc_id"], rank_col="rk", total_col="n_src"
+    )
+    lo = F.expr("(n_src + 1) div 2")
+    hi = F.expr("(n_src + 2) div 2")
+    med = (
+        g.where((F.col("rk") == lo) | (F.col("rk") == hi))
+        .groupBy("source")
+        .agg(
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "median_chars"
+            )
+        )
+    )
+    ext = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return (
+        ext.join(med, "source")
+        .select("source", "n_docs", "median_chars", "min_chars", "max_chars")
+        .orderBy("source")
+    )
+
+
 def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE merge iteration over the corpus: count adjacent character
     pairs weighted by word frequency and rank the top-20 merge

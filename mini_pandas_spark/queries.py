@@ -7043,3 +7043,131 @@ register(
     GROUP BY source ORDER BY source
     """,
 )
+
+
+# Per-source exact median via the distributed grouped-rank primitive —
+# no per-source window sort anywhere (round-6 verdict item #1's fix,
+# exercised as its own oracle-gated operator).  quantile_cont(0.5) on
+# integers interpolates to the same IEEE double as (lo + hi) / 2.
+register(
+    "grouped_median_chars",
+    text.grouped_median_chars,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) + 0.0 AS median_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+
+
+# DataFrame.transpose surface (new in Spark 4): metric-per-row flip of
+# the per-returnflag pricing profile; decimal-exact averages per the
+# money determinism contract.
+register(
+    "transpose_returnflag_stats",
+    relational.transpose_returnflag_stats,
+    """
+    WITH s AS (
+        SELECT l_returnflag AS f,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_disc
+        FROM lineitem GROUP BY 1
+    )
+    SELECT 'avg_qty' AS key,
+           (SELECT avg_qty FROM s WHERE f = 'A') AS A,
+           (SELECT avg_qty FROM s WHERE f = 'N') AS N,
+           (SELECT avg_qty FROM s WHERE f = 'R') AS R
+    UNION ALL
+    SELECT 'avg_price',
+           (SELECT avg_price FROM s WHERE f = 'A'),
+           (SELECT avg_price FROM s WHERE f = 'N'),
+           (SELECT avg_price FROM s WHERE f = 'R')
+    UNION ALL
+    SELECT 'avg_disc',
+           (SELECT avg_disc FROM s WHERE f = 'A'),
+           (SELECT avg_disc FROM s WHERE f = 'N'),
+           (SELECT avg_disc FROM s WHERE f = 'R')
+    ORDER BY key
+    """,
+)
+
+
+# Tenth streaming topology: streaming coreset maintenance — per-(cell,
+# dim) integer micro-unit moments kept in keyed state; quantization
+# BEFORE aggregation makes the drain batch-equivalent bit-for-bit, so
+# the topology carries a full oracle.
+register(
+    "streaming_coreset_moments",
+    _stream_windows.streaming_coreset_moments,
+    """
+    WITH m AS (
+        SELECT CAST(
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+               AS INTEGER) AS cell,
+               g.i - 1 AS dim,
+               CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+    )
+    SELECT cell,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 + 0.0 AS mean_val,
+           CAST(SUM(q * q) AS DOUBLE) / COUNT(*) / 1000000000000.0 + 0.0
+               AS second_moment
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+
+# Exact tie-corrected AUC from the per-score histogram (Mann-Whitney U
+# without per-row ranks): 2U stays integer, so both engines divide the
+# same exact integers.
+register(
+    "auc_stopword_density",
+    text.auc_stopword_density,
+    f"""
+    WITH s AS (
+        SELECT CAST(round(
+                   len(list_filter({_TOKENS},
+                       x -> x IN ('the','a','of','and','to','in')))
+                   * 1000000.0 / len({_TOKENS})) AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), h AS (
+        SELECT score, SUM(pos) AS pos_s, SUM(1 - pos) AS neg_s
+        FROM s GROUP BY 1
+    ), c AS (
+        SELECT pos_s, neg_s,
+               COALESCE(SUM(neg_s) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM h
+    )
+    SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS u2,
+           CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS DOUBLE)
+               / (2.0 * SUM(pos_s) * SUM(neg_s)) + 0.0 AS auc
+    FROM c
+    """,
+)

@@ -33,6 +33,7 @@ STREAMING_DRAINS = {
     "streaming_manifest_sink",
     "stream_static_dedup",
     "streaming_neardup_lsh",
+    "streaming_coreset_moments",
 }
 
 # These run bounded driver-side jobs at build time (k-means partials,
@@ -54,6 +55,7 @@ BOUNDED_BUILD_JOBS = {
     "curriculum_stages",  # histogram / cut-row / cut-doc-rank collects
     "observed_scan_metrics",  # the observe-filling action runs at build
     "manifest_roundtrip_stats",  # the manifest-sink write job runs at build
+    "transpose_returnflag_stats",  # transpose analyzes its 3-row child eagerly
 }
 
 FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]

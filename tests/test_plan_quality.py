@@ -94,6 +94,7 @@ STREAMING_QUERIES = {
     "streaming_manifest_sink",
     "stream_static_dedup",
     "streaming_neardup_lsh",
+    "streaming_coreset_moments",
 }
 
 

@@ -112,3 +112,57 @@ def test_global_rank_more_partitions_than_rows(spark):
     assert sorted(got.select("val", "tie", "rk").collect()) == sorted(
         want.select("val", "tie", "rk").collect()
     )
+
+
+def test_grouped_rank_matches_partitioned_row_number(spark):
+    """with_grouped_rank must reproduce
+    row_number() OVER (PARTITION BY g ORDER BY ...) bit-for-bit — it is
+    the scale-safe substitute for low-cardinality-partitioned windows
+    (round-6 verdict item #1)."""
+    from mini_pandas_spark.operators.ranking import with_grouped_rank
+
+    df = (
+        spark.range(997)
+        .repartition(7)
+        .select(
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 37 % 100).alias("val"),
+            F.col("id").alias("tie"),
+        )
+    )
+    got = with_grouped_rank(
+        df, ["g"], ["val", "tie"], rank_col="rk", num_parts=5
+    )
+    w = Window.partitionBy("g").orderBy("val", "tie")
+    want = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert sorted(got.select("g", "val", "tie", "rk").collect()) == sorted(
+        want.select("g", "val", "tie", "rk").collect()
+    )
+
+
+def test_grouped_rank_total_col_and_boundary_regimes(spark):
+    """n_src must equal the group size; adversarial regimes: one giant
+    group (all rows one key), singleton groups (key == row), and more
+    partitions than rows."""
+    from mini_pandas_spark.operators.ranking import with_grouped_rank
+
+    # one giant group
+    one = spark.range(200).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    got = with_grouped_rank(one, ["g"], ["v"], rank_col="rk", total_col="n")
+    rows = got.collect()
+    assert all(r.n == 200 for r in rows)
+    assert sorted(r.rk for r in rows) == list(range(1, 201))
+
+    # singleton groups
+    single = spark.range(50).select(
+        F.col("id").alias("g"), (F.col("id") * 3).alias("v")
+    )
+    got = with_grouped_rank(single, ["g"], ["v"], rank_col="rk", total_col="n")
+    assert all(r.rk == 1 and r.n == 1 for r in got.collect())
+
+    # more partitions than rows
+    tiny = spark.range(3).select((F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    got = with_grouped_rank(
+        tiny, ["g"], ["v"], rank_col="rk", num_parts=16, total_col="n"
+    )
+    assert sorted((r.g, r.rk) for r in got.collect()) == [(0, 1), (0, 2), (1, 1)]
