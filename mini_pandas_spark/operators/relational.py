@@ -4009,3 +4009,267 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, sum_chars long, min_chars long, max_chars long, "
         "n_empty long, n_sources long",
     )
+
+
+def customer_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gap statistics via the grouped
+    ``applyInArrow`` surface (Spark 4): each customer's order days arrive
+    as ONE pyarrow.Table, are sorted group-locally, and the gap stats
+    (max / lower-median / span) come out of integer day arithmetic —
+    the Arrow-native grouped map that skips the pandas conversion
+    ``applyInPandas`` pays on both edges.
+
+    Determinism: days are exact integers (``epoch seconds div 86400`` —
+    floor division, mirrored as ``CAST(epoch(..) AS BIGINT) // 86400``);
+    gaps are diffs of the SORTED day multiset, so tie order is
+    irrelevant; the median is the LOWER median (element at index
+    (n-1)//2 of the sorted gaps), picked explicitly in both engines
+    rather than trusting either engine's quantile convention.
+    Single-order customers have no gaps and are excluded (mirrored).
+
+    Scale: the group key is o_custkey — cardinality grows WITH the data
+    (no low-cardinality funnel), and rows per group are bounded by
+    orders-per-customer, so the per-group sort is O(small) regardless of
+    corpus size.  One hash shuffle on the key; the closure is
+    self-contained (imports inside, CLAUDE.md invariant 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        # NTZ → timestamp is a re-tag under the pinned UTC session tz
+        F.expr(
+            "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
+        ).alias("day"),
+    )
+
+    def gap_stats(tbl):
+        # self-contained closure (pickled by value; no module refs)
+        import numpy as np
+        import pyarrow as pa
+
+        d = np.sort(tbl.column("day").to_numpy(zero_copy_only=False))
+        if len(d) < 2:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "span_days": pa.array([], pa.int64()),
+                    "max_gap_days": pa.array([], pa.int64()),
+                    "med_gap_days": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.sort(np.diff(d))
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    [int(tbl.column("o_custkey")[0].as_py())], pa.int64()
+                ),
+                "n_orders": pa.array([len(d)], pa.int64()),
+                "span_days": pa.array([int(d[-1] - d[0])], pa.int64()),
+                "max_gap_days": pa.array([int(gaps[-1])], pa.int64()),
+                "med_gap_days": pa.array(
+                    [int(gaps[(len(gaps) - 1) // 2])], pa.int64()
+                ),
+            }
+        )
+
+    return days.groupBy("o_custkey").applyInArrow(
+        gap_stats,
+        schema=(
+            "o_custkey long, n_orders long, span_days long, "
+            "max_gap_days long, med_gap_days long"
+        ),
+    )
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph (edge =
+    two parts co-ordered in ≥2 distinct orders, same edge rule as
+    pagerank_copurchase) with the DEGREE-ORIENTED wedge join: every
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher, so each triangle is generated by exactly ONE wedge —
+    the one rooted at its lowest-ordered vertex — and out-degrees are
+    O(sqrt(m)) on any graph (Chiba–Nishizeki / "compact-forward").
+    A naive wedge join keyed on raw ids would explode on hub vertices
+    (a degree-d hub yields d² wedges; orientation caps it at the
+    sqrt(m) out-degree), which is the difference between feasible and
+    not at 100 TB.
+
+    Output is one row: node/edge/wedge/triangle counts plus the global
+    clustering coefficient 3·Δ/wedges, rounded in scaled-integer space
+    (invariant 6).  All counts are exact integers; the oracle counts the
+    same triangles via the canonical a<b<c three-way self-join (order
+    independence of the census makes the two formulations equal).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        po.alias("a")
+        .join(
+            po.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    # undirected degree per node (edges are canonical u<v)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from lower (deg, id) to higher; reuse one physical
+    # edge frame for both the wedge legs and the closing-edge probe
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    # wedges rooted at src: unordered out-neighbor pairs, emitted in
+    # canonical (min,max) id order so the closing probe hits the u<v set
+    w1 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    n_wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n")
+    ).select("n")
+    row = (
+        n_nodes.select(F.col("n").alias("n_nodes"))
+        .crossJoin(F.broadcast(n_edges.select(F.col("n").alias("n_edges"))))
+        .crossJoin(F.broadcast(n_wedges.select(F.col("n").alias("n_wedges"))))
+        .crossJoin(F.broadcast(n_tri.select(F.col("n").alias("n_triangles"))))
+    )
+    from ..functions import round_scaled
+
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            round_scaled(
+                F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
+            )
+            + F.lit(0.0)
+        ).alias("global_clustering"),
+    )
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of orders under (earlier order day,
+    higher total price): an order is on the frontier iff no other order
+    is at least as early AND at least as expensive with one strict —
+    the classic dominance query (Börzsönyi et al., ICDE 2001 "The
+    Skyline Operator").
+
+    Scale shape: dominance only depends on the per-day maximum price, so
+    the corpus first REDUCES to one row per day (groupBy — map-side
+    combined), the strictly-before cumulative max runs over that reduced
+    ≤|days| frame (the histogram-cut discipline: windows are fine over
+    reduced domains, never over the corpus), and frontier membership is
+    a day-keyed join + filter back on the fact table.  No task ever
+    sorts raw orders.
+
+    Determinism: prices compare in exact cents (bigint); day is an
+    integer floor division; ties (same day, same max price) are all
+    undominated and all kept — no arbitrary winner.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.expr(
+            "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
+        ).alias("day"),
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    daily = base.groupBy("day").agg(
+        F.max("price_cents").alias("day_max_cents")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = daily.withColumn(
+        "prev_max_cents",
+        F.coalesce(F.max("day_max_cents").over(w_prev), F.lit(-1)),
+    )
+    return (
+        base.join(F.broadcast(thresholds), "day")
+        .filter(
+            (F.col("price_cents") == F.col("day_max_cents"))
+            & (F.col("day_max_cents") > F.col("prev_max_cents"))
+        )
+        .select(
+            "o_orderkey",
+            "day",
+            (F.col("price_cents").cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: compress each customer's
+    order history into validity intervals of consecutive same-priority
+    runs (the warehouse pattern for turning an event log into a
+    versioned dimension).  Islands = difference of two row_numbers,
+    both windows partitioned by o_custkey — a HIGH-cardinality key that
+    grows with the data (the partition-window lint's allowed shape),
+    ordered by the unique (day, o_orderkey).
+
+    valid_to is the NEXT version's valid_from (exclusive convention);
+    the open current version carries the 99999 sentinel day so the
+    schema stays atomic bigint (no NULL-vs-string branch to desync the
+    engines).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.expr(
+            "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
+        ).alias("day"),
+        "o_orderkey",
+    )
+    w_all = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "day", "o_orderkey"
+    )
+    islands = base.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_pri)
+    )
+    runs = islands.groupBy("o_custkey", "o_orderpriority", "island").agg(
+        F.min("day").cast("long").alias("valid_from"),
+        # two runs can share a start day (same-day orders of different
+        # priorities) — the first order key is the unique succession
+        # tiebreak (invariant 3), mirrored in the oracle
+        F.min("o_orderkey").alias("first_key"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w_next = Window.partitionBy("o_custkey").orderBy("valid_from", "first_key")
+    return runs.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        F.coalesce(F.lead("valid_from").over(w_next), F.lit(99999))
+        .cast("long")
+        .alias("valid_to"),
+        "n_orders",
+    )

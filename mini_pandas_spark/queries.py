@@ -7205,3 +7205,250 @@ register(
     FROM marked GROUP BY source ORDER BY source
     """,
 )
+
+
+# Grouped applyInArrow surface (Spark 4): per-customer inter-order gap
+# stats from integer day arithmetic — group key cardinality scales with
+# the data, per-group rows are bounded, lower-median picked explicitly
+# in both engines (no quantile-convention trust).
+register(
+    "customer_order_gaps_arrow",
+    relational.customer_order_gaps_arrow,
+    """
+    WITH d AS (
+        SELECT o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+        FROM orders
+    ), g AS (
+        SELECT o_custkey,
+               day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day)
+                   AS gap
+        FROM d
+    ), s AS (
+        SELECT o_custkey, MAX(gap) AS max_gap_days,
+               list(gap ORDER BY gap)[((COUNT(*) - 1) // 2) + 1]
+                   AS med_gap_days
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ), t AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MAX(day) - MIN(day) AS BIGINT) AS span_days
+        FROM d GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT t.o_custkey, n_orders, span_days,
+           CAST(max_gap_days AS BIGINT) AS max_gap_days,
+           CAST(med_gap_days AS BIGINT) AS med_gap_days
+    FROM t JOIN s USING (o_custkey)
+    """,
+)
+
+
+# Degree-oriented triangle census of the part co-purchase graph; the
+# oracle counts the same triangles via the canonical a<b<c three-way
+# self-join (the census is orientation-independent).
+register(
+    "triangle_count_copurchase",
+    relational.triangle_count_copurchase,
+    """
+    WITH po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+        SELECT a.p AS u, b.p AS v FROM po a
+        JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+    ), tri AS (
+        SELECT COUNT(*) AS n FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+           CAST(round((SELECT n FROM tri) * 3.0
+                / (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+                * 1000000) AS BIGINT) / 1000000.0 + 0.0
+               AS global_clustering
+    """,
+)
+
+
+# BM25 top-10 retrieval for a fixed 3-term query; per-(doc, term)
+# contributions are quantized to integer micro-units BEFORE the per-doc
+# sum (order-free bigint SUM), ranking breaks ties on doc_id.
+register(
+    "bm25_topk_docs",
+    text.bm25_topk_docs,
+    r"""
+    WITH dl AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ), toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                          / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                   * 1000000.0) AS BIGINT) AS cm
+        FROM tf JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, c
+    ), s AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               CAST(SUM(cm) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched,
+           CAST(score_micro AS DOUBLE) / 1000000.0 + 0.0 AS bm25
+    FROM s ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+
+
+# 11th streaming topology: dropDuplicatesWithinWatermark first-seen
+# dedup + downstream count, drained AvailableNow == batch DISTINCT.
+register(
+    "streaming_dedup_user_days",
+    _stream_windows.streaming_dedup_user_days,
+    """
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id,
+               CAST(epoch(ts) AS BIGINT) // 86400 AS day
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(MIN(day) AS BIGINT) AS first_day,
+           CAST(MAX(day) AS BIGINT) AS last_day
+    FROM d GROUP BY 1
+    """,
+)
+
+
+# Skyline operator: dominance reduces to the per-day max, so the cumulative
+# max runs over the REDUCED daily frame (histogram-cut discipline) — no
+# corpus-global window; verified against a NOT EXISTS dominance check.
+register(
+    "pareto_frontier_orders",
+    relational.pareto_frontier_orders,
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), daily AS (
+        SELECT day, MAX(price_cents) AS day_max_cents FROM base GROUP BY 1
+    ), thr AS (
+        SELECT day, day_max_cents,
+               COALESCE(MAX(day_max_cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   AS prev_max_cents
+        FROM daily
+    )
+    SELECT o_orderkey, b.day,
+           CAST(b.price_cents AS DOUBLE) / 100.0 AS total_price
+    FROM base b JOIN thr USING (day)
+    WHERE b.price_cents = thr.day_max_cents
+      AND thr.day_max_cents > thr.prev_max_cents
+    """,
+)
+
+
+# SCD2 dimension build: islands windows partitioned by the
+# HIGH-cardinality o_custkey; unique succession tiebreak = first order
+# key of the run; open version carries the 99999 sentinel day.
+register(
+    "scd2_customer_priority",
+    relational.scd2_customer_priority,
+    """
+    WITH base AS (
+        SELECT o_custkey, o_orderpriority,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+               o_orderkey
+        FROM orders
+    ), isl AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY day, o_orderkey)
+             - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                   ORDER BY day, o_orderkey) AS island
+        FROM base
+    ), runs AS (
+        SELECT o_custkey, o_orderpriority AS priority,
+               CAST(MIN(day) AS BIGINT) AS valid_from,
+               MIN(o_orderkey) AS first_key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM isl GROUP BY o_custkey, o_orderpriority, island
+    )
+    SELECT o_custkey, priority, valid_from,
+           CAST(COALESCE(lead(valid_from) OVER (PARTITION BY o_custkey
+               ORDER BY valid_from, first_key), 99999) AS BIGINT)
+               AS valid_to,
+           n_orders
+    FROM runs
+    """,
+)
+
+
+# PSI covariate-drift check between the two md5 halves of the corpus;
+# Laplace-smoothed over the dense 10-bucket grid, per-bucket terms
+# quantized at 9 dp in scaled-integer space.
+register(
+    "psi_split_drift",
+    text.psi_split_drift,
+    """
+    WITH d AS (
+        SELECT (strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) % 2)
+                   AS split,
+               LEAST(9, n_chars // 200) AS bucket
+        FROM documents
+    ), hist AS (
+        SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM d GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.split, b.bucket
+        FROM (SELECT unnest(range(0, 2)) AS split) s,
+             (SELECT unnest(range(0, 10)) AS bucket) b
+    ), dense AS (
+        SELECT g.split, g.bucket, COALESCE(cnt, 0) AS cnt
+        FROM grid g LEFT JOIN hist h
+          ON g.split = h.split AND g.bucket = h.bucket
+    ), tot AS (
+        SELECT split, SUM(cnt) AS n FROM dense GROUP BY 1
+    ), wide AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN d.split = 0 THEN cnt END) AS BIGINT)
+                   AS cnt_a,
+               CAST(SUM(CASE WHEN d.split = 1 THEN cnt END) AS BIGINT)
+                   AS cnt_b,
+               CAST(MAX(CASE WHEN d.split = 0 THEN n END) AS BIGINT) AS n_a,
+               CAST(MAX(CASE WHEN d.split = 1 THEN n END) AS BIGINT) AS n_b
+        FROM dense d JOIN tot USING (split) GROUP BY bucket
+    )
+    SELECT CAST(bucket AS INT) AS bucket, cnt_a, cnt_b,
+           CAST(round(((cnt_a + 1.0) / (n_a + 10.0)
+                       - (cnt_b + 1.0) / (n_b + 10.0))
+               * ln(((cnt_a + 1.0) / (n_a + 10.0))
+                    / ((cnt_b + 1.0) / (n_b + 10.0)))
+               * 1000000000.0) AS BIGINT) / 1000000000.0 + 0.0 AS psi_term
+    FROM wide
+    """,
+)

@@ -1229,3 +1229,63 @@ def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(ADVICE r6 #1: fail loudly instead of draining empty)"
         )
     return spark.table(sink).orderBy("doc_new", "doc_old")
+
+
+def streaming_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup via ``dropDuplicatesWithinWatermark``
+    (the 11th topology, and the one streaming dedup API the engine had
+    not yet exercised): each (user, event_type, day) key is kept once
+    per watermark horizon, then a downstream count per event_type runs
+    over the deduplicated stream — the daily-active-user shape every
+    event pipeline computes, with dedup state bounded by the watermark
+    instead of growing forever (plain ``dropDuplicates`` on a stream
+    leaks state without bound; the WithinWatermark variant evicts keys
+    older than the delay).
+
+    Drained with AvailableNow over the static fixture the horizon covers
+    the whole file, so the result equals batch DISTINCT + count and
+    shares an ANSI oracle.  On a live stream the same code holds ~one
+    day of (user, type, day) keys.  Day ids are exact integer floor
+    divisions of epoch seconds (mirrored ``// 86400``).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        "ts",
+    ).withWatermark("ts", "3650 days")
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "day"]
+    )
+    # (distinct aggregates are unsupported on streams — the dedup op
+    # itself carries the distinctness; min/max are stream-legal)
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.min("day").cast("long").alias("first_day"),
+        F.max("day").cast("long").alias("last_day"),
+    )
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_in = sum(
+            int(
+                p.numInputRows
+                if hasattr(p, "numInputRows")
+                else p["numInputRows"]
+            )
+            for p in (q.recentProgress or [])
+        )
+    if n_in == 0:
+        raise RuntimeError(
+            "streaming_dedup_user_days: the event stream read 0 rows — "
+            f"source layout under {sf_dir} no longer matches the reader"
+        )
+    return spark.table(sink)

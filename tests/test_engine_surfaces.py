@@ -98,3 +98,199 @@ def test_count_min_sketch_one_sided_error(spark):
     ).collect()[0]["sk"]
     assert sk == sk2
     assert all(n == 100 for n in true.values())
+
+
+def test_apply_in_arrow_gap_stats_match_pandas(spark):
+    """customer_order_gaps_arrow (grouped applyInArrow) equals a pandas
+    recomputation at sf0.001 — exact integer day/gap math, lower median."""
+    import numpy as np
+
+    from mini_pandas_spark.operators.relational import customer_order_gaps_arrow
+    from mini_pandas_spark.sources import load_table
+
+    got = {
+        r["o_custkey"]: r
+        for r in customer_order_gaps_arrow(spark, SF).collect()
+    }
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(
+            "o_custkey",
+            F.expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400").alias(
+                "day"
+            ),
+        )
+        .toPandas()
+    )
+    n_multi = 0
+    for ck, grp in pdf.groupby("o_custkey"):
+        d = np.sort(grp["day"].to_numpy())
+        if len(d) < 2:
+            assert ck not in got
+            continue
+        n_multi += 1
+        gaps = np.sort(np.diff(d))
+        row = got[ck]
+        assert row["n_orders"] == len(d)
+        assert row["span_days"] == int(d[-1] - d[0])
+        assert row["max_gap_days"] == int(gaps[-1])
+        assert row["med_gap_days"] == int(gaps[(len(gaps) - 1) // 2])
+    assert n_multi == len(got) > 0
+
+
+def test_triangle_census_matches_naive_on_planted_graph(spark):
+    """The degree-oriented wedge join counts each triangle exactly once:
+    plant a graph with known triangles (two triangles sharing an edge +
+    a square with one diagonal + a pendant) and compare to brute force."""
+    from itertools import combinations
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (2, 4), (3, 4),                  # triangle B shares edge (2,3)
+        (5, 6), (6, 7), (7, 8), (5, 8), (5, 7),  # square + diagonal: 2 tris
+        (8, 9),                          # pendant
+    ]
+    eset = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in eset for n in e})
+    naive = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    e = spark.createDataFrame(sorted(eset), "u long, v long")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    assert closed.count() == naive == 4
+
+
+def test_bm25_scores_decrease_and_match_terms(spark):
+    """bm25_topk_docs: scores are positive, non-increasing down the
+    top-10, and every hit matched at least one query term."""
+    from mini_pandas_spark.operators.text import bm25_topk_docs
+
+    rows = bm25_topk_docs(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["bm25"] > 0 and 1 <= r["n_terms_matched"] <= 3 for r in rows)
+
+
+def test_streaming_dedup_user_days_equals_batch_distinct(spark):
+    """The dropDuplicatesWithinWatermark drain equals batch DISTINCT
+    counts at sf0.001."""
+    from mini_pandas_spark.sources import load_table
+    from mini_pandas_spark.streaming.windows import streaming_dedup_user_days
+
+    got = {
+        r["event_type"]: (r["n_user_days"], r["first_day"], r["last_day"])
+        for r in streaming_dedup_user_days(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    )
+    want = {
+        r["event_type"]: (r["n"], r["lo"], r["hi"])
+        for r in ev.distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    """Brute-force dominance check at sf0.001: the reduced-domain skyline
+    equals the set of orders no other order dominates."""
+    from mini_pandas_spark.operators.relational import pareto_frontier_orders
+    from mini_pandas_spark.sources import load_table
+
+    got = {r["o_orderkey"] for r in pareto_frontier_orders(spark, SF).collect()}
+    rows = (
+        load_table(spark, SF, "orders")
+        .select(
+            "o_orderkey",
+            F.expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400").alias(
+                "day"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        )
+        .collect()
+    )
+    pts = [(r["o_orderkey"], r["day"], r["p"]) for r in rows]
+    want = {
+        k
+        for k, d, p in pts
+        if not any(
+            (d2 <= d and p2 >= p and (d2 < d or p2 > p)) for _, d2, p2 in pts
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_scd2_versions_tile_each_customer_history(spark):
+    """SCD2 invariants: per customer the version intervals are strictly
+    increasing on valid_from succession, exactly one open (sentinel)
+    version exists, and n_orders sums to the customer's order count."""
+    from collections import defaultdict
+
+    from mini_pandas_spark.operators.relational import scd2_customer_priority
+    from mini_pandas_spark.sources import load_table
+
+    runs = defaultdict(list)
+    for r in scd2_customer_priority(spark, SF).collect():
+        runs[r["o_custkey"]].append(r)
+    order_counts = {
+        r["o_custkey"]: r["n"]
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(runs) == set(order_counts)
+    for ck, vs in runs.items():
+        assert sum(v["n_orders"] for v in vs) == order_counts[ck]
+        assert sum(1 for v in vs if v["valid_to"] == 99999) == 1
+        for v in vs:
+            # == is legitimate at day granularity: a successor version
+            # can begin on the same day (same-day orders of different
+            # priorities, succession broken by first order key)
+            assert v["valid_from"] <= v["valid_to"]
+
+
+def test_psi_split_drift_is_small_and_dense(spark):
+    """An md5 split is unbiased: all 10 buckets present, total PSI well
+    under the 0.25 action threshold, counts cover the corpus."""
+    from mini_pandas_spark.operators.text import psi_split_drift
+    from mini_pandas_spark.sources import load_table
+
+    rows = psi_split_drift(spark, SF).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["cnt_a"] + r["cnt_b"] for r in rows) == n_docs
+    assert sum(r["psi_term"] for r in rows) < 0.25
