@@ -149,11 +149,10 @@ HEADLINE = [
     "ngram_novelty_by_source",
     "customer_order_gaps_arrow",
     "triangle_count_copurchase",
-    "bm25_topk_docs",
     "streaming_dedup_user_days",
-    "pareto_frontier_orders",
     "scd2_customer_priority",
     "psi_split_drift",
+    "sql_udf_revenue_tiers",
 ]
 
 

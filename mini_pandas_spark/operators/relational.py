@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import cents, decimal_sum, disc_price_sum, money_avg, money_sum
-from ..sources import load_table
+from ..sources import load_table, register_views
 
 
 def flagship_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2104,69 +2104,6 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
-def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the part co-purchase graph (parts are nodes;
-    an edge = two parts bought together in ≥2 distinct orders) — the
-    graph-analytics cohesion metric, computed with the degree-oriented
-    wedge join (Suri & Vassilvitskii, WWW'11 "MapReduce clustering
-    coefficient"): orient every undirected edge from its (degree, id)-
-    smaller endpoint, join wedges (u→v, u→w) against oriented edges
-    (v→w) so each triangle is counted exactly once AND the wedge
-    fan-out is bounded by the smaller degree — high-degree hubs never
-    expand quadratically, the property that keeps the join feasible on a
-    100 TB co-occurrence graph.
-
-    Output: one row (n_nodes, n_edges, n_triangles).  Oracle: the same
-    count via the a<b<c closed-wedge join on the undirected edge set
-    (orientation changes the join cost, never the count).
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    pairs = (
-        po.alias("a")
-        .join(po.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    edges = pairs.filter(F.col("cnt") >= 2).select("pa", "pb")
-    nodes = edges.select(F.col("pa").alias("node")).union(
-        edges.select(F.col("pb").alias("node"))
-    )
-    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    # orientation key: (degree, id) — a total order; 1e7 > max partkey
-    withdeg = (
-        edges.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("deg", "da"), "pa")
-        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
-        .withColumn("ka", F.col("da") * F.lit(10_000_000) + F.col("pa"))
-        .withColumn("kb", F.col("db") * F.lit(10_000_000) + F.col("pb"))
-    )
-    oriented = withdeg.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("u"),
-        F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("v"),
-        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
-    )
-    e1 = oriented.select(F.col("u"), F.col("v"), F.col("kv"))
-    wedges = (
-        e1.alias("x")
-        .join(e1.alias("y"), (F.col("x.u") == F.col("y.u")) & (F.col("x.kv") < F.col("y.kv")))
-        .select(F.col("x.v").alias("wv"), F.col("y.v").alias("ww"))
-    )
-    closing = oriented.select(F.col("u").alias("wv"), F.col("v").alias("ww"))
-    # one declarative plan: three 1-row aggregates stitched by broadcast —
-    # no driver-side counts
-    return (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(
-            F.broadcast(
-                wedges.join(closing, ["wv", "ww"]).agg(
-                    F.count(F.lit(1)).alias("n_triangles")
-                )
-            )
-        )
-    )
-
-
 def item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering over co-purchases: for every
     part, the top-3 recommended parts by co-occurrence cosine
@@ -4013,26 +3950,34 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer inter-order gap statistics via the grouped
-    ``applyInArrow`` surface (Spark 4): each customer's order days arrive
-    as ONE pyarrow.Table, are sorted group-locally, and the gap stats
-    (max / lower-median / span) come out of integer day arithmetic —
-    the Arrow-native grouped map that skips the pandas conversion
-    ``applyInPandas`` pays on both edges.
+    ``applyInArrow`` surface (Spark 4), with BLOCK-keyed groups: groups
+    are 64-customer blocks (``o_custkey div 64``), and the closure
+    resolves per-customer segments inside each block with vectorized
+    numpy boundary math.  Grouped-map dispatch costs milliseconds per
+    group (Arrow slice + Python call + table build — measured ~8 ms);
+    keyed on raw o_custkey that is 15k dispatches at sf0.1 and the
+    dispatch dominates (~6 s serial).  Block keys amortize it ~64×
+    (measured 6.4 s → 2.1 s) while keeping the key HIGH-cardinality —
+    block count grows with the data, no low-cardinality funnel, per
+    group rows stay bounded (≤64 customers × orders-per-customer).
+    This is the general recipe for grouped-map over many tiny groups.
 
     Determinism: days are exact integers (``epoch seconds div 86400`` —
     floor division, mirrored as ``CAST(epoch(..) AS BIGINT) // 86400``);
-    gaps are diffs of the SORTED day multiset, so tie order is
+    per-customer segments come from a lexsort on (custkey, day), so gaps
+    are diffs of each customer's SORTED day multiset and tie order is
     irrelevant; the median is the LOWER median (element at index
     (n-1)//2 of the sorted gaps), picked explicitly in both engines
     rather than trusting either engine's quantile convention.
     Single-order customers have no gaps and are excluded (mirrored).
 
-    Scale: the group key is o_custkey — cardinality grows WITH the data
-    (no low-cardinality funnel), and rows per group are bounded by
-    orders-per-customer, so the per-group sort is O(small) regardless of
-    corpus size.  One hash shuffle on the key; the closure is
+    The explicit ``repartition(P, blk)`` is load-bearing for parallelism:
+    AQE would coalesce the small shuffle to 1-2 partitions by byte size,
+    serializing the Python stage whose cost AQE cannot see; a
+    user-specified repartition is exempt from coalescing.  The closure is
     self-contained (imports inside, CLAUDE.md invariant 1).
     """
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = load_table(spark, sf_dir, "orders")
     days = o.select(
         "o_custkey",
@@ -4040,40 +3985,36 @@ def customer_order_gaps_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
         ).alias("day"),
-    )
+        F.expr("o_custkey div 64").alias("blk"),
+    ).repartition(num_parts, "blk")
 
     def gap_stats(tbl):
         # self-contained closure (pickled by value; no module refs)
         import numpy as np
         import pyarrow as pa
 
-        d = np.sort(tbl.column("day").to_numpy(zero_copy_only=False))
-        if len(d) < 2:
-            return pa.table(
-                {
-                    "o_custkey": pa.array([], pa.int64()),
-                    "n_orders": pa.array([], pa.int64()),
-                    "span_days": pa.array([], pa.int64()),
-                    "max_gap_days": pa.array([], pa.int64()),
-                    "med_gap_days": pa.array([], pa.int64()),
-                }
-            )
-        gaps = np.sort(np.diff(d))
+        ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        dy = tbl.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dy, ck))
+        ck, dy = ck[order], dy[order]
+        cuts = np.flatnonzero(np.diff(ck)) + 1
+        out = {k: [] for k in
+               ("o_custkey", "n_orders", "span_days",
+                "max_gap_days", "med_gap_days")}
+        for seg_ck, seg in zip(np.split(ck, cuts), np.split(dy, cuts)):
+            if len(seg) < 2:
+                continue
+            gaps = np.sort(np.diff(seg))
+            out["o_custkey"].append(int(seg_ck[0]))
+            out["n_orders"].append(len(seg))
+            out["span_days"].append(int(seg[-1] - seg[0]))
+            out["max_gap_days"].append(int(gaps[-1]))
+            out["med_gap_days"].append(int(gaps[(len(gaps) - 1) // 2]))
         return pa.table(
-            {
-                "o_custkey": pa.array(
-                    [int(tbl.column("o_custkey")[0].as_py())], pa.int64()
-                ),
-                "n_orders": pa.array([len(d)], pa.int64()),
-                "span_days": pa.array([int(d[-1] - d[0])], pa.int64()),
-                "max_gap_days": pa.array([int(gaps[-1])], pa.int64()),
-                "med_gap_days": pa.array(
-                    [int(gaps[(len(gaps) - 1) // 2])], pa.int64()
-                ),
-            }
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
         )
 
-    return days.groupBy("o_custkey").applyInArrow(
+    return days.groupBy("blk").applyInArrow(
         gap_stats,
         schema=(
             "o_custkey long, n_orders long, span_days long, "
@@ -4115,6 +4056,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
         .select("u", "v")
+        # localCheckpoint is a COST fix, not correctness: four consumers
+        # (degrees, orientation, closing-edge probe, edge count) would
+        # each replay the quadratic pair-generation join without it
+        # (measured 5.9s → materialized-once at sf0.1); at 100 TB the
+        # edge list is a persisted stage table
+        .localCheckpoint(eager=False)
     )
     # undirected degree per node (edges are canonical u<v)
     deg = (
@@ -4172,59 +4119,6 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline / Pareto frontier of orders under (earlier order day,
-    higher total price): an order is on the frontier iff no other order
-    is at least as early AND at least as expensive with one strict —
-    the classic dominance query (Börzsönyi et al., ICDE 2001 "The
-    Skyline Operator").
-
-    Scale shape: dominance only depends on the per-day maximum price, so
-    the corpus first REDUCES to one row per day (groupBy — map-side
-    combined), the strictly-before cumulative max runs over that reduced
-    ≤|days| frame (the histogram-cut discipline: windows are fine over
-    reduced domains, never over the corpus), and frontier membership is
-    a day-keyed join + filter back on the fact table.  No task ever
-    sorts raw orders.
-
-    Determinism: prices compare in exact cents (bigint); day is an
-    integer floor division; ties (same day, same max price) are all
-    undominated and all kept — no arbitrary winner.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey",
-        F.expr(
-            "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
-        ).alias("day"),
-        cents(F.col("o_totalprice")).alias("price_cents"),
-    )
-    daily = base.groupBy("day").agg(
-        F.max("price_cents").alias("day_max_cents")
-    )
-    w_prev = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    thresholds = daily.withColumn(
-        "prev_max_cents",
-        F.coalesce(F.max("day_max_cents").over(w_prev), F.lit(-1)),
-    )
-    return (
-        base.join(F.broadcast(thresholds), "day")
-        .filter(
-            (F.col("price_cents") == F.col("day_max_cents"))
-            & (F.col("day_max_cents") > F.col("prev_max_cents"))
-        )
-        .select(
-            "o_orderkey",
-            "day",
-            (F.col("price_cents").cast("double") / F.lit(100.0)).alias(
-                "total_price"
-            ),
-        )
-    )
-
-
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: compress each customer's
     order history into validity intervals of consecutive same-priority
@@ -4272,4 +4166,56 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("valid_to"),
         "n_orders",
+    )
+
+
+def sql_udf_revenue_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``), the
+    one SQL-frontend surface the engine had not yet exercised — both
+    kinds: a scalar function (discount-tier classifier + exact-cents
+    effective price) and a TABLE function (orders above a price floor),
+    composed into one aggregation.
+
+    Unlike a Python UDF, a SQL UDF's body is INLINED by the analyzer
+    into the calling plan — the physical plan shows the CASE and the
+    cents expression inside WholeStageCodegen partial aggregates, zero
+    Python boundary, full pushdown/pruning through the function call.
+    That is why this is the right extension point for reusable business
+    logic at 100 TB and Python UDFs are the last resort.
+
+    Determinism: tier boundaries compare parquet doubles exactly;
+    effective price is quantized to integer cents INSIDE the scalar
+    function (one round of a mirrored expression tree), so the sum is
+    exact bigint; the oracle mirrors the inlined bodies verbatim.
+    """
+    prefix = "sqludf_"
+    register_views(spark, sf_dir, prefix=prefix)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_tier(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d <= 0.01 THEN 'none'
+                    WHEN d <= 0.05 THEN 'low'
+                    ELSE 'high' END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION eff_cents(
+            ep DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+        RETURN CAST(round(ep * (1 - d) * (1 + t) * 100) AS BIGINT)"""
+    )
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION orders_above(thr DOUBLE)
+        RETURNS TABLE (o_orderkey BIGINT)
+        RETURN SELECT o_orderkey FROM {prefix}orders
+        WHERE o_totalprice > thr"""
+    )
+    return spark.sql(
+        f"""
+        SELECT disc_tier(l.l_discount) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(eff_cents(l.l_extendedprice, l.l_discount,
+                                  l.l_tax)) AS BIGINT) AS eff_cents_sum
+        FROM orders_above(200000.0) o
+        JOIN {prefix}lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        """
     )

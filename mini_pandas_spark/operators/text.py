@@ -3550,83 +3550,17 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson/Sparck Jones, Lucene-style
-    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` idf; k1 = 1.2, b = 0.75) of the
-    top-10 documents for a fixed 3-term query — the lexical-retrieval
-    primitive a training-data pipeline uses for targeted corpus probes
-    (and the classic hybrid-search partner of the ANN family in
-    operators/similarity.py).
-
-    Determinism (invariant 6): every per-(doc, term) contribution is an
-    expression tree over EXACT integers (tf, dl, df, N, Σdl) mirrored
-    operation-for-operation in the oracle, quantized to integer
-    micro-units BEFORE the per-doc sum — so the doc score is a bigint
-    SUM whose value cannot depend on float summation order — and the
-    top-10 ranking breaks ties on doc_id.
-
-    Scale: tf touches only query-term postings (the filter prunes the
-    exploded token stream before the shuffle); df/N/Σdl are broadcast
-    scalar aggregates; top-k is orderBy+limit → TakeOrderedAndProject
-    (bounded driver heap, no global sort).
-    """
-    terms = ("spark", "merge", "window")
-    d = load_table(spark, sf_dir, "documents")
-    dl = d.select(
-        "doc_id", token_count("text").cast("long").alias("dl")
-    )
-    corpus = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = (
-        tok.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl
-    )
-    contrib_micro = F.round(
-        idf * (F.col("tf") * F.lit(2.2)) / denom * F.lit(1e6)
-    ).cast("bigint")
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum(contrib_micro).cast("long").alias("score_micro"),
-        )
-    )
-    return (
-        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-        .limit(10)
-        .select(
-            "doc_id",
-            "n_terms_matched",
-            (F.col("score_micro").cast("double") / F.lit(1e6) + F.lit(0.0)).alias(
-                "bm25"
-            ),
-        )
-    )
-
-
 def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the two deterministic md5
     halves of the corpus, over fixed document-length buckets — the
     standard train/holdout covariate-drift check a pipeline runs after
     every split (PSI < 0.1 ≈ stable; > 0.25 ≈ action).  On an honest
     random split PSI is near zero, so the value doubles as a test that
-    the hash split is unbiased.
+    the hash split is unbiased.  Companion to
+    relational.psi_price_drift, which points the same metric at the
+    TEMPORAL axis (last year vs prior, quantile bins); this one audits
+    the SPLIT axis (hash halves, fixed-width length bins) — the two
+    drift questions a curation pipeline asks.
 
     Determinism: the split bit is the hex-digit position of the md5's
     last nibble (``instr``/``strpos`` — identical semantics both

@@ -2879,25 +2879,6 @@ register(
 )
 
 register(
-    "triangle_count_copurchase",
-    relational.triangle_count_copurchase,
-    """
-    WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    pairs AS (
-        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
-        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
-        GROUP BY 1, 2
-    ), edges AS (SELECT pa, pb FROM pairs WHERE cnt >= 2),
-    nodes AS (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
-    SELECT (SELECT COUNT(DISTINCT node) FROM nodes) AS n_nodes,
-           (SELECT COUNT(*) FROM edges) AS n_edges,
-           (SELECT COUNT(*) FROM edges e1
-              JOIN edges e2 ON e1.pb = e2.pa
-              JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
-    """,
-)
-
-register(
     "range_partition_planner",
     relational.range_partition_planner,
     """
@@ -7277,51 +7258,6 @@ register(
 )
 
 
-# BM25 top-10 retrieval for a fixed 3-term query; per-(doc, term)
-# contributions are quantized to integer micro-units BEFORE the per-doc
-# sum (order-free bigint SUM), ranking breaks ties on doc_id.
-register(
-    "bm25_topk_docs",
-    text.bm25_topk_docs,
-    r"""
-    WITH dl AS (
-        SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\s+')) AS dl
-        FROM documents
-    ), c AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
-    ), toks AS (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        FROM documents
-    ), tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
-    ), df AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-    ), contrib AS (
-        SELECT tf.doc_id,
-               CAST(round(
-                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                   * (tf * 2.2)
-                   / (tf + 1.2 * (0.25 + 0.75 * dl
-                          / (CAST(sum_dl AS DOUBLE) / n_docs)))
-                   * 1000000.0) AS BIGINT) AS cm
-        FROM tf JOIN df USING (term)
-        JOIN dl ON tf.doc_id = dl.doc_id, c
-    ), s AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-               CAST(SUM(cm) AS BIGINT) AS score_micro
-        FROM contrib GROUP BY 1
-    )
-    SELECT doc_id, n_terms_matched,
-           CAST(score_micro AS DOUBLE) / 1000000.0 + 0.0 AS bm25
-    FROM s ORDER BY score_micro DESC, doc_id LIMIT 10
-    """,
-)
-
-
 # 11th streaming topology: dropDuplicatesWithinWatermark first-seen
 # dedup + downstream count, drained AvailableNow == batch DISTINCT.
 register(
@@ -7337,36 +7273,6 @@ register(
            CAST(MIN(day) AS BIGINT) AS first_day,
            CAST(MAX(day) AS BIGINT) AS last_day
     FROM d GROUP BY 1
-    """,
-)
-
-
-# Skyline operator: dominance reduces to the per-day max, so the cumulative
-# max runs over the REDUCED daily frame (histogram-cut discipline) — no
-# corpus-global window; verified against a NOT EXISTS dominance check.
-register(
-    "pareto_frontier_orders",
-    relational.pareto_frontier_orders,
-    """
-    WITH base AS (
-        SELECT o_orderkey,
-               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-        FROM orders
-    ), daily AS (
-        SELECT day, MAX(price_cents) AS day_max_cents FROM base GROUP BY 1
-    ), thr AS (
-        SELECT day, day_max_cents,
-               COALESCE(MAX(day_max_cents) OVER (ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                   AS prev_max_cents
-        FROM daily
-    )
-    SELECT o_orderkey, b.day,
-           CAST(b.price_cents AS DOUBLE) / 100.0 AS total_price
-    FROM base b JOIN thr USING (day)
-    WHERE b.price_cents = thr.day_max_cents
-      AND thr.day_max_cents > thr.prev_max_cents
     """,
 )
 
@@ -7450,5 +7356,28 @@ register(
                     / ((cnt_b + 1.0) / (n_b + 10.0)))
                * 1000000000.0) AS BIGINT) / 1000000000.0 + 0.0 AS psi_term
     FROM wide
+    """,
+)
+
+
+# SQL UDF surface (Spark 4 CREATE FUNCTION): scalar tier classifier +
+# exact-cents scalar + a SQL TABLE function, all inlined by the analyzer
+# into one codegen'd aggregate; oracle mirrors the inlined bodies.
+register(
+    "sql_udf_revenue_tiers",
+    relational.sql_udf_revenue_tiers,
+    """
+    WITH big AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0
+    )
+    SELECT CASE WHEN l.l_discount <= 0.01 THEN 'none'
+                WHEN l.l_discount <= 0.05 THEN 'low'
+                ELSE 'high' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                * (1 + l.l_tax) * 100) AS BIGINT)) AS BIGINT)
+               AS eff_cents_sum
+    FROM big o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
     """,
 )

@@ -183,18 +183,6 @@ def test_triangle_census_matches_naive_on_planted_graph(spark):
     assert closed.count() == naive == 4
 
 
-def test_bm25_scores_decrease_and_match_terms(spark):
-    """bm25_topk_docs: scores are positive, non-increasing down the
-    top-10, and every hit matched at least one query term."""
-    from mini_pandas_spark.operators.text import bm25_topk_docs
-
-    rows = bm25_topk_docs(spark, SF).collect()
-    assert 0 < len(rows) <= 10
-    scores = [r["bm25"] for r in rows]
-    assert scores == sorted(scores, reverse=True)
-    assert all(r["bm25"] > 0 and 1 <= r["n_terms_matched"] <= 3 for r in rows)
-
-
 def test_streaming_dedup_user_days_equals_batch_distinct(spark):
     """The dropDuplicatesWithinWatermark drain equals batch DISTINCT
     counts at sf0.001."""
@@ -220,35 +208,6 @@ def test_streaming_dedup_user_days_equals_batch_distinct(spark):
             F.max("day").alias("hi"),
         )
         .collect()
-    }
-    assert got == want and len(got) > 0
-
-
-def test_pareto_frontier_is_exactly_the_undominated_set(spark):
-    """Brute-force dominance check at sf0.001: the reduced-domain skyline
-    equals the set of orders no other order dominates."""
-    from mini_pandas_spark.operators.relational import pareto_frontier_orders
-    from mini_pandas_spark.sources import load_table
-
-    got = {r["o_orderkey"] for r in pareto_frontier_orders(spark, SF).collect()}
-    rows = (
-        load_table(spark, SF, "orders")
-        .select(
-            "o_orderkey",
-            F.expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400").alias(
-                "day"
-            ),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
-        )
-        .collect()
-    )
-    pts = [(r["o_orderkey"], r["day"], r["p"]) for r in rows]
-    want = {
-        k
-        for k, d, p in pts
-        if not any(
-            (d2 <= d and p2 >= p and (d2 < d or p2 > p)) for _, d2, p2 in pts
-        )
     }
     assert got == want and len(got) > 0
 
@@ -294,3 +253,19 @@ def test_psi_split_drift_is_small_and_dense(spark):
     n_docs = load_table(spark, SF, "documents").count()
     assert sum(r["cnt_a"] + r["cnt_b"] for r in rows) == n_docs
     assert sum(r["psi_term"] for r in rows) < 0.25
+
+
+def test_sql_udf_bodies_inline_into_codegen(spark):
+    """Spark 4 SQL UDFs must inline: the physical plan of
+    sql_udf_revenue_tiers contains the CASE and cents expressions (no
+    Python eval node), proving the function call costs nothing at
+    scale."""
+    from mini_pandas_spark.operators.relational import sql_udf_revenue_tiers
+
+    df = sql_udf_revenue_tiers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CASE WHEN" in plan  # scalar body inlined
+    rows = {r["tier"]: r for r in df.collect()}
+    assert set(rows) <= {"none", "low", "high"} and len(rows) == 3
+    assert all(r["eff_cents_sum"] > 0 for r in rows.values())
