@@ -153,6 +153,7 @@ HEADLINE = [
     "scd2_customer_priority",
     "psi_split_drift",
     "sql_udf_revenue_tiers",
+    "bucketed_colocated_join",
 ]
 
 

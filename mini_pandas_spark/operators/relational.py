@@ -18,6 +18,8 @@ Scale notes per operator are in the docstrings; the common discipline:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4218,4 +4220,118 @@ def sql_udf_revenue_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN {prefix}lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
         """
+    )
+
+
+# Bucketed warehouse stage tables for the co-located join demo — keyed on
+# (applicationId, fixture fingerprint) per CLAUDE.md invariant 9, LRU
+# bounded.  At 100 TB these are the bucketed fact tables a warehouse
+# maintains precisely so recurring joins on the bucket key never shuffle.
+_BUCKET_MEMO: OrderedDict = OrderedDict()
+_BUCKET_MEMO_MAX = 4
+
+
+def _table_fingerprint(sf_dir: str, name: str):
+    """(mtime_ns, size) change-detector for a fixture table file/dir —
+    never reads data (same recipe as dedup._documents_fingerprint)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            best = (st.st_mtime_ns, st.st_size)
+            for entry in os.scandir(path):
+                s = entry.stat()
+                best = max(best, (s.st_mtime_ns, s.st_size))
+            return best
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
+    """Write orders/lineitem ONCE per (session, fixture) as 8-bucket
+    warehouse tables bucketed+sorted on the order key, one file per
+    bucket (the pre-write ``repartition(8, key)`` gives every writer
+    task exactly one bucket, so the bucketed scan needs no merge-sort
+    across files).  External tables (explicit temp path) — nothing is
+    written relative to the driver's unknown cwd."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _table_fingerprint(sf_dir, "orders"),
+        _table_fingerprint(sf_dir, "lineitem"),
+    )
+    hit = _BUCKET_MEMO.get(key)
+    if hit is not None:
+        _BUCKET_MEMO.move_to_end(key)
+        return hit
+    suffix = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+    names = (f"mps_bkt_orders_{suffix}", f"mps_bkt_lineitem_{suffix}")
+    root = tempfile.mkdtemp(prefix="mps_bucketed_")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+    )
+    (
+        o.write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(root, "orders"))
+        .mode("overwrite")
+        .saveAsTable(names[0])
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, "l_orderkey")
+    )
+    (
+        li.write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(root, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(names[1])
+    )
+    _BUCKET_MEMO[key] = names
+    while len(_BUCKET_MEMO) > _BUCKET_MEMO_MAX:
+        _BUCKET_MEMO.popitem(last=False)
+    return names
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact-to-fact join via BUCKETED warehouse tables —
+    the storage-layout answer to the biggest shuffle in any star-schema
+    workload.  orders and lineitem are persisted once per (session,
+    fixture) as 8-bucket tables bucketed AND sorted on the order key
+    (``_bucketed_order_tables``); the join then reads bucket i of each
+    side into the same task: the physical plan is a SortMergeJoin with
+    NO Exchange under either side (pinned by
+    tests/test_engine_surfaces.py) — at 100 TB this is the difference
+    between a full two-sided repartition of the fact tables on every
+    run and none at all.  The MERGE hint keeps the demonstration stable
+    (a broadcast join would also be shuffle-free but exercises nothing).
+
+    Determinism: revenue in exact cents (mirrored round) summed as
+    bigint; output per priority.
+    """
+    ot, lt = _bucketed_order_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    joined = o.hint("merge").join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    )
+    cents_expr = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("bigint")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(cents_expr).cast("long").alias("rev_cents"),
     )

@@ -7381,3 +7381,20 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# Zero-shuffle fact-to-fact join: orders/lineitem persisted once per
+# (session, fixture) as 8-bucket sorted warehouse tables; the join plan
+# is a SortMergeJoin with NO Exchange under either side (plan-pinned).
+register(
+    "bucketed_colocated_join",
+    relational.bucketed_colocated_join,
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+                * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)

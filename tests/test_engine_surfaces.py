@@ -269,3 +269,19 @@ def test_sql_udf_bodies_inline_into_codegen(spark):
     rows = {r["tier"]: r for r in df.collect()}
     assert set(rows) <= {"none", "low", "high"} and len(rows) == 3
     assert all(r["eff_cents_sum"] > 0 for r in rows.values())
+
+
+def test_bucketed_join_has_no_exchange_below_the_join(spark):
+    """bucketed_colocated_join: both sides scan bucketed tables, the
+    join is SortMergeJoin, and the ONLY Exchange in the plan is the
+    post-join groupBy on priority — the join itself never shuffles."""
+    import re
+
+    from mini_pandas_spark.operators.relational import bucketed_colocated_join
+
+    df = bucketed_colocated_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    keys = re.findall(r"Exchange \w+partitioning\(([A-Za-z_]+)", plan)
+    assert all(k.startswith("o_orderpriority") for k in keys), keys
