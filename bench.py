@@ -154,6 +154,7 @@ HEADLINE = [
     "psi_split_drift",
     "sql_udf_revenue_tiers",
     "bucketed_colocated_join",
+    "streaming_epoch_log_sink",
 ]
 
 

@@ -7398,3 +7398,18 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# 12th streaming topology: the NATIVE DataSourceStreamWriter surface —
+# per-task staged JSONL shards, per-epoch atomic _EPOCH manifests,
+# manifest-trust read-back; value-cents quantized before the sink.
+register(
+    "streaming_epoch_log_sink",
+    _stream_windows.streaming_epoch_log_sink,
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY 1
+    """,
+)

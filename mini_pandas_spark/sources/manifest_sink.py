@@ -315,3 +315,133 @@ def manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def register_epoch_log_sink(spark: SparkSession) -> None:
+    """Register the ``epoch_log_sink`` STREAMING write format (idempotent)
+    — the native ``DataSourceStreamWriter`` surface (the last half of the
+    Python DataSource API this engine had not exercised; the existing
+    streaming_manifest_sink goes through foreachBatch instead).  Per
+    micro-batch: every task stages its partition as a JSONL shard under
+    an attempt-unique name; ``commit(messages, batchId)`` renames the
+    winning attempts to epoch-prefixed names and writes an atomic
+    ``_EPOCH_<batchId>.json`` manifest (file, rows, crc32 per shard) —
+    the exactly-once unit.  A retried/aborted batch leaves only staged
+    files that no manifest references (``abort`` sweeps them), so a
+    reader that trusts manifests can never observe a partial epoch.
+
+    At 100 TB: shards per epoch = task count; each epoch commit is one
+    O(tasks) driver-side manifest write — the same per-commit shape as
+    a streaming lakehouse table sink.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class EpochShard(WriterCommitMessage):
+        def __init__(self, staged_name, n_rows, checksum):
+            self.staged_name = staged_name
+            self.n_rows = n_rows
+            self.checksum = checksum
+
+    class EpochLogWriter(DataSourceStreamWriter):
+        # self-contained: stdlib-only imports inside methods
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("epoch_log_sink requires a 'path' option")
+
+        def write(self, iterator):
+            import json
+            import os
+            import zlib
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            attempt = ctx.taskAttemptId()
+            os.makedirs(self.path, exist_ok=True)
+            staged = f".staged-epoch-shard-{pid:05d}-{attempt}.jsonl"
+            crc, n = 0, 0
+            with open(os.path.join(self.path, staged), "w") as f:
+                for row in iterator:
+                    line = json.dumps(row.asDict(), default=str, sort_keys=True)
+                    f.write(line + "\n")
+                    crc = zlib.crc32(line.encode(), crc)
+                    n += 1
+            return EpochShard(staged, n, crc & 0x7FFFFFFF)
+
+        def _sweep_staged(self):
+            import os
+
+            try:
+                entries = os.listdir(self.path)
+            except OSError:
+                return
+            for name in entries:
+                if name.startswith(".staged-epoch-shard-"):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            shards = []
+            for i, m in enumerate(sorted(messages, key=lambda m: m.staged_name)):
+                final = f"epoch-{batchId:05d}-shard-{i:05d}.jsonl"
+                os.replace(
+                    os.path.join(self.path, m.staged_name),
+                    os.path.join(self.path, final),
+                )
+                shards.append(
+                    {"file": final, "rows": m.n_rows, "checksum": m.checksum}
+                )
+            self._sweep_staged()
+            manifest = {
+                "epoch": batchId,
+                "shards": shards,
+                "total_rows": sum(s["rows"] for s in shards),
+            }
+            tmp = os.path.join(self.path, f"_EPOCH_{batchId:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(
+                tmp, os.path.join(self.path, f"_EPOCH_{batchId:05d}.json")
+            )
+
+        def abort(self, messages, batchId):
+            self._sweep_staged()
+
+    class EpochLogSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "epoch_log_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return EpochLogWriter(self.options)
+
+    spark.dataSource.register(EpochLogSink)
+
+
+def committed_epoch_shards(path: str) -> list[str]:
+    """Paths of every shard listed in a committed ``_EPOCH_*.json``
+    manifest under ``path`` — the manifest-trust file listing (staged or
+    orphaned shards are invisible)."""
+    import json
+    import os
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_EPOCH_") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as f:
+                manifest = json.load(f)
+            out.extend(
+                os.path.join(path, s["file"]) for s in manifest["shards"]
+            )
+    return out

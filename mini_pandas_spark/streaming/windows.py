@@ -1289,3 +1289,66 @@ def streaming_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"source layout under {sf_dir} no longer matches the reader"
         )
     return spark.table(sink)
+
+
+def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelfth streaming topology: a stateless projection streams through
+    the NATIVE custom streaming sink (``DataSourceStreamWriter`` —
+    sources/manifest_sink.register_epoch_log_sink), the one half of the
+    Python DataSource API foreachBatch does not exercise: per-task
+    staged JSONL shards, per-epoch atomic ``_EPOCH_n.json`` commits,
+    abort-swept orphans.  The drained directory is then read back
+    manifest-trust (only shards named in committed epoch manifests) and
+    aggregated; the result equals the batch aggregate over the fixture,
+    so the whole sink path — write(), commit(batchId), read-back — is
+    value-gated by an ANSI oracle.
+
+    ``value`` is quantized to exact integer cents BEFORE the sink so the
+    JSONL round trip carries integers only (no float-repr drift).
+    """
+    import tempfile
+
+    from ..sources.manifest_sink import (
+        committed_epoch_shards,
+        register_epoch_log_sink,
+    )
+
+    register_epoch_log_sink(spark)
+    ev = read_events_stream(spark, sf_dir)
+    proj = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="epoch_log_sink_")
+    ckpt = tempfile.mkdtemp(prefix="epoch_log_ckpt_")
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            proj.writeStream.format("epoch_log_sink")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_in = sum(
+            int(
+                p.numInputRows
+                if hasattr(p, "numInputRows")
+                else p["numInputRows"]
+            )
+            for p in (q.recentProgress or [])
+        )
+    if n_in == 0:
+        raise RuntimeError(
+            "streaming_epoch_log_sink: the event stream read 0 rows — "
+            f"source layout under {sf_dir} no longer matches the reader"
+        )
+    shards = committed_epoch_shards(root)
+    back = spark.read.schema("event_type string, value_cents long").json(
+        shards
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("cents_sum"),
+    )

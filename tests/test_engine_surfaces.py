@@ -285,3 +285,61 @@ def test_bucketed_join_has_no_exchange_below_the_join(spark):
     assert plan.count("Bucketed: true") == 2
     keys = re.findall(r"Exchange \w+partitioning\(([A-Za-z_]+)", plan)
     assert all(k.startswith("o_orderpriority") for k in keys), keys
+
+
+def test_epoch_log_sink_orphans_are_invisible(spark, tmp_path):
+    """A staged (uncommitted) shard and a stray unlisted file must be
+    invisible to the manifest-trust read-back — the exactly-once
+    contract of the custom streaming sink."""
+    import json
+
+    from mini_pandas_spark.sources.manifest_sink import (
+        committed_epoch_shards,
+        register_epoch_log_sink,
+    )
+
+    register_epoch_log_sink(spark)
+    root = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    q = (
+        src.selectExpr("CAST(value AS BIGINT) AS value")
+        .writeStream.format("epoch_log_sink")
+        .option("path", str(root))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = committed_epoch_shards(str(root))
+    n_committed = sum(
+        1 for p in committed for _ in open(p)
+    )
+    total = sum(
+        json.load(open(root / m))["total_rows"]
+        for m in sorted(p.name for p in root.iterdir())
+        if m.startswith("_EPOCH_") and m.endswith(".json")
+    )
+    assert n_committed == total
+    # plant an orphan staged shard + an unlisted file: both invisible
+    (root / ".staged-epoch-shard-99999-1.jsonl").write_text('{"value": 1}\n')
+    (root / "epoch-99999-shard-00000.jsonl").write_text('{"value": 2}\n')
+    assert committed_epoch_shards(str(root)) == committed
+
+
+def test_operator_modules_have_no_duplicate_defs():
+    """No operator module may define the same top-level function twice —
+    Python silently resolves to the LAST definition, so a duplicate
+    shadows the registered implementation (the round-7 splice bug)."""
+    import ast
+    from collections import Counter
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "mini_pandas_spark"
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        names = Counter(
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        )
+        dups = {k: v for k, v in names.items() if v > 1}
+        assert not dups, f"{py}: duplicate top-level defs {dups}"
