@@ -209,6 +209,19 @@ EMPTY_OK_ZERO_ROWS = [
     "pii_pseudonymize_join",
     "context_budget_curve",
     "neardup_cluster_sizes",
+    # round-7 operators (streaming drains excluded as elsewhere — their
+    # loud zero-input guards fire by design on an empty fixture)
+    "manifest_roundtrip_stats",
+    "grouped_median_chars",
+    "transpose_returnflag_stats",
+    "auc_stopword_density",
+    "ngram_novelty_by_source",
+    "customer_order_gaps_arrow",
+    "triangle_count_copurchase",
+    "scd2_customer_priority",
+    "psi_split_drift",
+    "sql_udf_revenue_tiers",
+    "bucketed_colocated_join",
 ]
 
 
