@@ -343,3 +343,52 @@ def test_operator_modules_have_no_duplicate_defs():
         )
         dups = {k: v for k, v in names.items() if v > 1}
         assert not dups, f"{py}: duplicate top-level defs {dups}"
+
+
+def test_epoch_log_sink_commits_per_epoch(spark, tmp_path):
+    """Three source files drained with maxFilesPerTrigger=1 must produce
+    three separately committed epochs whose union equals the input —
+    the per-epoch atomic-commit contract under a genuinely multi-batch
+    drain (the fixture's single file can't exercise this)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources.manifest_sink import (
+        committed_epoch_shards,
+        register_epoch_log_sink,
+    )
+
+    register_epoch_log_sink(spark)
+    src_dir = tmp_path / "src"
+    for i in range(3):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("long").alias("value")
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"f{i}"))
+    root = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    stream = (
+        spark.readStream.schema("value long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*")
+    )
+    q = (
+        stream.writeStream.format("epoch_log_sink")
+        .option("path", str(root))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifests = sorted(
+        p.name for p in root.iterdir()
+        if p.name.startswith("_EPOCH_") and p.name.endswith(".json")
+    )
+    assert len(manifests) == 3, manifests
+    per_epoch = [json.load(open(root / m))["total_rows"] for m in manifests]
+    assert all(n == 100 for n in per_epoch), per_epoch
+    values = set()
+    for p in committed_epoch_shards(str(root)):
+        for line in open(p):
+            values.add(json.loads(line)["value"])
+    assert values == set(range(300))
