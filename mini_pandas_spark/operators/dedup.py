@@ -945,13 +945,30 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.join(freq, "h")
         .withColumn("rk", F.row_number().over(wdoc))
         .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
-        .select("doc_id", "h")
+        .select("doc_id", "h", "rk", "sz")
+    )
+    # Length + positional filters (PPJoin §3.2) prune candidates BEFORE
+    # the expensive set-intersection verify.  Both are exact-integer and
+    # collision-row-safe: for ANY shared token at prefix ranks (i, j),
+    # overlap(a,b) <= min(i,j)-1 + 1 + min(sz_a-i, sz_b-j), so every
+    # collision row of a true pair (overlap >= alpha) passes — distinct
+    # keeps the pair, no recall loss.  t = 0.8 = 4/5:
+    #   length:  5*min(sz) >= 4*max(sz)
+    #   alpha  = ceil(t/(1+t)*(sz_a+sz_b)) = (4*(sz_a+sz_b)+8) div 9
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    alpha = F.expr("(4 * (a.sz + b.sz) + 8) div 9")
+    ubound = F.least(F.col("a.rk"), F.col("b.rk")) + F.least(
+        sz_a - F.col("a.rk"), sz_b - F.col("b.rk")
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            (F.least(sz_a, sz_b) * 5 >= F.greatest(sz_a, sz_b) * 4)
+            & (ubound >= alpha)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -4112,11 +4112,16 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
-        (
+        # A wedge-free non-empty graph (all degrees <= 1) makes the
+        # denominator 0, not NULL: 0.0/0.0 = NaN and round_scaled's
+        # bigint cast raises under ANSI.  NULL clustering is the
+        # defined answer there (mirrored as CASE WHEN in the oracle).
+        F.when(
+            F.col("n_wedges") > 0,
             round_scaled(
                 F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("global_clustering"),
     )
 
@@ -4270,7 +4275,7 @@ def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
     hit = _BUCKET_MEMO.get(key)
     if hit is not None:
         _BUCKET_MEMO.move_to_end(key)
-        return hit
+        return hit[:2]
     suffix = hashlib.md5(repr(key).encode()).hexdigest()[:10]
     names = (f"mps_bkt_orders_{suffix}", f"mps_bkt_lineitem_{suffix}")
     root = tempfile.mkdtemp(prefix="mps_bucketed_")
@@ -4300,9 +4305,18 @@ def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
         .mode("overwrite")
         .saveAsTable(names[1])
     )
-    _BUCKET_MEMO[key] = names
+    _BUCKET_MEMO[key] = (names[0], names[1], root)
     while len(_BUCKET_MEMO) > _BUCKET_MEMO_MAX:
-        _BUCKET_MEMO.popitem(last=False)
+        # Mirror _STANDING_IDX_MEMO's teardown (streaming/windows.py):
+        # an evicted bucketed warehouse must drop its catalog entries
+        # and delete its temp root, or fixture regeneration in a long
+        # session leaks tables and disk.
+        import shutil
+
+        _, (old_o, old_l, old_root) = _BUCKET_MEMO.popitem(last=False)
+        for tbl in (old_o, old_l):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(old_root, ignore_errors=True)
     return names
 
 

@@ -1558,10 +1558,14 @@ def auc_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "u2",
-        (
+        # One-class corpora (n_pos or n_neg = 0) have no defined AUC;
+        # the unguarded quotient raises ANSI DIVIDE_BY_ZERO on such
+        # degenerate partitions (round-7 verdict item #1).
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("u2").cast("double")
             / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("auc"),
     )
 

@@ -7148,8 +7148,10 @@ register(
     SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
            CAST(SUM(neg_s) AS BIGINT) AS n_neg,
            CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS u2,
-           CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS DOUBLE)
-               / (2.0 * SUM(pos_s) * SUM(neg_s)) + 0.0 AS auc
+           CASE WHEN SUM(pos_s) > 0 AND SUM(neg_s) > 0 THEN
+               CAST(SUM(pos_s * (2 * neg_below + neg_s)) AS DOUBLE)
+                   / (2.0 * SUM(pos_s) * SUM(neg_s)) + 0.0
+           END AS auc
     FROM c
     """,
 )
@@ -7250,10 +7252,11 @@ register(
            (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
                AS n_wedges,
            (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
-           CAST(round((SELECT n FROM tri) * 3.0
-                / (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
-                * 1000000) AS BIGINT) / 1000000.0 + 0.0
-               AS global_clustering
+           CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0 THEN
+               CAST(round((SELECT n FROM tri) * 3.0
+                    / (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+                    * 1000000) AS BIGINT) / 1000000.0 + 0.0
+           END AS global_clustering
     """,
 )
 
@@ -7266,7 +7269,7 @@ register(
     """
     WITH d AS (
         SELECT DISTINCT event_type, user_id,
-               CAST(epoch(ts) AS BIGINT) // 86400 AS day
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
         FROM events
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_user_days,

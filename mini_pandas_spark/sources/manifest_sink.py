@@ -374,24 +374,45 @@ def register_epoch_log_sink(spark: SparkSession) -> None:
                     n += 1
             return EpochShard(staged, n, crc & 0x7FFFFFFF)
 
-        def _sweep_staged(self):
+        def _staged_names(self):
             import os
 
             try:
                 entries = os.listdir(self.path)
             except OSError:
-                return
-            for name in entries:
-                if name.startswith(".staged-epoch-shard-"):
-                    try:
-                        os.remove(os.path.join(self.path, name))
-                    except OSError:
-                        pass
+                return []
+            return [
+                n for n in entries if n.startswith(".staged-epoch-shard-")
+            ]
+
+        def _sweep_staged(self):
+            import os
+
+            for name in self._staged_names():
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
         def commit(self, messages, batchId):
             import json
             import os
 
+            # Sweep non-winner staged files BEFORE renaming: a zombie
+            # attempt of a FINAL micro-batch can stage its shard after
+            # that batch's post-commit sweep, with no later callback in
+            # that run to remove it — the next run's first commit
+            # cleans such leftovers here, so every run converges to a
+            # manifest-only directory.  Winners (in `messages`) are
+            # never touched; the writer is re-constructed per commit,
+            # so this cannot run between a task staging and its rename.
+            winners = {m.staged_name for m in messages}
+            for name in list(self._staged_names()):
+                if name not in winners:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
             shards = []
             for i, m in enumerate(sorted(messages, key=lambda m: m.staged_name)):
                 final = f"epoch-{batchId:05d}-shard-{i:05d}.jsonl"

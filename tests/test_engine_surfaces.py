@@ -392,3 +392,66 @@ def test_epoch_log_sink_commits_per_epoch(spark, tmp_path):
         for line in open(p):
             values.add(json.loads(line)["value"])
     assert values == set(range(300))
+
+
+def test_bucket_memo_eviction_drops_tables_and_dirs(spark, monkeypatch):
+    """An evicted bucketed-warehouse memo entry must DROP its catalog
+    tables and delete its temp root (round-7 verdict: the memo popped
+    names without teardown, leaking tables+disk on fixture
+    regeneration), while the surviving entry keeps working."""
+    import os
+
+    from mini_pandas_spark.operators import relational
+
+    relational._BUCKET_MEMO.clear()
+    old_names = relational._bucketed_order_tables(spark, SF)
+    (old_key,) = relational._BUCKET_MEMO.keys()
+    old_root = relational._BUCKET_MEMO[old_key][2]
+    assert os.path.isdir(old_root)
+    assert all(spark.catalog.tableExists(t) for t in old_names)
+
+    monkeypatch.setattr(relational, "_BUCKET_MEMO_MAX", 1)
+    new_names = relational._bucketed_order_tables(
+        spark, "/root/testdata/sf0.01"
+    )
+    # the older entry was evicted WITH teardown...
+    assert old_key not in relational._BUCKET_MEMO
+    assert not any(spark.catalog.tableExists(t) for t in old_names)
+    assert not os.path.exists(old_root)
+    # ...and the survivor is intact and scannable
+    assert all(spark.catalog.tableExists(t) for t in new_names)
+    assert spark.table(new_names[0]).count() > 0
+    relational._BUCKET_MEMO.clear()
+
+
+def test_epoch_log_sink_first_commit_sweeps_stale_staged(spark, tmp_path):
+    """A zombie attempt of a FINAL micro-batch can stage a shard after
+    that batch's post-commit sweep with no later callback to remove it;
+    the NEXT run's first commit must sweep such stale .staged-* files
+    (ADVICE r7).  A query-start sweep is NOT safe: streamWriter() is
+    re-constructed per commit, after the batch's tasks have staged."""
+    from mini_pandas_spark.sources.manifest_sink import (
+        committed_epoch_shards,
+        register_epoch_log_sink,
+    )
+
+    register_epoch_log_sink(spark)
+    root = tmp_path / "sink"
+    root.mkdir()
+    stale = root / ".staged-epoch-shard-00042-7.jsonl"
+    stale.write_text('{"value": -1}\n')
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"value": 1}\n')
+    stream = spark.readStream.schema("value bigint").json(str(src))
+    q = (
+        stream.writeStream.format("epoch_log_sink")
+        .option("path", str(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    leftovers = [p.name for p in root.iterdir() if p.name.startswith(".staged-")]
+    assert leftovers == [], leftovers
+    assert len(committed_epoch_shards(str(root))) >= 1
