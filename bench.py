@@ -155,6 +155,12 @@ HEADLINE = [
     "sql_udf_revenue_tiers",
     "bucketed_colocated_join",
     "streaming_epoch_log_sink",
+    # round-8 additions
+    "countmin_heavy_hitters",
+    "containment_dup_pairs",
+    "kmeans_integer_lloyd",
+    "corrupt_record_audit",
+    "streaming_outer_join_attribution",
 ]
 
 

@@ -1272,3 +1272,83 @@ def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(singles)
         .orderBy("k")
     )
+
+
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup join: pairs where the smaller
+    document's shingle set is >= 90% contained in the other's
+    (C = |A∩B| / min(|A|,|B|)) — catches doc-in-doc duplication
+    (quotes, supersets, page-plus-boilerplate wrappers) that symmetric
+    Jaccard misses: a 100-shingle doc fully embedded in a 10000-shingle
+    page has J ≈ 0.01 but C = 1.0.
+
+    Candidate generation adapts prefix filtering (Chaudhuri et al.,
+    ICDE'06 SSJoin) to the asymmetric threshold: only the SMALLER
+    document of a pair needs a prefix (overlap >= ceil(t*sz_small)
+    depends on the smaller size alone), so each doc's rare-first prefix
+    of length ``sz - ceil(t*sz) + 1`` is joined against the FULL ranked
+    shingle list of larger partners — cost is bounded by the document
+    frequency of RARE shingles, never all-pairs.  A positional
+    upper-bound filter (min ranks + min remaining suffixes) prunes
+    before the exact array_intersect verify, which recomputes C
+    exactly — no recall loss, pinned against the brute-force pair set
+    in pytest.
+
+    At 100 TB: same bucketed shape as prefix_filter_jaccard_pairs (one
+    df groupBy, one rare-key join, one candidate-only verify); roles
+    (smaller/larger) are decided per-pair by (sz, doc_id), so the
+    output is canonical without a global sort.
+    """
+    t = 0.9
+    docsets = _docsets_table(spark, sf_dir)
+    exploded = docsets.select(
+        "doc_id", "sz", F.explode("ss").alias("shingle")
+    ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    ranked = (
+        exploded.join(freq, "h")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .select("doc_id", "sz", "h", "rk")
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
+    )
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    smaller_first = (sz_a < sz_b) | (
+        (sz_a == sz_b) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # required overlap depends only on the smaller side: ceil(t*sz_a)
+    alpha = F.expr("(9 * a.sz + 9) div 10")
+    ubound = F.least(F.col("a.rk"), F.col("b.rk")) + F.least(
+        sz_a - F.col("a.rk"), sz_b - F.col("b.rk")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(ranked.alias("b"), "h")
+        .where(smaller_first & (ubound >= alpha))
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_small"),
+        F.col("ss").alias("ss_a"),
+        F.col("sz").alias("sz_small"),
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_big"),
+        F.col("ss").alias("ss_b"),
+        F.col("sz").alias("sz_big"),
+    )
+    inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b")))
+    cont = inter / F.col("sz_small")
+    return (
+        cand.join(sa, "doc_small")
+        .join(sb, "doc_big")
+        .withColumn("containment", F.round(cont, 6))
+        .filter(cont >= t)
+        .select("doc_small", "doc_big", "containment")
+    )

@@ -2478,3 +2478,72 @@ def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record ingestion audit — the engine surface a
+    real crawl/ETL pipeline hits daily: a JSONL feed where some lines
+    are truncated garbage must load WITHOUT failing the job, quarantine
+    the bad lines in ``_corrupt_record``, and report good-row rollups
+    beside the corrupt count.
+
+    The feed is derived deterministically from the events fixture
+    (every 17th event_id is written as an unparseable fragment), so a
+    SQL oracle over the clean table gates the whole
+    write→PERMISSIVE-read→audit round trip.  The corrupt count is
+    computed as total lines minus parsed-good rows — Spark disallows
+    plans whose only referenced column is the internal corrupt-record
+    column (SPARK-21610), and the subtraction shape also avoids caching
+    the parsed frame.
+
+    At 100 TB: PERMISSIVE parsing is per-partition streaming work (no
+    shuffle until the rollup); the quarantine column rides the scan, so
+    bad lines cost nothing extra, and the audit is two
+    map-side-combinable aggregations.
+    """
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", cents("value").alias("cents")
+    )
+    line = F.when(
+        F.col("event_id") % 17 == 0,
+        F.concat(F.lit('{"broken '), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "cents"))
+    )
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="corrupt_audit_"), "feed"
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(root)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "cents bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+    )
+    good = (
+        back.where(F.col("_corrupt_record").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+    )
+    n_lines = spark.read.text(root).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_good = good.agg(F.sum("n_rows").cast("long").alias("g"))
+    corrupt = (
+        n_lines.crossJoin(F.broadcast(n_good))
+        .select(
+            F.lit("_corrupt").alias("event_type"),
+            (F.col("n") - F.col("g")).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("cents_sum"),
+        )
+    )
+    return good.unionByName(corrupt).orderBy("event_type")

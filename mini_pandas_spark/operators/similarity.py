@@ -1889,3 +1889,98 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def kmeans_integer_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k=8) over the embedding
+    corpus in EXACT integer arithmetic — the first clustering entry in
+    the registry that a SQL oracle can gate bit-for-bit (the IVF/PQ
+    quantizers train in float via memoized mapInPandas partials
+    (`_lloyd_distributed`), which no cross-engine check can replay).
+
+    Exactness recipe: coordinates quantize once to non-negative bigints
+    (q = round((v+1)*1e5); fixture values are within ±0.5, and the
+    24-bit float mantissa times 1e5 stays exactly representable, so the
+    round sees the same exact value in both engines); distances are
+    int64 sums of squared differences (max 64 * (1.5e5)² ≈ 1.4e12);
+    centroid updates are floor divisions of positive ints (Spark `div`
+    == DuckDB `//` on non-negatives); the argmin ties break through the
+    packed key min(dist*1024 + cid).  Every intermediate is an integer,
+    so two engines running two full Lloyd rounds agree exactly —
+    determinism strategy #6 (scaled-integer space) applied to an
+    iterative algorithm.
+
+    Scale: each iteration is one broadcast join of the k*64-row centroid
+    table against the (vec_id, dim, q) points frame plus two
+    map-side-combinable groupBys — the standard distributed Lloyd step
+    (MLlib's treeAggregate shape) expressed relationally; per-iteration
+    shuffle is O(n_vectors * k) narrow rows, never all-pairs.  Seeds
+    are the k smallest vec_ids (deterministic; k-means|| sampling would
+    add RNG the oracle cannot mirror).
+    """
+    K = 8
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("v").cast("double") + F.lit(1.0)) * F.lit(100000.0))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(K)
+    c0 = pts.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            pts.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .alias("dist")
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.col("dist") * 1024 + F.col("cid")).alias("akey")
+        ).select(
+            "vec_id",
+            (F.col("akey") % 1024).alias("cid"),
+            F.expr("akey div 1024").alias("dist"),
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            pts.join(assigned.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(q) div count(1)").alias("cq"))
+        )
+
+    a1 = assign(c0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+    dim0 = c2.where(F.col("dim") == 0).select(
+        "cid", (F.col("cq") / 100000.0 - 1.0 + F.lit(0.0)).alias("c0_mean")
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .join(dim0, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster"),
+            "n_members",
+            "inertia",
+            "c0_mean",
+        )
+        .orderBy("cluster")
+    )

@@ -630,3 +630,80 @@ def tdigest_conformal_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    J. Algorithms 2005) over event users: a depth-4 x width-512 CMS is
+    built as a (row, col) -> count TABLE — the relational encoding of
+    the sketch — and the exact top-10 users' counts are then estimated
+    from it (min over the 4 hashed cells; CMS never under-counts, so
+    ``overcount >= 0`` always).
+
+    Scale story: the sketch build is ONE map-side-combinable groupBy of
+    at most d*w = 2048 cells regardless of input size — at 100 TB the
+    shuffle is 2048 rows, and per-partition partial sketches merge by
+    cell-wise addition (the CMS linearity property).  Estimation joins a
+    broadcast 40-row probe frame against the tiny sketch.  All hashing
+    is exact integer arithmetic reduced mod 2147483647 BEFORE any
+    multiply (invariant 7), mirrored verbatim in the DuckDB oracle.
+
+    Parity: sketch semantics follow the reference charter's "sketch
+    rollup" extension row (SURVEY.md §2.3); no counterpart exists in
+    the 408-line reference itself.
+    """
+    P = 2147483647
+    W = 512
+    A = [31, 131, 151, 181]
+    B = [7, 11, 13, 17]
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % P).alias("u"), "user_id"
+    )
+    cells = [
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col("u") * A[i] + B[i]) % P) % W).alias("c"),
+        )
+        for i in range(4)
+    ]
+    sketch = (
+        ev.select(F.explode(F.array(*cells)).alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (
+                            ((F.col("user_id") % P) * A[i] + B[i]) % P % W
+                        ).alias("c"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "exact_n", "rc.r", "rc.c")
+    return (
+        sketch.join(F.broadcast(probes), ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("long").alias("est_n"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

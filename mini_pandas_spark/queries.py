@@ -7416,3 +7416,144 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+# Count-min sketch as a relational (row, col) -> count table: constant
+# 2048-cell shuffle at any input size; exact top-10 probes estimated by
+# the min-of-cells rule, overcount always >= 0.
+register(
+    "countmin_heavy_hitters",
+    sketches.countmin_heavy_hitters,
+    """
+    WITH params(r, a, b) AS (VALUES (0,31,7),(1,131,11),(2,151,13),(3,181,17)),
+    cells AS (
+        SELECT r, (((user_id % 2147483647) * a + b) % 2147483647) % 512 AS c,
+               COUNT(*) AS n
+        FROM events CROSS JOIN params GROUP BY 1, 2
+    ), top AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(cl.n) AS BIGINT) AS est_n,
+           CAST(MIN(cl.n) - t.exact_n AS BIGINT) AS overcount
+    FROM top t CROSS JOIN params p
+    JOIN cells cl ON cl.r = p.r
+     AND cl.c = (((t.user_id % 2147483647) * p.a + p.b) % 2147483647) % 512
+    GROUP BY t.user_id, t.exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+)
+
+
+# Asymmetric containment near-dup (doc-in-doc): C = inter / min(sz)
+# >= 0.9, roles decided per-pair by (sz, doc_id); exact algorithm
+# (prefix filtering is lossless), so the oracle is the brute-force
+# shingle self-join.
+register(
+    "containment_dup_pairs",
+    dedup.containment_dup_pairs,
+    _SHINGLES_CTE
+    + """
+    SELECT CASE WHEN sb.sz < sa.sz THEN doc_b ELSE doc_a END AS doc_small,
+           CASE WHEN sb.sz < sa.sz THEN doc_a ELSE doc_b END AS doc_big,
+           round(inter * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / LEAST(sa.sz, sb.sz) >= 0.9
+    """,
+)
+
+
+# Two unrolled Lloyd iterations in exact scaled-integer space — the
+# registry's first ORACLE-gated iterative clustering (floor-div centroid
+# updates, packed-key argmin; every intermediate an int64).
+register(
+    "kmeans_integer_lloyd",
+    similarity.kmeans_integer_lloyd,
+    """
+    WITH pts AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               CAST(round((CAST(embedding[g.i] AS DOUBLE) + 1.0) * 100000.0)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+    ), seeds AS (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8
+    ), c0 AS (
+        SELECT p.vec_id AS cid, dim, q AS cq
+        FROM pts p JOIN seeds s ON p.vec_id = s.vec_id
+    ), d1 AS (
+        SELECT p.vec_id, c.cid, SUM((p.q - c.cq) * (p.q - c.cq)) AS dist
+        FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY 1, 2
+    ), a1 AS (
+        SELECT vec_id, MIN(dist * 1024 + cid) % 1024 AS cid
+        FROM d1 GROUP BY 1
+    ), c1 AS (
+        SELECT a1.cid, p.dim, SUM(p.q) // COUNT(*) AS cq
+        FROM pts p JOIN a1 ON p.vec_id = a1.vec_id GROUP BY 1, 2
+    ), d2 AS (
+        SELECT p.vec_id, c.cid, SUM((p.q - c.cq) * (p.q - c.cq)) AS dist
+        FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY 1, 2
+    ), a2 AS (
+        SELECT vec_id, MIN(dist * 1024 + cid) % 1024 AS cid,
+               MIN(dist * 1024 + cid) // 1024 AS dist
+        FROM d2 GROUP BY 1
+    ), c2 AS (
+        SELECT a2.cid, p.dim, SUM(p.q) // COUNT(*) AS cq
+        FROM pts p JOIN a2 ON p.vec_id = a2.vec_id GROUP BY 1, 2
+    )
+    SELECT CAST(a2.cid AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a2.dist) AS BIGINT) AS inertia,
+           ANY_VALUE(c2.cq) / 100000.0 - 1.0 + 0.0 AS c0_mean
+    FROM a2 JOIN c2 ON c2.cid = a2.cid AND c2.dim = 0
+    GROUP BY a2.cid
+    ORDER BY cluster
+    """,
+)
+
+
+# PERMISSIVE ingestion audit: deterministic corruption of every 17th
+# event line in a derived JSONL feed; good-row rollups + quarantine
+# count gated by the clean-table oracle.
+register(
+    "corrupt_record_audit",
+    events.corrupt_record_audit,
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events WHERE event_id % 17 <> 0 GROUP BY 1
+    UNION ALL
+    SELECT '_corrupt' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS cents_sum
+    FROM events WHERE event_id % 17 = 0
+    ORDER BY event_type
+    """,
+)
+
+
+# 13th streaming topology: watermarked LEFT OUTER stream-stream join
+# (state-eviction emission path); far-future sentinels advance both
+# watermarks so the drain equals the batch LEFT JOIN exactly.
+register(
+    "streaming_outer_join_attribution",
+    _stream_windows.streaming_outer_join_attribution,
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(COALESCE(e.error_id, -1) AS BIGINT) AS error_id
+    FROM p LEFT JOIN e
+      ON p.user_id = e.user_id
+     AND e.e_ts >= p.p_ts
+     AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
+    """,
+)

@@ -1102,6 +1102,12 @@ from collections import OrderedDict
 _STANDING_IDX_MEMO: OrderedDict = OrderedDict()
 _STANDING_IDX_MEMO_MAX = 4
 
+# sentinel-augmented events dirs for the outer-join drain, keyed on
+# (appId, sf_dir, fixture fingerprint) — invariant 9 (stale fixture =
+# stale sentinels), LRU-bounded with rmtree on evict
+_SENTINEL_DIRS: OrderedDict = OrderedDict()
+_SENTINEL_DIRS_MAX = 4
+
 
 def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ninth streaming topology: STREAMING near-duplicate detection
@@ -1352,3 +1358,194 @@ def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value_cents").cast("long").alias("cents_sum"),
     )
+
+
+def _events_fingerprint(sf_dir: str):
+    """(mtime_ns, size) change-detector for the events fixture — never
+    reads data (mirror of dedup._documents_fingerprint)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = [
+                os.stat(os.path.join(path, f))
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ]
+            return tuple((p.st_mtime_ns, p.st_size) for p in parts)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Temp directory holding the events fixture file PLUS two staggered
+    far-future sentinel files (each one 'error' + one 'purchase' row,
+    user_id -1, max ts + 1 / + 2 days) — the trick that advances BOTH
+    sides' watermarks past every real event so a watermark-gated OUTER
+    join can emit its final unmatched rows under an AvailableNow drain.
+    Sentinel rows are filtered out of the result by user_id >= 0.
+
+    TWO files (drained one per trigger, mtimes force the order) because
+    state eviction in batch N uses the watermark committed at the END of
+    batch N-1: a single sentinel batch advances the watermark but
+    terminates before any batch can evict with it (observed: the last
+    ~1.5 h of unmatched rows withheld).  With the second sentinel batch,
+    eviction runs under the first sentinel's watermark, which already
+    clears every real event.
+
+    The sentinel frame is derived FROM the fixture frame itself, so its
+    physical ts type always matches whatever layout the round's fixture
+    arrived with (nanos-as-long or micros — the round-2 type flip)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
+    )
+    hit = _SENTINEL_DIRS.get(key)
+    if hit is not None and os.path.isdir(hit):
+        _SENTINEL_DIRS.move_to_end(key)
+        return hit
+    src = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(src)
+    ts_type = raw.schema["ts"].dataType.simpleString()
+    root = tempfile.mkdtemp(prefix="events_sentinel_")
+    shutil.copy(src, os.path.join(root, "events.parquet"))
+    last = raw.orderBy(F.col("ts").desc()).limit(1)
+    for i, days in enumerate((1, 2)):
+        shift = (
+            (F.col("ts") + F.lit(days * 86400 * 10**9))
+            if ts_type == "bigint"
+            else F.col("ts") + F.expr(f"INTERVAL {days} DAY")
+        )
+        sent = last.select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            shift.alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.explode(F.array(F.lit("error"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(raw.columns)
+        stage = os.path.join(root, "_stage")
+        sent.coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(root, f"zz_sentinel_{i}.parquet")
+        shutil.copy(part, dest)
+        shutil.rmtree(stage)
+        # file-stream source orders by modification time: fixture first,
+        # then sentinel 0, then sentinel 1
+        os.utime(dest, (1 + i, 10_000_000_000 + i))
+    os.utime(os.path.join(root, "events.parquet"), (0, 9_999_999_999))
+    _SENTINEL_DIRS[key] = root
+    while len(_SENTINEL_DIRS) > _SENTINEL_DIRS_MAX:
+        _, old_root = _SENTINEL_DIRS.popitem(last=False)
+        shutil.rmtree(old_root, ignore_errors=True)
+    return root
+
+
+def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13th streaming topology: watermarked LEFT OUTER stream-stream
+    join — every 'purchase' event joined to same-user 'error' events in
+    the following 30 minutes, emitting a NULL error_id when none arrives.
+    Unlike the inner join (stream_stream_join), outer rows can only emit
+    once the watermark proves no match can still arrive, so this
+    exercises the state-EVICTION emission path: Spark holds each
+    unmatched purchase in the join state store and releases it as a
+    null-extended row when both watermarks pass its window.
+
+    Drain determinism: an AvailableNow drain of a static file would end
+    with the watermark one delay short of max(ts), withholding the last
+    band of unmatched purchases forever; the two far-future sentinel
+    rows (`_events_dir_with_sentinels`) push both input watermarks past
+    every real event, so the drained result equals the batch LEFT JOIN
+    exactly and the topology carries a full DuckDB oracle — rare for an
+    outer stream-stream join.
+
+    At 100 TB: state is bounded by the 30-minute range condition + 1-hour
+    watermark on both sides (Spark derives the eviction predicate from
+    the range constraint); key partitioning is on user_id via
+    BOUNDED_KEY_PARTITIONS like every stateful topology here.
+    """
+    root = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(root, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        # 2 files per trigger: batch 1 = fixture + sentinel 0 (advances
+        # both watermarks past every real event at its end), batch 2 =
+        # sentinel 1 (runs eviction under that watermark).  One fewer
+        # batch than draining file-by-file — measured 3.6 -> 2.8 s.
+        .option("maxFilesPerTrigger", "2")
+        .load(root)
+    )
+    ts_type = schema["ts"].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_type == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    ev = raw.withColumn("ts", ts)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    # Sentinel rows are dropped AFTER the drain, not here: an in-stream
+    # user_id >= 0 filter gets pushed down into the parquet scan, whose
+    # row-group stats then skip the all-sentinel files entirely — the
+    # watermark operator never sees them and never advances (observed:
+    # the last ~1.5 h of unmatched rows withheld again).
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts >= p_ts "
+            "AND e_ts <= p_ts + INTERVAL '30' MINUTE"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        # no-match sentinel -1 instead of NULL: a nullable bigint column
+        # coerces to float64 (NaN) on the driver's pandas path — the
+        # value-hash hazard of invariant 3
+        F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
+    )
+    sink = f"soja_sink_{uuid.uuid4().hex[:8]}"
+    # BOUNDED_KEY_PARTITIONS, unlike the user-totals drain: join state is
+    # WATERMARK-bounded (live rows = arrival-rate x the ~1.5 h horizon the
+    # range condition + delay admit), not corpus-bounded, so state stays
+    # small at any fixture SF; 32 partitions cost 2 state stores x 32
+    # instances x 3 batches of init for near-empty stores (measured
+    # 9.6 -> 2.8 s at sf0.01).  A production deployment sizes this to
+    # horizon volume, which _stream_partitions parameterizes.
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).where(F.col("user_id") >= 0)

@@ -222,6 +222,11 @@ EMPTY_OK_ZERO_ROWS = [
     "psi_split_drift",
     "sql_udf_revenue_tiers",
     "bucketed_colocated_join",
+    # round-8 operators (streaming drains excluded as elsewhere)
+    "countmin_heavy_hitters",
+    "containment_dup_pairs",
+    "kmeans_integer_lloyd",
+    "corrupt_record_audit",
 ]
 
 

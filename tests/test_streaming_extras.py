@@ -351,3 +351,59 @@ def test_standing_index_is_bucketed_and_joined_shuffle_side(spark):
                 "Exchange between a standing-index scan and its join:\n" + plan
             )
             d = dj
+
+
+def test_outer_join_emits_final_watermark_band(spark):
+    """streaming_outer_join_attribution (13th topology): the drained
+    result must equal the batch LEFT JOIN *including unmatched purchases
+    from the final watermark band* (ts within 1.5h of max ts) — the rows
+    a sentinel-less AvailableNow drain provably withholds (the state
+    eviction that releases them needs a batch AFTER the watermark has
+    passed them).  Pins both the two-sentinel mechanism and the
+    no-pushdown placement of the sentinel filter."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.queries import queries
+    from mini_pandas_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    got = queries()["streaming_outer_join_attribution"](spark, SF)
+    gset = {(r.purchase_id, r.user_id, r.error_id) for r in got.collect()}
+
+    ev = load_table(spark, SF, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("eu"),
+        F.col("ts").alias("e_ts"),
+    )
+    exp = p.join(
+        e,
+        (F.col("u") == F.col("eu"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left",
+    ).select(
+        "purchase_id",
+        F.col("u").alias("user_id"),
+        F.coalesce("error_id", F.lit(-1)).cast("long").alias("error_id"),
+        "p_ts",
+    )
+    erows = exp.collect()
+    eset = {(r.purchase_id, r.user_id, r.error_id) for r in erows}
+    assert gset == eset
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    band = [
+        r
+        for r in erows
+        if r.error_id == -1
+        and (max_ts - r.p_ts).total_seconds() <= 5400
+    ]
+    assert band, "fixture has no unmatched purchase in the final band"
+    assert all(
+        (r.purchase_id, r.user_id, -1) in gset for r in band
+    ), "final-band unmatched purchases were withheld by the drain"
