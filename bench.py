@@ -161,6 +161,11 @@ HEADLINE = [
     "kmeans_integer_lloyd",
     "corrupt_record_audit",
     "streaming_outer_join_attribution",
+    # throttled_event_chain is registry+oracle-gated but not benched: its
+    # wall-clock is ~15 sequential UnionLoop jobs of per-iteration
+    # overhead, which measures the scheduler, not data-volume scaling.
+    "xml_props_roundtrip",
+    "collated_source_rollup",
 ]
 
 

@@ -2547,3 +2547,102 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good.unionByName(corrupt).orderBy("event_type")
+
+
+def throttled_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cooldown throttling via Spark 4's native WITH RECURSIVE (the
+    recursive-CTE engine surface, exercised on a semantics windows
+    cannot express): per user, walk the event timeline sending a
+    notification at the first event, then at the first event >= 2 days
+    after the last SENT one (within a 7-day horizon) — the chain is
+    data-dependent (each hop's position depends on the previous hop's
+    VALUE), the classic case where window functions fail and per-row
+    loops or recursion are required.
+
+    Shape: the next-pointer table is ONE banded range self-join (each
+    row probes only its 7-day horizon — bounded fan-out at any scale,
+    never all-pairs; the horizon is part of the throttle SEMANTICS and
+    is mirrored in the oracle), then the recursion walks pointer hops:
+    each UnionLoop step is a co-partitioned join of the current frontier
+    (<= |users| rows) against the next-pointer table.  Hop count is
+    bounded by span/cooldown (~15 here, well under Spark's default
+    cteRecursionLevelLimit of 100) — and since UnionLoop executes one
+    JOB per hop, the cooldown also bounds the sequential-iteration bill
+    (the 12h variant's ~58 hops cost 27 s of pure per-iteration
+    overhead at sf0.01; hops, not data volume, dominate).
+
+    Chain nodes key on (user_id, ts) — duplicate timestamps collapse, so
+    both engines agree without an id tiebreak (invariant 3).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.createOrReplaceTempView("__throttle_ev")
+    return spark.sql(
+        """
+        WITH RECURSIVE u AS (
+            SELECT DISTINCT user_id, ts FROM __throttle_ev
+        ), nextp AS (
+            SELECT a.user_id, a.ts, MIN(b.ts) AS nxt
+            FROM u a JOIN u b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts + INTERVAL 2 DAY
+             AND b.ts <= a.ts + INTERVAL 7 DAY
+            GROUP BY a.user_id, a.ts
+        ), anchor AS (
+            SELECT user_id, MIN(ts) AS ts FROM u GROUP BY user_id
+        ), chain AS (
+            SELECT user_id, ts FROM anchor
+            UNION ALL
+            SELECT n.user_id, n.nxt
+            FROM chain c JOIN nextp n
+              ON n.user_id = c.user_id AND n.ts = c.ts
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sent,
+               date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS first_sent,
+               date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS last_sent
+        FROM chain GROUP BY user_id ORDER BY user_id
+        """
+    )
+
+
+def xml_props_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 native from_xml): an XML feed is
+    derived deterministically from events (attributes + nested element),
+    parsed back with an explicit schema, and rolled up — the
+    write-side/parse-side pair proving the engine round-trips a third
+    semi-structured wire format beside JSON (events_json_extract) and
+    VARIANT (events_variant_extract).
+
+    from_xml runs as a per-partition projection (no shuffle until the
+    rollup); at 100 TB the parse cost rides the scan exactly like
+    from_json.  Cents are quantized before the rollup (invariant 3).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("cents")
+    )
+    xml = F.concat(
+        F.lit('<event id="'),
+        F.col("event_id").cast("string"),
+        F.lit('" type="'),
+        F.col("event_type"),
+        F.lit('"><cents>'),
+        F.col("cents").cast("string"),
+        F.lit("</cents></event>"),
+    )
+    parsed = ev.select(
+        F.from_xml(
+            xml, "_id BIGINT, _type STRING, cents BIGINT"
+        ).alias("x")
+    )
+    return (
+        parsed.groupBy(F.col("x._type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("x.cents").cast("long").alias("cents_sum"),
+            F.min("x._id").cast("long").alias("first_event"),
+            F.max("x._id").cast("long").alias("last_event"),
+        )
+        .orderBy("event_type")
+    )

@@ -3619,3 +3619,48 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_b",
         (term_nano.cast("double") / F.lit(1e9) + F.lit(0.0)).alias("psi_term"),
     )
+
+
+def collated_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collated strings): a
+    deterministically case-mangled source label (INITCAP on even
+    doc_ids, UPPER on doc_id % 4 == 1 — simulating the case chaos of a
+    multi-provider feed) is grouped under the UTF8_LCASE collation, so
+    'Web', 'WEB' and 'web' land in ONE group without materializing a
+    lowercase key column — the comparison semantics live in the TYPE,
+    and every comparison/join/group on the column inherits them.
+
+    The rollup emits lower(source) for output determinism (a collated
+    group's representative is whichever value a partition saw first).
+    Oracle: GROUP BY lower(...) — provably the same partition of rows.
+
+    At 100 TB: collation is evaluated inside codegen (ICU keys), no
+    extra shuffle vs a binary-string groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mangled = (
+        F.when(F.col("doc_id") % 2 == 0, F.initcap("source"))
+        .when(F.col("doc_id") % 4 == 1, F.upper("source"))
+        .otherwise(F.col("source"))
+    )
+    collated = F.expr(
+        "CAST(__mangled_src AS STRING COLLATE UTF8_LCASE)"
+    )
+    return (
+        d.select(
+            mangled.alias("__mangled_src"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(collated.alias("src_ci"), "n_chars")
+        .groupBy("src_ci")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.lower(F.col("src_ci")).cast("string").alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("source")
+    )

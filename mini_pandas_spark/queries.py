@@ -7557,3 +7557,69 @@ register(
      AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
     """,
 )
+
+
+# Spark 4 WITH RECURSIVE: data-dependent cooldown chain (12h throttle,
+# 7-day horizon) — per-hop position depends on the previous hop's value,
+# inexpressible with window functions; identical recursive SQL runs in
+# DuckDB.
+register(
+    "throttled_event_chain",
+    events.throttled_event_chain,
+    """
+    WITH RECURSIVE u AS (
+        SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), nextp AS (
+        SELECT a.user_id, a.ts, MIN(b.ts) AS nxt
+        FROM u a JOIN u b
+          ON b.user_id = a.user_id
+         AND b.ts >= a.ts + INTERVAL 2 DAY
+         AND b.ts <= a.ts + INTERVAL 7 DAY
+        GROUP BY a.user_id, a.ts
+    ), anchor AS (
+        SELECT user_id, MIN(ts) AS ts FROM u GROUP BY user_id
+    ), chain AS (
+        SELECT user_id, ts FROM anchor
+        UNION ALL
+        SELECT n.user_id, n.nxt
+        FROM chain c JOIN nextp n
+          ON n.user_id = c.user_id AND n.ts = c.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sent,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_sent,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_sent
+    FROM chain GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
+# Spark 4 native from_xml: XML wire-format round trip (third
+# semi-structured format beside JSON and VARIANT), rolled up per type.
+register(
+    "xml_props_roundtrip",
+    events.xml_props_roundtrip,
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+# Spark 4 collated strings: UTF8_LCASE groupBy over a case-mangled
+# source label == GROUP BY lower(...), no lowercase key column needed.
+register(
+    "collated_source_rollup",
+    text.collated_source_rollup,
+    """
+    SELECT lower(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -227,6 +227,9 @@ EMPTY_OK_ZERO_ROWS = [
     "containment_dup_pairs",
     "kmeans_integer_lloyd",
     "corrupt_record_audit",
+    "throttled_event_chain",
+    "xml_props_roundtrip",
+    "collated_source_rollup",
 ]
 
 
