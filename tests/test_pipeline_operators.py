@@ -1375,3 +1375,100 @@ def test_ivf_cell_balance_accounting(spark, qs):
             else "keep"
         )
         assert action == want
+
+
+def test_countmin_never_undercounts_any_user(spark, qs):
+    """CMS property beyond the registered top-10 probe: estimate >= exact
+    for EVERY user in the domain (one-sided error is the count-min
+    contract; a single undercount means the hashing or the min-of-cells
+    rule is wrong)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    P, W = 2147483647, 512
+    A, B = [31, 131, 151, 181], [7, 11, 13, 17]
+    ev = load_table(spark, SF, "events").select(
+        (F.col("user_id") % P).alias("u"), "user_id"
+    )
+    cells = [
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col("u") * A[i] + B[i]) % P) % W).alias("c"),
+        )
+        for i in range(4)
+    ]
+    sketch = (
+        ev.select(F.explode(F.array(*cells)).alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (((F.col("user_id") % P) * A[i] + B[i]) % P % W).alias("c"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "exact_n", "rc.r", "rc.c")
+    est = (
+        sketch.join(probes, ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    bad = est.where(F.col("est_n") < F.col("exact_n")).count()
+    assert bad == 0
+
+
+def test_throttled_chain_respects_cooldown_and_horizon(spark, qs):
+    """Every consecutive pair of sent notifications per user must be
+    >= 2 days apart (the cooldown) and the chain must start at the
+    user's first event — the semantic contract of the recursive walk."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.sources import load_table
+
+    rows = qs["throttled_event_chain"](spark, SF).collect()
+    assert rows
+    firsts = {
+        r["user_id"]: r["ts"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+        .collect()
+    }
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in rows:
+        first = datetime.strptime(r["first_sent"], fmt)
+        last = datetime.strptime(r["last_sent"], fmt)
+        assert first == datetime.strptime(
+            firsts[r["user_id"]].strftime(fmt), fmt
+        )
+        if r["n_sent"] > 1:
+            # span of n hops each >= 2 days (formatted-seconds rounding
+            # can only shrink the apparent span by < 2 s)
+            assert (last - first).total_seconds() >= (r["n_sent"] - 1) * 2 * 86400 - 2
+        else:
+            assert last == first
+
+
+def test_kmeans_lloyd_partitions_the_corpus(spark, qs):
+    """Cluster sizes sum to the corpus, every cluster id is one of the
+    k=8 seed vec_ids, and a rerun is bit-identical (no RNG anywhere)."""
+    a = [tuple(r) for r in qs["kmeans_integer_lloyd"](spark, SF).collect()]
+    b = [tuple(r) for r in qs["kmeans_integer_lloyd"](spark, SF).collect()]
+    assert a == b
+    assert sum(r[1] for r in a) == 500  # sf0.01 embeddings fixture
+    assert {r[0] for r in a} <= set(range(8))
+    assert all(r[2] >= 0 for r in a)  # integer inertia is non-negative
