@@ -7623,3 +7623,28 @@ register(
     FROM documents GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# 14th streaming topology: FULL OUTER stream-stream join — unmatched
+# rows from BOTH sides emit via state eviction (two-feed
+# reconciliation); sentinel drain, -1 no-match keys, full oracle.
+register(
+    "streaming_full_outer_reconcile",
+    _stream_windows.streaming_full_outer_reconcile,
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           CAST(COALESCE(p.purchase_id, -1) AS BIGINT) AS purchase_id,
+           CAST(COALESCE(e.error_id, -1) AS BIGINT) AS error_id
+    FROM p FULL JOIN e
+      ON p.user_id = e.user_id
+     AND e.e_ts >= p.p_ts
+     AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
+    """,
+)

@@ -1549,3 +1549,77 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination()
     return spark.table(sink).where(F.col("user_id") >= 0)
+
+
+def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14th streaming topology: watermarked FULL OUTER stream-stream
+    join — purchases and errors of the same user within a 30-minute
+    window reconciled from BOTH directions: matched pairs emit on
+    match, unmatched purchases AND unmatched errors each emit as
+    null-extended rows when their side's state evicts.  leftOuter
+    (streaming_outer_join_attribution) exercises one eviction stream;
+    full-outer exercises both, which is exactly the shape of a
+    two-feed reconciliation job (billing vs ledger, send vs ack).
+
+    Reuses the memoized sentinel-augmented events dir — both sides'
+    watermarks must clear every real event for the final unmatched
+    bands on BOTH sides to drain (SCALE.md §6g); the -1 no-match
+    sentinels keep the output schema atomic non-null bigints.
+    """
+    root = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(root, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "2")
+        .load(root)
+    )
+    ts_type = schema["ts"].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_type == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    ev = raw.withColumn("ts", ts)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts >= p_ts "
+            "AND e_ts <= p_ts + INTERVAL '30' MINUTE"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("e_user")).alias("user_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("long").alias("purchase_id"),
+        F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
+    )
+    sink = f"sfor_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).where(F.col("user_id") >= 0)
