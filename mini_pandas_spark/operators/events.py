@@ -2480,6 +2480,12 @@ def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from collections import OrderedDict
+
+_CORRUPT_FEED_DIRS: OrderedDict = OrderedDict()
+_CORRUPT_FEED_DIRS_MAX = 4
+
+
 def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE malformed-record ingestion audit — the engine surface a
     real crawl/ETL pipeline hits daily: a JSONL feed where some lines
@@ -2502,21 +2508,38 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregations.
     """
     import os
+    import shutil
     import tempfile
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", cents("value").alias("cents")
+    from ..streaming.windows import _events_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
     )
-    line = F.when(
-        F.col("event_id") % 17 == 0,
-        F.concat(F.lit('{"broken '), F.col("event_id").cast("string")),
-    ).otherwise(
-        F.to_json(F.struct("event_id", "user_id", "event_type", "cents"))
-    )
-    root = os.path.join(
-        tempfile.mkdtemp(prefix="corrupt_audit_"), "feed"
-    )
-    ev.select(line.alias("value")).write.mode("overwrite").text(root)
+    root = _CORRUPT_FEED_DIRS.get(key)
+    if root is None or not os.path.isdir(root):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", cents("value").alias("cents")
+        )
+        line = F.when(
+            F.col("event_id") % 17 == 0,
+            F.concat(F.lit('{"broken '), F.col("event_id").cast("string")),
+        ).otherwise(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "cents"))
+        )
+        root = os.path.join(tempfile.mkdtemp(prefix="corrupt_audit_"), "feed")
+        ev.select(line.alias("value")).write.mode("overwrite").text(root)
+        # invariant 9: keyed on (appId, fixture fingerprint), LRU-bounded
+        # with rmtree on evict — a per-call mkdtemp would leak one feed
+        # dir per run of a 344-query sweep
+        _CORRUPT_FEED_DIRS[key] = root
+        while len(_CORRUPT_FEED_DIRS) > _CORRUPT_FEED_DIRS_MAX:
+            _, old_root = _CORRUPT_FEED_DIRS.popitem(last=False)
+            shutil.rmtree(os.path.dirname(old_root), ignore_errors=True)
+    else:
+        _CORRUPT_FEED_DIRS.move_to_end(key)
     back = (
         spark.read.schema(
             "event_id bigint, user_id bigint, event_type string, "

@@ -119,3 +119,65 @@ def test_chunk_dedup_shape_at_2m_docs(spark):
     assert n_kept == n_distinct
     elapsed = time.time() - t0
     assert elapsed < CHUNK_BOUND_SEC, f"chunk dedup at 2M docs took {elapsed:.1f}s"
+
+
+@pytest.mark.perf
+def test_countmin_sketch_is_constant_size_at_20m_rows(spark):
+    """CMS scale contract: a 20M-key stream (200k distinct, zipf-ish via
+    modular skew) still reduces to <= depth*width sketch cells, the
+    estimate never undercounts, and the whole build+probe stays well
+    under the wall-clock bound — the 'sketch = small keyed relation'
+    recipe (SCALE.md §6h) made executable at 30x bench scale."""
+    import time as _t
+
+    t0 = _t.time()
+    P, W = 2147483647, 512
+    A, B = [31, 131, 151, 181], [7, 11, 13, 17]
+    keys = spark.range(N).select(
+        ((F.col("id") * F.col("id")) % 200_000).alias("u")
+    )
+    cells = [
+        F.struct(
+            F.lit(i).alias("r"),
+            (((F.col("u") % P) * A[i] + B[i]) % P % W).alias("c"),
+        )
+        for i in range(4)
+    ]
+    sketch = (
+        keys.select(F.explode(F.array(*cells)).alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_cells = sketch.count()
+    assert n_cells <= 4 * W
+    top = (
+        keys.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "u")
+        .limit(5)
+    )
+    probes = top.select(
+        "u",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (((F.col("u") % P) * A[i] + B[i]) % P % W).alias("c"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rc"),
+    ).select("u", "exact_n", "rc.r", "rc.c")
+    est = (
+        sketch.join(F.broadcast(probes), ["r", "c"])
+        .groupBy("u", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+        .collect()
+    )
+    assert len(est) == 5
+    assert all(r["est_n"] >= r["exact_n"] for r in est)
+    assert _t.time() - t0 < WALL_CLOCK_BOUND_SEC
