@@ -1386,13 +1386,13 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     join can emit its final unmatched rows under an AvailableNow drain.
     Sentinel rows are filtered out of the result by user_id >= 0.
 
-    TWO files (drained one per trigger, mtimes force the order) because
-    state eviction in batch N uses the watermark committed at the END of
-    batch N-1: a single sentinel batch advances the watermark but
-    terminates before any batch can evict with it (observed: the last
-    ~1.5 h of unmatched rows withheld).  With the second sentinel batch,
-    eviction runs under the first sentinel's watermark, which already
-    clears every real event.
+    State eviction in batch N uses the watermark committed at the END
+    of batch N-1, so SOME batch must run after the sentinels arrive:
+    under availableNow that is the NO-DATA batch (all files drain in
+    one data batch, the no-data batch evicts — the consumers' default
+    mode), or with maxFilesPerTrigger the next file's batch.  Two
+    mtime-ordered sentinel files are kept so both modes work; in
+    one-batch mode the second is redundant but harmless.
 
     The sentinel frame is derived FROM the fixture frame itself, so its
     physical ts type always matches whatever layout the round's fixture
@@ -1479,11 +1479,13 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "*.parquet")
-        # 2 files per trigger: batch 1 = fixture + sentinel 0 (advances
-        # both watermarks past every real event at its end), batch 2 =
-        # sentinel 1 (runs eviction under that watermark).  One fewer
-        # batch than draining file-by-file — measured 3.6 -> 2.8 s.
-        .option("maxFilesPerTrigger", "2")
+        # All files (fixture + sentinels) drain in ONE data batch; the
+        # watermark committed at its end clears every real event, and
+        # the availableNow NO-DATA batch (noDataMicroBatches.enabled,
+        # default true) then runs eviction under it — 2 batches total,
+        # measured 3.4 -> 2.4 s vs staggered 2-file triggers.  The
+        # final-band pytest pin guards this: if a Spark upgrade stops
+        # running the no-data batch, the pin goes red.
         .load(root)
     )
     ts_type = schema["ts"].dataType.simpleString()
@@ -1572,7 +1574,8 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", "2")
+        # one data batch + the no-data eviction batch (see
+        # streaming_outer_join_attribution's reader comment)
         .load(root)
     )
     ts_type = schema["ts"].dataType.simpleString()
