@@ -167,6 +167,7 @@ HEADLINE = [
     "xml_props_roundtrip",
     "collated_source_rollup",
     "streaming_full_outer_reconcile",
+    "dpp_monthly_revenue",
 ]
 
 

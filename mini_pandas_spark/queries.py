@@ -7648,3 +7648,29 @@ register(
      AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE
     """,
 )
+
+
+# Dynamic partition pruning: hive-partitioned orders layout joined on
+# its partition column against a runtime-derived month dim — Catalyst
+# injects a DynamicPruningExpression into the scan (plan-pinned).
+register(
+    "dpp_monthly_revenue",
+    relational.dpp_monthly_revenue,
+    """
+    WITH dim AS (
+        SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS o_month
+        FROM lineitem
+        WHERE CAST(round(l_discount * 100) AS BIGINT) = 10
+          AND l_returnflag = 'R'
+          AND CAST(round(l_tax * 100) AS BIGINT) = 8
+          AND l_quantity >= 45
+    )
+    SELECT o_month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+          FROM orders) o
+    JOIN dim USING (o_month)
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -230,6 +230,7 @@ EMPTY_OK_ZERO_ROWS = [
     "throttled_event_chain",
     "xml_props_roundtrip",
     "collated_source_rollup",
+    "dpp_monthly_revenue",
 ]
 
 

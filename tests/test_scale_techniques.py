@@ -542,3 +542,19 @@ def test_cc_stars_empty_graph(spark):
     labels, rounds = _cc_alternating_stars(empty)
     assert labels.count() == 0
     assert rounds == 0
+
+
+def test_dpp_fires_on_partitioned_orders(spark):
+    """dpp_monthly_revenue: the fact scan's partition filters must carry
+    a DynamicPruningExpression (runtime subquery from the dim's
+    broadcast) — static pruning can't know the month list, so this pins
+    that Catalyst actually injected DPP rather than scanning all ~80
+    month partitions."""
+    from mini_pandas_spark.operators.relational import dpp_monthly_revenue
+
+    df = dpp_monthly_revenue(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
+    rows = df.collect()
+    assert 0 < len(rows) < 80
+    assert all(r["cents_sum"] > 0 for r in rows)
