@@ -168,6 +168,7 @@ HEADLINE = [
     "collated_source_rollup",
     "streaming_full_outer_reconcile",
     "dpp_monthly_revenue",
+    "winnowing_fingerprints",
 ]
 
 

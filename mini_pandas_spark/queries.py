@@ -7674,3 +7674,36 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# Winnowing (MOSS) fingerprints: window-min over positional 3-gram md5
+# HEX strings (lexicographic min — byte-identical in both engines);
+# top-20 partial-overlap pairs by shared fingerprint count.
+register(
+    "winnowing_fingerprints",
+    text.winnowing_fingerprints,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ts) - 1),
+                   i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gh
+        FROM toks WHERE len(ts) >= 6
+    ), fps AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(gh) - 2),
+                       j -> list_min(gh[j:j+3])))) AS fp
+        FROM grams
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)

@@ -231,6 +231,7 @@ EMPTY_OK_ZERO_ROWS = [
     "xml_props_roundtrip",
     "collated_source_rollup",
     "dpp_monthly_revenue",
+    "winnowing_fingerprints",
 ]
 
 
