@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import tokens
+from ..functions import round_scaled, tokens
 from ..sources import load_table
 
 N_PERM = 32
@@ -575,17 +575,22 @@ def _cc_alternating_stars(pairs: DataFrame) -> tuple[DataFrame, int]:
         .union(sym0.select(F.col("b").alias("a")))
         .distinct()
         .select(F.col("a").alias("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # canonical orientation big→small, self-loops dropped
+    # canonical orientation big→small, self-loops dropped.  All loop
+    # checkpoints are LAZY: the convergence count() is the job that
+    # materializes each round's frame, instead of paying a separate
+    # eager-checkpoint job per round (the loop cost on a small pair
+    # graph is scheduler overhead, not data).
     edges = (
         sym0.where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
     rounds = 0
-    converged = edges.isEmpty()
+    converged = n_edges == 0
     while not converged:
         rounds += 1
         if rounds > 40:  # >> O(log n) for any feasible corpus
@@ -617,11 +622,12 @@ def _cc_alternating_stars(pairs: DataFrame) -> tuple[DataFrame, int]:
             .union(smin.select("a", F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if small.count() == edges.count():
+        n_small = small.count()
+        if n_small == n_edges:
             converged = small.exceptAll(edges).isEmpty()
-        edges = small
+        edges, n_edges = small, n_small
     labels = nodes.join(
         edges.select(F.col("a").alias("doc_id"), F.col("b").alias("lbl")),
         "doc_id",
@@ -1348,7 +1354,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_small")
         .join(sb, "doc_big")
-        .withColumn("containment", F.round(cont, 6))
+        .withColumn("containment", round_scaled(cont, 6))
         .filter(cont >= t)
         .select("doc_small", "doc_big", "containment")
     )

@@ -2565,7 +2565,11 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lines.crossJoin(F.broadcast(n_good))
         .select(
             F.lit("_corrupt").alias("event_type"),
-            (F.col("n") - F.col("g")).cast("long").alias("n_rows"),
+            # coalesce: an all-corrupt (or empty) feed makes SUM(n_rows)
+            # NULL — the corrupt count must still be n, not NULL
+            (F.col("n") - F.coalesce(F.col("g"), F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
             F.lit(0).cast("long").alias("cents_sum"),
         )
     )

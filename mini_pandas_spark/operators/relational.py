@@ -4439,3 +4439,85 @@ def dpp_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+def pipe_syntax_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operator chains): the linear
+    FROM → WHERE → EXTEND → AGGREGATE → ORDER BY form of a supplier
+    balance rollup — same Catalyst plan as the nested-SELECT dialect
+    (sql_frontend_revenue), parsed through the pipe-operator frontend.
+
+    EXTEND (compute a column mid-pipe) and AGGREGATE ... GROUP BY are
+    the two pipe-specific clauses exercised; the money sum rides the
+    cents-integer determinism contract (invariant 3).
+    """
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "pipev_supplier"
+    )
+    return spark.sql(
+        """
+        FROM pipev_supplier
+        |> WHERE s_acctbal > 0
+        |> EXTEND CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                     CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+           GROUP BY s_nationkey
+        |> ORDER BY s_nationkey
+        """
+    )
+
+
+def parameterized_sql_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+ ``args=``):
+    the injection-safe query shape every templated dashboard/report
+    runs — parameters bind as typed literals in the parsed plan, so
+    Catalyst constant-folds and pushes them down exactly like inline
+    literals (the parquet scan carries the p_size bounds as
+    PushedFilters).
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("paramv_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum
+        FROM paramv_part
+        WHERE p_size BETWEEN :lo AND :hi AND p_retailprice >= :minprice
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+        args={"lo": 10, "hi": 30, "minprice": 940.0},
+    )
+
+
+def listagg_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``listagg`` aggregate (new in Spark 4.0): DISTINCT +
+    WITHIN GROUP (ORDER BY ...) ordered string concatenation — the ISO
+    SQL:2023 form — over customer market segments per nation.  Distinct
+    from region_nation_list, which builds its CSV via
+    sort_array(collect_list()): this exercises the dedicated aggregate's
+    parser/planner path (Spark requires the WITHIN GROUP sort key to
+    equal the DISTINCT expression, mirrored by DuckDB's
+    string_agg(DISTINCT ... ORDER BY ...)).
+
+    Engine bug dodged: putting listagg(DISTINCT) beside a SECOND
+    distinct aggregate (COUNT(DISTINCT ...)) in one Aggregate trips a
+    ClassCastException in ListAgg.withNewChildrenInternal during the
+    distinct-rewrite (Spark 4.1.2, collect.scala:543) — the segment
+    count is derived from the CSV in an outer projection instead.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lagv_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey, segments_csv,
+               CAST(size(split(segments_csv, ',')) AS BIGINT) AS n_segments
+        FROM (SELECT c_nationkey,
+                     listagg(DISTINCT c_mktsegment, ',')
+                         WITHIN GROUP (ORDER BY c_mktsegment) AS segments_csv
+              FROM lagv_customer GROUP BY c_nationkey)
+        ORDER BY c_nationkey
+        """
+    )

@@ -1916,10 +1916,21 @@ def kmeans_integer_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MLlib's treeAggregate shape) expressed relationally; per-iteration
     shuffle is O(n_vectors * k) narrow rows, never all-pairs.  Seeds
     are the k smallest vec_ids (deterministic; k-means|| sampling would
-    add RNG the oracle cannot mirror).
+    add RNG the oracle cannot mirror), DENSIFIED to cluster ids 0..K-1
+    before packing so the dist*1024+cid key never aliases on corpora
+    whose smallest vec_ids exceed 1024 (round-8 advice): densification
+    is an order-preserving relabel, so the packed-min tie-break (smallest
+    seed wins) is unchanged.
     """
-    K = 8
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _kmeans_integer_lloyd_core(emb)
+
+
+def _kmeans_integer_lloyd_core(emb: DataFrame) -> DataFrame:
+    """Core of :func:`kmeans_integer_lloyd` over an arbitrary
+    ``(vec_id, embedding)`` frame — split out so tests can prove cluster
+    assignments are invariant under a vec_id shift (+5000)."""
+    K = 8
     pts = (
         emb.select(
             "vec_id", F.posexplode("embedding").alias("dim", "v")
@@ -1933,9 +1944,17 @@ def kmeans_integer_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(K)
+    s1 = emb.select("vec_id").orderBy("vec_id").limit(K)
+    # densify seed ids to 0..K-1 (rank by vec_id) via a K×K self-join —
+    # K=8 rows, so the triangle join is 36 rows; avoids a global window
+    seeds = (
+        s1.alias("sa")
+        .join(F.broadcast(s1.alias("sb")), F.col("sb.vec_id") <= F.col("sa.vec_id"))
+        .groupBy(F.col("sa.vec_id").alias("vec_id"))
+        .agg((F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("sid"))
+    )
     c0 = pts.join(F.broadcast(seeds), "vec_id").select(
-        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+        F.col("sid").alias("cid"), "dim", F.col("q").alias("cq")
     )
 
     def assign(centroids: DataFrame) -> DataFrame:

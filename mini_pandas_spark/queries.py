@@ -7457,7 +7457,8 @@ register(
     + """
     SELECT CASE WHEN sb.sz < sa.sz THEN doc_b ELSE doc_a END AS doc_small,
            CASE WHEN sb.sz < sa.sz THEN doc_a ELSE doc_b END AS doc_big,
-           round(inter * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment
+           CAST(round(inter * 1000000.0 / LEAST(sa.sz, sb.sz)) AS BIGINT)
+               / 1000000.0 AS containment
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -7479,10 +7480,14 @@ register(
                     AS BIGINT) AS q
         FROM embeddings,
              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
-    ), seeds AS (
+    ), s1 AS (
         SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8
+    ), seeds AS (
+        SELECT sa.vec_id, COUNT(*) - 1 AS sid
+        FROM s1 sa JOIN s1 sb ON sb.vec_id <= sa.vec_id
+        GROUP BY sa.vec_id
     ), c0 AS (
-        SELECT p.vec_id AS cid, dim, q AS cq
+        SELECT s.sid AS cid, dim, q AS cq
         FROM pts p JOIN seeds s ON p.vec_id = s.vec_id
     ), d1 AS (
         SELECT p.vec_id, c.cid, SUM((p.q - c.cq) * (p.q - c.cq)) AS dist
@@ -7559,7 +7564,7 @@ register(
 )
 
 
-# Spark 4 WITH RECURSIVE: data-dependent cooldown chain (12h throttle,
+# Spark 4 WITH RECURSIVE: data-dependent cooldown chain (2-day throttle,
 # 7-day horizon) — per-hop position depends on the previous hop's value,
 # inexpressible with window functions; identical recursive SQL runs in
 # DuckDB.
@@ -7678,7 +7683,9 @@ register(
 
 # Winnowing (MOSS) fingerprints: window-min over positional 3-gram md5
 # HEX strings (lexicographic min — byte-identical in both engines);
-# top-20 partial-overlap pairs by shared fingerprint count.
+# top-20 partial-overlap pairs by shared fingerprint count, after the
+# MOSS stop-fingerprint cap (document frequency <= 16) culls
+# boilerplate fps whose pair fan-out is O(df²).
 register(
     "winnowing_fingerprints",
     text.winnowing_fingerprints,
@@ -7697,13 +7704,97 @@ register(
                    list_transform(range(1, len(gh) - 2),
                        j -> list_min(gh[j:j+3])))) AS fp
         FROM grams
+    ), kept AS (
+        -- MOSS stop-fingerprint cap (df <= 16), mirrored from the
+        -- Spark side's boilerplate guard
+        SELECT doc_id, fp FROM fps
+        WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b
+    FROM kept a JOIN kept b
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     ORDER BY n_shared DESC, doc_a, doc_b
     LIMIT 20
+    """,
+)
+
+
+from .streaming import state_reader as _state_reader  # noqa: E402
+
+# ---- round 9: engine surfaces — state source reader, SQL pipe syntax,
+# ---- parameterized SQL, native listagg (APPEND-only: driver samples
+# ---- the frozen first 50).
+
+
+# Spark 4 State Data Source reader: drain an UNWATERMARKED per-user
+# totals agg once per (session, fixture), then answer the query from
+# the checkpoint's STATE FILES via format("statestore") — buffer
+# decoding gated by the plain GROUP BY oracle (buffer holds exact
+# integer cents because rounding happens before the sum).
+register(
+    "state_store_user_totals",
+    _state_reader.state_store_user_totals,
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+               AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
+# SQL pipe syntax (|> chains, Spark 4.0): FROM → WHERE → EXTEND →
+# AGGREGATE → ORDER BY supplier balance rollup through the
+# pipe-operator parser frontend.
+register(
+    "pipe_syntax_supplier_rollup",
+    relational.pipe_syntax_supplier_rollup,
+    """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents_sum
+    FROM supplier WHERE s_acctbal > 0
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+
+
+# Parameterized SQL (named markers bound via args=): parameters bind as
+# typed literals pre-analysis, so pushdown/constant-folding see them
+# exactly like inline literals.
+register(
+    "parameterized_sql_brand_stats",
+    relational.parameterized_sql_brand_stats,
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30 AND p_retailprice >= 940.0
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+
+
+# Native listagg (Spark 4.0, ISO SQL:2023): DISTINCT + WITHIN GROUP
+# ordered concat, mirrored by DuckDB string_agg(DISTINCT ... ORDER BY).
+register(
+    "listagg_segments_by_nation",
+    relational.listagg_segments_by_nation,
+    """
+    SELECT c_nationkey, segments_csv,
+           CAST(len(string_split(segments_csv, ',')) AS BIGINT) AS n_segments
+    FROM (SELECT c_nationkey,
+                 string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                     AS segments_csv
+          FROM customer GROUP BY c_nationkey)
+    ORDER BY c_nationkey
     """,
 )

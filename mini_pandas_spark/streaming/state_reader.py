@@ -1,0 +1,118 @@
+"""State Data Source reader (Spark 4): batch introspection of a
+streaming checkpoint's state store.
+
+A production streaming job's state is normally a black box — debugging a
+suspected state leak or auditing what a stateful operator is holding
+means re-deriving it from inputs.  Spark 4 ships a read-only batch
+``format("statestore")`` (plus ``format("state-metadata")``) over a
+checkpoint location, turning the state store into a queryable table:
+``key`` struct, ``value`` aggregation buffer, ``partition_id``.
+
+Registered surface here: ``state_store_user_totals`` drains a per-user
+running-totals aggregation (built-in ``groupBy().agg()``, update mode —
+UNWATERMARKED, so the state retains every key) once per (session,
+fixture), then answers the query FROM THE STATE STORE rather than from
+the sink — and because the drained state of an unwatermarked agg is
+exactly the final aggregate, a plain GROUP BY oracle gates it
+bit-for-bit.  This differs from ``streaming_user_totals`` (an
+applyInPandasWithState operator whose output comes from the SINK path):
+here the result is read back from the checkpoint's state files through
+the state source, exercising key/value buffer decoding end-to-end.
+
+At 100 TB: the state source reads only the checkpoint's state files
+(one split per state partition), never the input data — exactly the
+audit shape a 1000-executor pipeline needs when a stateful job
+misbehaves; numPartitions is bounded by the drain's shuffle-partition
+setting (BOUNDED_KEY_PARTITIONS here), not data volume.
+
+Determinism notes (CLAUDE.md invariant 3): the aggregation buffer field
+names are the AGGREGATE FUNCTION names (``sum``/``count``/``max``), not
+the query aliases — the flatten re-aliases them; max-ts is emitted as a
+formatted string; money sums are exact integer cents inside the state
+buffer itself (rounded BEFORE the sum, so the buffer is a bigint).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import ensure_runtime_confs
+from .windows import (
+    BOUNDED_KEY_PARTITIONS,
+    _events_fingerprint,
+    _stream_partitions,
+    read_events_stream,
+)
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# Checkpoint memo: one drain per (session, fixture) — the checkpoint is
+# per-fixture infrastructure like the standing index; LRU eviction
+# removes the on-disk checkpoint too (stale-dir hygiene, the
+# _BUCKET_MEMO precedent).
+_STATE_CKPT_MEMO: OrderedDict = OrderedDict()
+_STATE_CKPT_MEMO_MAX = 6
+
+
+def _user_totals_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the unwatermarked per-user totals aggregation once,
+    returning the checkpoint dir whose state store now holds the final
+    per-user aggregation buffers."""
+    ensure_runtime_confs(spark)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
+    )
+    hit = _STATE_CKPT_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit):
+        _STATE_CKPT_MEMO.move_to_end(key)
+        return hit
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        # round to cents BEFORE summing: the state buffer itself is then
+        # an exact bigint, and the state-source read needs no float work
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("last"),
+    )
+    ck = tempfile.mkdtemp(prefix="state_ckpt_")
+    sink = f"state_drain_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark.catalog.dropTempView(sink)  # the sink table is not the product
+    _STATE_CKPT_MEMO[key] = ck
+    while len(_STATE_CKPT_MEMO) > _STATE_CKPT_MEMO_MAX:
+        _, old = _STATE_CKPT_MEMO.popitem(last=False)
+        shutil.rmtree(old, ignore_errors=True)
+    return ck
+
+
+def state_store_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals answered FROM THE STATE STORE of a drained
+    streaming aggregation, via Spark 4's State Data Source reader —
+    state-file decoding gated by the plain GROUP BY oracle."""
+    ck = _user_totals_state_checkpoint(spark, sf_dir)
+    st = spark.read.format("statestore").load(ck)
+    # buffer fields are named by aggregate function, not alias
+    return st.select(
+        F.col("key.user_id").cast("long").alias("user_id"),
+        F.col("value.sum").cast("long").alias("cents_sum"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.date_format(F.col("value.max"), _FMT).alias("last_ts"),
+    ).orderBy("user_id")

@@ -1415,7 +1415,21 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     raw = spark.read.parquet(src)
     ts_type = raw.schema["ts"].dataType.simpleString()
     root = tempfile.mkdtemp(prefix="events_sentinel_")
-    shutil.copy(src, os.path.join(root, "events.parquet"))
+    # The stream reads `root` NON-recursively (pathGlobFilter *.parquet),
+    # so a directory-layout fixture (the layout _events_fingerprint
+    # already supports) must be FLATTENED into root — one copy per part
+    # file, listdir-sorted order preserved through ascending mtimes, all
+    # strictly before the sentinels' 10_000_000_000+ band.
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for j, name in enumerate(parts):
+            dest = os.path.join(root, f"events_{j:05d}.parquet")
+            shutil.copy(os.path.join(src, name), dest)
+            os.utime(dest, (0, 9_000_000_000 + j))
+    else:
+        shutil.copy(src, os.path.join(root, "events.parquet"))
     last = raw.orderBy(F.col("ts").desc()).limit(1)
     for i, days in enumerate((1, 2)):
         shift = (
@@ -1442,7 +1456,9 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
         # file-stream source orders by modification time: fixture first,
         # then sentinel 0, then sentinel 1
         os.utime(dest, (1 + i, 10_000_000_000 + i))
-    os.utime(os.path.join(root, "events.parquet"), (0, 9_999_999_999))
+    single = os.path.join(root, "events.parquet")
+    if os.path.exists(single):
+        os.utime(single, (0, 9_999_999_999))
     _SENTINEL_DIRS[key] = root
     while len(_SENTINEL_DIRS) > _SENTINEL_DIRS_MAX:
         _, old_root = _SENTINEL_DIRS.popitem(last=False)
@@ -1474,7 +1490,9 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     BOUNDED_KEY_PARTITIONS like every stateful topology here.
     """
     root = _events_dir_with_sentinels(spark, sf_dir)
-    schema = spark.read.parquet(os.path.join(root, "events.parquet")).schema
+    # schema from the ORIGINAL fixture path — root holds flattened part
+    # files (events_NNNNN.parquet) when the fixture is a directory
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -1569,7 +1587,9 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
     sentinels keep the output schema atomic non-null bigints.
     """
     root = _events_dir_with_sentinels(spark, sf_dir)
-    schema = spark.read.parquet(os.path.join(root, "events.parquet")).schema
+    # schema from the ORIGINAL fixture path — root holds flattened part
+    # files (events_NNNNN.parquet) when the fixture is a directory
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")

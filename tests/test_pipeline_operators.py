@@ -1464,11 +1464,34 @@ def test_throttled_chain_respects_cooldown_and_horizon(spark, qs):
 
 
 def test_kmeans_lloyd_partitions_the_corpus(spark, qs):
-    """Cluster sizes sum to the corpus, every cluster id is one of the
-    k=8 seed vec_ids, and a rerun is bit-identical (no RNG anywhere)."""
+    """Cluster sizes sum to the corpus, every cluster id is a densified
+    seed rank 0..7, and a rerun is bit-identical (no RNG anywhere)."""
     a = [tuple(r) for r in qs["kmeans_integer_lloyd"](spark, SF).collect()]
     b = [tuple(r) for r in qs["kmeans_integer_lloyd"](spark, SF).collect()]
     assert a == b
     assert sum(r[1] for r in a) == 500  # sf0.01 embeddings fixture
     assert {r[0] for r in a} <= set(range(8))
     assert all(r[2] >= 0 for r in a)  # integer inertia is non-negative
+
+
+def test_kmeans_lloyd_invariant_under_vec_id_shift(spark):
+    """Densified seed ids (round-8 advice): shifting every vec_id by
+    +5000 — which pushes all 8 seed ids past the old 1024 packing
+    modulus — must leave cluster labels, sizes, inertia, and centroid
+    means bit-identical, because seeds relabel to ranks 0..7 before the
+    dist*1024+cid packing."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.operators.similarity import (
+        _kmeans_integer_lloyd_core,
+    )
+    from mini_pandas_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = [tuple(r) for r in _kmeans_integer_lloyd_core(emb).collect()]
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(5000)).alias("vec_id"), "embedding"
+    )
+    shf = [tuple(r) for r in _kmeans_integer_lloyd_core(shifted).collect()]
+    assert base == shf
+    assert base  # non-degenerate: the fixture actually clusters

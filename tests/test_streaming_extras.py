@@ -407,3 +407,31 @@ def test_outer_join_emits_final_watermark_band(spark):
     assert all(
         (r.purchase_id, r.user_id, -1) in gset for r in band
     ), "final-band unmatched purchases were withheld by the drain"
+
+
+def test_sentinel_dir_supports_directory_layout_fixture(spark, tmp_path):
+    """Round-8 advice: _events_dir_with_sentinels must accept the
+    fixture layout where events.parquet is a DIRECTORY of part files
+    (the layout _events_fingerprint already supports) by flattening the
+    parts into the sentinel dir — and the outer-join drain over it must
+    equal the single-file-layout drain exactly."""
+    import os
+
+    from mini_pandas_spark.queries import queries
+
+    SF = "/root/testdata/sf0.001"
+    sfd = str(tmp_path / "sfdir")
+    os.makedirs(sfd)
+    (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .repartition(3)
+        .write.parquet(os.path.join(sfd, "events.parquet"))
+    )
+    q = queries()["streaming_outer_join_attribution"]
+    base = {
+        (r.purchase_id, r.user_id, r.error_id) for r in q(spark, SF).collect()
+    }
+    got = {
+        (r.purchase_id, r.user_id, r.error_id) for r in q(spark, sfd).collect()
+    }
+    assert got == base
