@@ -169,6 +169,10 @@ HEADLINE = [
     "streaming_full_outer_reconcile",
     "dpp_monthly_revenue",
     "winnowing_fingerprints",
+    "state_store_user_totals",
+    "pipe_syntax_supplier_rollup",
+    "parameterized_sql_brand_stats",
+    "listagg_segments_by_nation",
 ]
 
 
