@@ -108,6 +108,16 @@ def state_store_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming aggregation, via Spark 4's State Data Source reader —
     state-file decoding gated by the plain GROUP BY oracle."""
     ck = _user_totals_state_checkpoint(spark, sf_dir)
+    commits = os.path.join(ck, "commits")
+    if not os.path.isdir(commits) or not any(
+        not f.startswith(".") for f in os.listdir(commits)
+    ):
+        # an EMPTY source drains zero micro-batches, so there is no
+        # committed state to read — the zero-key corpus answer is an
+        # empty frame, not STDS_COMMITTED_BATCH_UNAVAILABLE
+        return spark.createDataFrame(
+            [], "user_id long, cents_sum long, n_events long, last_ts string"
+        )
     st = spark.read.format("statestore").load(ck)
     # buffer fields are named by aggregate function, not alias
     return st.select(

@@ -43,6 +43,14 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 # store instances + tasks per micro-batch; measured ~0.5s/drain saved
 # vs 32 on this box, and still ≥ the live key count at 100 TB.
 BOUNDED_KEY_PARTITIONS = 8
+# Outer stream-stream drains pay per-(partition x state-store x batch)
+# init for NEAR-EMPTY stores (watermark-bounded state, 4 stores per
+# join): measured at sf0.1 warm, 8 -> 4 partitions takes the leftOuter
+# drain 3.4 -> 2.5 s and below 4 is flat (fixed per-batch overhead is
+# the remaining floor) -- so the two outer topologies size state to 4.
+# A production deployment sizes this to horizon volume, as with
+# BOUNDED_KEY_PARTITIONS.
+OUTER_JOIN_STATE_PARTITIONS = 4
 
 
 @contextmanager
@@ -234,7 +242,7 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gated: the state API v2 Python protocol needs ``protobuf``, which this
     container does not ship (and installs are off-limits; re-probed each
-    round — still absent in rounds 1-6, last re-probed 2026-08-15 r6) — raises
+    round — still absent in rounds 1-9, last re-probed 2026-08-16 r9) — raises
     NotImplementedError there, so it is NOT in the driver registry;
     streaming_user_totals (applyInPandasWithState) carries the
     oracle-gated stateful-streaming surface.  On a protobuf-equipped
@@ -1552,14 +1560,15 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
     )
     sink = f"soja_sink_{uuid.uuid4().hex[:8]}"
-    # BOUNDED_KEY_PARTITIONS, unlike the user-totals drain: join state is
-    # WATERMARK-bounded (live rows = arrival-rate x the ~1.5 h horizon the
-    # range condition + delay admit), not corpus-bounded, so state stays
-    # small at any fixture SF; 32 partitions cost 2 state stores x 32
-    # instances x 3 batches of init for near-empty stores (measured
-    # 9.6 -> 2.8 s at sf0.01).  A production deployment sizes this to
-    # horizon volume, which _stream_partitions parameterizes.
-    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+    # OUTER_JOIN_STATE_PARTITIONS: join state is WATERMARK-bounded (live
+    # rows = arrival-rate x the ~1.5 h horizon the range condition +
+    # delay admit), not corpus-bounded, so state stays small at any
+    # fixture SF; every extra partition costs state-store init x 4
+    # stores x 2 batches for near-empty stores (32 -> 8 measured
+    # 9.6 -> 2.8 s at sf0.01; 8 -> 4 takes the sf0.1 warm drain
+    # 3.4 -> 2.5 s, flat below 4).  A production deployment sizes this
+    # to horizon volume, which _stream_partitions parameterizes.
+    with _stream_partitions(spark, OUTER_JOIN_STATE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -1636,7 +1645,8 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
     )
     sink = f"sfor_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+    # see streaming_outer_join_attribution's sizing note
+    with _stream_partitions(spark, OUTER_JOIN_STATE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)

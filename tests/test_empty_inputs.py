@@ -232,6 +232,13 @@ EMPTY_OK_ZERO_ROWS = [
     "collated_source_rollup",
     "dpp_monthly_revenue",
     "winnowing_fingerprints",
+    # round-9 operators (state_store_user_totals included: an empty
+    # fixture still commits its drain batch, so the state read returns
+    # cleanly with zero keys)
+    "state_store_user_totals",
+    "pipe_syntax_supplier_rollup",
+    "parameterized_sql_brand_stats",
+    "listagg_segments_by_nation",
 ]
 
 
