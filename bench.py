@@ -173,6 +173,7 @@ HEADLINE = [
     "pipe_syntax_supplier_rollup",
     "parameterized_sql_brand_stats",
     "listagg_segments_by_nation",
+    "state_evolution_snapshots",
 ]
 
 

@@ -7798,3 +7798,28 @@ register(
     ORDER BY c_nationkey
     """,
 )
+
+
+# Historical state reads (option("batchId", N) time travel): per-user
+# totals AS OF batch 0 (even event_ids, the first of two mtime-ordered
+# half files) beside the latest committed state — groups a batch hasn't
+# seen are absent from its snapshot, mirrored by the oracle's per-half
+# GROUP BY branches.
+register(
+    "state_evolution_snapshots",
+    _state_reader.state_evolution_snapshots,
+    """
+    SELECT CAST(0 AS BIGINT) AS snapshot_batch, user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS snapshot_batch, user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY snapshot_batch, user_id
+    """,
+)

@@ -72,9 +72,9 @@ def _user_totals_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         _events_fingerprint(sf_dir),
     )
     hit = _STATE_CKPT_MEMO.get(key)
-    if hit is not None and os.path.isdir(hit):
+    if hit is not None and os.path.isdir(hit[0]):
         _STATE_CKPT_MEMO.move_to_end(key)
-        return hit
+        return hit[0]
     ev = read_events_stream(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(
         # round to cents BEFORE summing: the state buffer itself is then
@@ -96,11 +96,18 @@ def _user_totals_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         )
         q.awaitTermination()
     spark.catalog.dropTempView(sink)  # the sink table is not the product
-    _STATE_CKPT_MEMO[key] = ck
+    # memo values are always TUPLES of dirs (first = checkpoint) so the
+    # shared eviction loop can rmtree every associated dir
+    _STATE_CKPT_MEMO[key] = (ck,)
+    _evict_state_memo()
+    return ck
+
+
+def _evict_state_memo() -> None:
     while len(_STATE_CKPT_MEMO) > _STATE_CKPT_MEMO_MAX:
         _, old = _STATE_CKPT_MEMO.popitem(last=False)
-        shutil.rmtree(old, ignore_errors=True)
-    return ck
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def state_store_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,3 +133,105 @@ def state_store_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("long").alias("n_events"),
         F.date_format(F.col("value.max"), _FMT).alias("last_ts"),
     ).orderBy("user_id")
+
+
+def _evolution_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Two-batch drain for the historical-state read: events split into
+    two mtime-ordered files (even event_ids first, then odd) and drained
+    with maxFilesPerTrigger=1, so batch 0's committed state is the
+    even-half totals and the latest state is the full totals.  Memoized
+    per (session, fixture) like the user-totals checkpoint."""
+    import glob as _glob
+
+    ensure_runtime_confs(spark)
+    key = (
+        "evolution",
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
+    )
+    hit = _STATE_CKPT_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        _STATE_CKPT_MEMO.move_to_end(key)
+        return hit[0]
+    src = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(src)
+    root = tempfile.mkdtemp(prefix="state_evo_src_")
+    for i, parity in enumerate((0, 1)):
+        stage = os.path.join(root, "_stage")
+        (
+            raw.where(F.col("event_id") % 2 == parity)
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(root, f"half_{i}.parquet")
+        shutil.copy(part, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (i, 100 + i))  # mtime order fixes batch order
+    agg = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(root)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    ck = tempfile.mkdtemp(prefix="state_evo_ck_")
+    sink = f"state_evo_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark.catalog.dropTempView(sink)
+    _STATE_CKPT_MEMO[key] = (ck, root)
+    _evict_state_memo()
+    return ck
+
+
+def state_evolution_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical state reads (time travel over the state store): the
+    per-user totals AS OF batch 0 (option("batchId", 0) — even
+    event_ids only) unioned with the LATEST committed state (full
+    corpus), labeled by snapshot_batch.  Groups a batch hasn't seen are
+    absent from its snapshot, exactly as in the GROUP BY oracle's
+    per-half branches.
+
+    At 100 TB this is the state-debug primitive the plain reader can't
+    give: diff the state between two batches to find the keys a
+    regression touched, without replaying any input."""
+    ck = _evolution_checkpoint(spark, sf_dir)
+    commits = os.path.join(ck, "commits")
+    if not os.path.isdir(commits) or not any(
+        not f.startswith(".") for f in os.listdir(commits)
+    ):
+        return spark.createDataFrame(
+            [], "snapshot_batch long, user_id long, cents_sum long, n_events long"
+        )
+
+    def snap(batch_id, label: int) -> DataFrame:
+        r = spark.read.format("statestore")
+        if batch_id is not None:
+            r = r.option("batchId", batch_id)
+        return r.load(ck).select(
+            F.lit(label).cast("long").alias("snapshot_batch"),
+            F.col("key.user_id").cast("long").alias("user_id"),
+            F.col("value.sum").cast("long").alias("cents_sum"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+
+    return (
+        snap(0, 0)
+        .unionByName(snap(None, 1))
+        .orderBy("snapshot_batch", "user_id")
+    )

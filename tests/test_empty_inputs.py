@@ -239,6 +239,7 @@ EMPTY_OK_ZERO_ROWS = [
     "pipe_syntax_supplier_rollup",
     "parameterized_sql_brand_stats",
     "listagg_segments_by_nation",
+    "state_evolution_snapshots",
 ]
 
 
