@@ -174,6 +174,7 @@ HEADLINE = [
     "parameterized_sql_brand_stats",
     "listagg_segments_by_nation",
     "state_evolution_snapshots",
+    "rocksdb_daily_type_rollup",
 ]
 
 

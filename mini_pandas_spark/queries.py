@@ -7823,3 +7823,21 @@ register(
     ORDER BY snapshot_batch, user_id
     """,
 )
+
+
+# 15th streaming topology — RocksDB state store provider (the 100 TB
+# production state backend; every other topology runs the default
+# HDFS-backed provider): per-(event_type, day) rollup drained under
+# RocksDB, result == batch GROUP BY.
+register(
+    "rocksdb_daily_type_rollup",
+    _stream_windows.rocksdb_daily_type_rollup,
+    """
+    SELECT event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY 1, 2 ORDER BY event_type, day
+    """,
+)

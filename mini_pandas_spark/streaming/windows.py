@@ -1656,3 +1656,68 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         q.awaitTermination()
     return spark.table(sink).where(F.col("user_id") >= 0)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _state_store_provider(spark: SparkSession, provider: str):
+    """Pin the state-store provider class for one drain, restoring the
+    caller's setting afterwards (the _stream_partitions recipe).  The
+    provider is frozen per-checkpoint at query start, so the scope only
+    needs to cover .start()."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def rocksdb_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15th streaming topology: per-(event_type, day) counts + exact
+    cent sums drained under the ROCKSDB state store provider — the
+    production state backend at 100 TB (state lives off-heap in RocksDB
+    instances with changelog/snapshot files in the checkpoint, so state
+    size is bounded by disk, not executor heap; the default HDFS-backed
+    provider keeps every version in memory).  Every other topology here
+    runs the default provider; this pins the RocksDB path end-to-end:
+    provider init, off-heap puts/gets across batches, snapshot upload at
+    commit, drained result identical to the batch GROUP BY (oracle).
+
+    The key domain (event types × days) is bounded by construction, so
+    BOUNDED_KEY_PARTITIONS sizes the state exchange, as elsewhere.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+    )
+    sink = f"rocksdb_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS), _state_store_provider(
+        spark, _ROCKSDB_PROVIDER
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("event_type", "day")

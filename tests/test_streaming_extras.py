@@ -435,3 +435,19 @@ def test_sentinel_dir_supports_directory_layout_fixture(spark, tmp_path):
         (r.purchase_id, r.user_id, r.error_id) for r in q(spark, sfd).collect()
     }
     assert got == base
+
+
+def test_rocksdb_topology_drains_and_restores_provider_conf(spark):
+    """The 15th topology pins RocksDBStateStoreProvider only for its own
+    drain: the session conf must be untouched before AND after (other
+    topologies keep the default provider), and the drained rollup must
+    be non-empty."""
+    from mini_pandas_spark.queries import queries
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert spark.conf.get(key, None) is None
+    rows = queries()["rocksdb_daily_type_rollup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert spark.conf.get(key, None) is None
