@@ -175,6 +175,7 @@ HEADLINE = [
     "listagg_segments_by_nation",
     "state_evolution_snapshots",
     "rocksdb_daily_type_rollup",
+    "dynamic_gap_sessions",
 ]
 
 

@@ -7841,3 +7841,42 @@ register(
     FROM events GROUP BY 1, 2 ORDER BY event_type, day
     """,
 )
+
+
+# Per-event-gap session windows (session_window(ts, gap_column) —
+# purchases hold sessions open 2h, other events 30min); oracle is the
+# variable-gap islands formulation (running MAX of ts+gap, unique
+# (ts, event_id) tiebreak), which coincides with Spark's interval-merge.
+register(
+    "dynamic_gap_sessions",
+    _stream_windows.dynamic_gap_sessions,
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 2 HOUR
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events
+    ), b AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                    WHEN ts >= MAX(ts + gap) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)

@@ -1721,3 +1721,48 @@ def rocksdb_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("event_type", "day")
+
+
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression (the
+    session_window(ts, gap_column) overload): purchases hold a session
+    open for 2 hours, anything else 30 minutes — the engagement-weighted
+    sessionization rule fixed-gap session_window_agg cannot express.
+    Works identically under readStream (same expression, watermark
+    added), exercised here in batch mode like session_window_agg.
+
+    Engine trap: the gap column must be CalendarIntervalType —
+    ``INTERVAL 2 HOURS`` literals are DayTimeIntervalType under ANSI
+    intervals and session_window REJECTS them; build gaps with
+    ``make_interval``.
+
+    Oracle: the variable-gap islands formulation — a session boundary
+    is an event at or past the running MAX of (ts + gap) over all
+    earlier same-user events ((ts, event_id) order, invariant-3 unique
+    tiebreak); Spark's interval-merge semantics ([start, end) windows,
+    merge on overlap) coincide exactly because max-of-ends is
+    order-independent.
+    """
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0, 0, 0, 0, 2, 0, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    sess = ev.groupBy(
+        F.session_window("ts", gap).alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    return sess.select(
+        "user_id",
+        F.date_format(F.col("sw.start"), _FMT).alias("session_start"),
+        "n_events",
+        "n_purchases",
+    ).orderBy("user_id", "session_start")

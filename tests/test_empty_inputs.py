@@ -240,6 +240,7 @@ EMPTY_OK_ZERO_ROWS = [
     "parameterized_sql_brand_stats",
     "listagg_segments_by_nation",
     "state_evolution_snapshots",
+    "dynamic_gap_sessions",
 ]
 
 
