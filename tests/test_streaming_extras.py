@@ -451,3 +451,30 @@ def test_rocksdb_topology_drains_and_restores_provider_conf(spark):
     ).collect()
     assert rows
     assert spark.conf.get(key, None) is None
+
+
+def test_state_reader_agrees_with_sink_path_and_snapshots(spark):
+    """Cross-path consistency: the totals decoded FROM STATE FILES
+    (state_store_user_totals) must equal the applyInPandasWithState
+    SINK-path totals (streaming_user_totals) on count and exact cents,
+    and state_evolution_snapshots' latest snapshot must equal the state
+    reader's totals — three independent state machineries, one answer."""
+    from mini_pandas_spark.queries import queries
+
+    SF = "/root/testdata/sf0.001"
+    qs = queries()
+    from_state = {
+        r.user_id: (r.n_events, r.cents_sum)
+        for r in qs["state_store_user_totals"](spark, SF).collect()
+    }
+    from_sink = {
+        r.user_id: (r.n_events, round(r.total_value * 100))
+        for r in qs["streaming_user_totals"](spark, SF).collect()
+    }
+    assert from_state == from_sink
+    latest_snap = {
+        r.user_id: (r.n_events, r.cents_sum)
+        for r in qs["state_evolution_snapshots"](spark, SF).collect()
+        if r.snapshot_batch == 1
+    }
+    assert latest_snap == from_state
