@@ -176,6 +176,7 @@ HEADLINE = [
     "state_evolution_snapshots",
     "rocksdb_daily_type_rollup",
     "dynamic_gap_sessions",
+    "streaming_table_sink_daily",
 ]
 
 

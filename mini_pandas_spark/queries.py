@@ -7880,3 +7880,24 @@ register(
     ORDER BY user_id, session_start
     """,
 )
+
+
+# 16th streaming topology — writeStream.toTable catalog sink (file-sink
+# commit protocol + warehouse metadata): watermark-closed daily windows
+# read back from the table, last open day unioned from a batch agg of
+# the same source; one plain GROUP BY oracle covers the union exactly.
+register(
+    "streaming_table_sink_daily",
+    _stream_windows.streaming_table_sink_daily,
+    """
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)

@@ -1766,3 +1766,107 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_purchases",
     ).orderBy("user_id", "session_start")
+
+
+# Streaming table-sink memo: (table_name, checkpoint, table_path) per
+# (session, fixture); eviction drops the catalog entry and both dirs
+# (the _BUCKET_MEMO teardown recipe).
+_TABLE_SINK_MEMO: "OrderedDict" = OrderedDict()
+_TABLE_SINK_MEMO_MAX = 4
+
+
+def streaming_table_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16th streaming topology: ``writeStream.toTable`` — the CATALOG
+    table sink (files + metadata managed by the warehouse, queryable by
+    name mid-stream), which none of the memory/foreachBatch/custom-sink
+    topologies exercise.  Watermarked daily windows per event type with
+    max/min/count of exact cents drain append-mode into an external
+    parquet table; the result is ``spark.table(name)`` — files written
+    by the streaming file-sink commit protocol (per-batch manifest under
+    _spark_metadata, the exactly-once story for object-store sinks at
+    100 TB).
+
+    Sentinel-free determinism: append mode only emits windows the
+    watermark has CLOSED, so the final (max-ts) day would be withheld —
+    the same final-band problem the outer joins solve with sentinels
+    (SCALE.md §6g).  Here the fixture is static and the query feeds the
+    sink from ONE drain, so the guard is different: read back the table
+    and UNION the last open day from a batch aggregate of rows past the
+    last closed window — mirroring what a production job reads as
+    "closed days from the table + today from the live view".  Both
+    engines compute the identical union (the oracle is one plain GROUP
+    BY: closed + open days partition the data by day).
+    """
+    ensure_runtime_confs(spark)
+    import shutil
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
+    )
+    hit = _TABLE_SINK_MEMO.get(key)
+    if hit is None:
+        ev = read_events_stream(spark, sf_dir)
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.max(cents).cast("long").alias("max_cents"),
+                F.min(cents).cast("long").alias("min_cents"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n_events",
+                "max_cents",
+                "min_cents",
+            )
+        )
+        tag = uuid.uuid4().hex[:8]
+        tbl = f"daily_type_sink_{tag}"
+        root = tempfile.mkdtemp(prefix="table_sink_")
+        ck = os.path.join(root, "_ck")
+        with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+            q = (
+                agg.writeStream.outputMode("append")
+                .option("checkpointLocation", ck)
+                .option("path", os.path.join(root, "tbl"))
+                .trigger(availableNow=True)
+                .toTable(tbl)
+            )
+            q.awaitTermination()
+        _TABLE_SINK_MEMO[key] = (tbl, root)
+        while len(_TABLE_SINK_MEMO) > _TABLE_SINK_MEMO_MAX:
+            _, (old_tbl, old_root) = _TABLE_SINK_MEMO.popitem(last=False)
+            spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
+            shutil.rmtree(old_root, ignore_errors=True)
+    else:
+        _TABLE_SINK_MEMO.move_to_end(key)
+    tbl, _root = _TABLE_SINK_MEMO[key]
+    closed = spark.table(tbl)
+    # open-day guard: days the watermark never closed come from a batch
+    # aggregate over the same source (production reads them from the
+    # live view); day partitioning makes the union exact.
+    from ..sources import load_table
+
+    ev_b = load_table(spark, sf_dir, "events")
+    cents_b = F.round(F.col("value") * 100).cast("bigint")
+    all_days = (
+        ev_b.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(cents_b).cast("long").alias("max_cents"),
+            F.min(cents_b).cast("long").alias("min_cents"),
+        )
+    )
+    open_days = all_days.join(
+        closed.select("day").distinct(), "day", "left_anti"
+    )
+    return closed.unionByName(open_days).orderBy("day", "event_type")
