@@ -4521,3 +4521,49 @@ def listagg_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+def polymorphic_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF via the static ``analyze()`` hook (Spark
+    3.5+): the OUTPUT SCHEMA is computed from the call's constant
+    argument — ``split_first_words(p_name, 4)`` resolves to columns
+    w0..w3 at analysis time, something a fixed ``returnType`` cannot
+    express.  The third UDTF surface beside chunk_tokens_udtf (lateral,
+    static schema) and event_runs_udtf (TABLE ARGUMENT + PARTITION BY).
+
+    Like event_runs_udtf, the per-row eval is the API's documented
+    cost, not a scale path (excluded from the bench headline); the
+    oracle replays the same padding semantics with list indexing.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf(useArrow=True)
+    class SplitFirstWords:
+        # self-contained: pickled by value (local class, builtins +
+        # in-function pyspark imports only)
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            from pyspark.sql.types import StringType, StructType
+
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, s, n):
+            toks = (s or "").split()
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_first_words", SplitFirstWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "__part_for_split"
+    )
+    return spark.sql(
+        """
+        SELECT p_partkey, s.w0, s.w1, s.w2, s.w3
+        FROM __part_for_split, LATERAL split_first_words(p_name, 4) s
+        """
+    )

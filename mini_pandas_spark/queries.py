@@ -7901,3 +7901,20 @@ register(
     FROM events GROUP BY 1, 2 ORDER BY day, event_type
     """,
 )
+
+
+# Polymorphic UDTF (static analyze() computes the output schema from a
+# constant argument — w0..w3 for n=4); padding beyond the word count is
+# NULL, mirrored by DuckDB's out-of-range list indexing.
+register(
+    "polymorphic_split_udtf",
+    relational.polymorphic_split_udtf,
+    r"""
+    WITH t AS (
+        SELECT p_partkey, regexp_split_to_array(trim(p_name), '\s+') AS w
+        FROM part
+    )
+    SELECT p_partkey, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3
+    FROM t
+    """,
+)

@@ -241,6 +241,7 @@ EMPTY_OK_ZERO_ROWS = [
     "listagg_segments_by_nation",
     "state_evolution_snapshots",
     "dynamic_gap_sessions",
+    "polymorphic_split_udtf",
 ]
 
 
