@@ -7457,8 +7457,8 @@ register(
     + """
     SELECT CASE WHEN sb.sz < sa.sz THEN doc_b ELSE doc_a END AS doc_small,
            CASE WHEN sb.sz < sa.sz THEN doc_a ELSE doc_b END AS doc_big,
-           CAST(round(inter * 1000000.0 / LEAST(sa.sz, sb.sz)) AS BIGINT)
-               / 1000000.0 AS containment
+           CAST(round((inter * 1.0 / LEAST(sa.sz, sb.sz)) * 1000000.0)
+                AS BIGINT) / 1000000.0 AS containment
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -7846,7 +7846,10 @@ register(
 # Per-event-gap session windows (session_window(ts, gap_column) —
 # purchases hold sessions open 2h, other events 30min); oracle is the
 # variable-gap islands formulation (running MAX of ts+gap, unique
-# (ts, event_id) tiebreak), which coincides with Spark's interval-merge.
+# (ts, event_id) tiebreak). Boundary rule: Spark merges an event landing
+# EXACTLY at the running session end (touching intervals coalesce), so
+# the islands break condition is STRICT ts > MAX(ts + gap) — verified
+# empirically and pinned by tests/test_streaming_windows.py.
 register(
     "dynamic_gap_sessions",
     _stream_windows.dynamic_gap_sessions,
@@ -7859,7 +7862,7 @@ register(
     ), b AS (
         SELECT user_id, event_id, ts, event_type,
                CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
-                    WHEN ts >= MAX(ts + gap) OVER
+                    WHEN ts > MAX(ts + gap) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                          THEN 1 ELSE 0 END AS is_new
@@ -7911,7 +7914,8 @@ register(
     relational.polymorphic_split_udtf,
     r"""
     WITH t AS (
-        SELECT p_partkey, regexp_split_to_array(trim(p_name), '\s+') AS w
+        SELECT p_partkey,
+               regexp_split_to_array(NULLIF(trim(p_name), ''), '\s+') AS w
         FROM part
     )
     SELECT p_partkey, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3

@@ -1737,11 +1737,14 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``make_interval``.
 
     Oracle: the variable-gap islands formulation — a session boundary
-    is an event at or past the running MAX of (ts + gap) over all
+    is an event STRICTLY past the running MAX of (ts + gap) over all
     earlier same-user events ((ts, event_id) order, invariant-3 unique
-    tiebreak); Spark's interval-merge semantics ([start, end) windows,
-    merge on overlap) coincide exactly because max-of-ends is
-    order-independent.
+    tiebreak); Spark's interval-merge semantics coincide exactly
+    because max-of-ends is order-independent.  Boundary rule (verified
+    empirically): an event landing EXACTLY at the running session end
+    MERGES — Spark coalesces touching [start, end] intervals — so the
+    islands break condition must be ``ts > MAX(ts + gap)``, not ``>=``.
+    Pinned by a boundary-event unit test in tests/test_streaming_windows.py.
     """
     from ..sources import load_table
 
