@@ -7922,3 +7922,25 @@ register(
     FROM t
     """,
 )
+
+
+# Stream-stream JOIN state read (joinSide + batchId=0): batch 0 commits
+# under the previous watermark (nothing evicted), so each side's
+# buffered state is exactly its filtered input — a plain UNION oracle.
+# The post-eviction final state (sentinels only) is pytest-pinned.
+register(
+    "join_state_buffered_sides",
+    _state_reader.join_state_buffered_sides,
+    """
+    SELECT 'purchase' AS side, event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               AS buffered_ts
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'error' AS side, event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               AS buffered_ts
+    FROM events WHERE event_type = 'error'
+    ORDER BY side, event_id
+    """,
+)

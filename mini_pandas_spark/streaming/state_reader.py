@@ -199,6 +199,151 @@ def _evolution_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     return ck
 
 
+def _outer_join_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the watermarked LEFT OUTER purchase<-error stream-stream
+    join (the streaming_outer_join_attribution topology) once with an
+    EXPLICIT checkpoint, so its join state is readable afterwards.
+    Memoized per (session, fixture); reuses the memoized
+    sentinel-augmented events dir (owned by _SENTINEL_DIRS — only the
+    checkpoint goes in this memo's eviction tuple)."""
+    from .windows import (
+        OUTER_JOIN_STATE_PARTITIONS,
+        _events_dir_with_sentinels,
+    )
+
+    ensure_runtime_confs(spark)
+    key = (
+        "joinstate",
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _events_fingerprint(sf_dir),
+    )
+    hit = _STATE_CKPT_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        _STATE_CKPT_MEMO.move_to_end(key)
+        return hit[0]
+    root = _events_dir_with_sentinels(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .load(root)
+    )
+    ts_type = schema["ts"].dataType.simpleString()
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_type == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    ev = raw.withColumn("ts", ts)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user = e_user AND e_ts >= p_ts "
+            "AND e_ts <= p_ts + INTERVAL '30' MINUTE"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
+    )
+    ck = tempfile.mkdtemp(prefix="join_state_ck_")
+    sink = f"join_state_drain_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, OUTER_JOIN_STATE_PARTITIONS):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark.catalog.dropTempView(sink)
+    _STATE_CKPT_MEMO[key] = (ck,)
+    _evict_state_memo()
+    return ck
+
+
+def join_state_buffered_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN state read (``option("joinSide", ...)``) — the
+    state reader's second half after the aggregation reads: both sides'
+    buffered rows of the watermarked left-outer purchase<-error join,
+    read AS OF batch 0 (``option("batchId", 0)``).
+
+    Why batch 0: the availableNow drain runs the data batch under the
+    PREVIOUS watermark (0), so nothing evicts during it — its committed
+    join state is exactly every buffered input row on each side (every
+    purchase on the left, every error on the right), which a plain
+    filtered UNION oracle gates bit-for-bit.  The no-data batch then
+    evicts under the sentinel-advanced watermark, leaving only the two
+    far-future sentinel rows in the FINAL state — pinned separately in
+    tests/test_streaming_extras.py as the eviction proof (sentinels are
+    engine-internal, so that half has no SQL oracle).
+
+    At 100 TB this is the debug primitive for the most opaque streaming
+    failure mode — join-state growth: read the buffered rows per side
+    and per batch straight from the checkpoint (one split per state
+    partition, input-data-free), instead of replaying inputs.
+
+    Sentinel rows (user_id -1) are filtered driver-visible here, AFTER
+    the state read — the read itself touches only state files, so there
+    is no pushdown hazard like the in-stream filter one (windows.py
+    comment in streaming_outer_join_attribution).
+    """
+    ck = _outer_join_state_checkpoint(spark, sf_dir)
+    commits = os.path.join(ck, "commits")
+    if not os.path.isdir(commits) or not any(
+        not f.startswith(".") for f in os.listdir(commits)
+    ):
+        return spark.createDataFrame(
+            [], "side string, event_id long, user_id long, buffered_ts string"
+        )
+
+    def side_read(side: str, label: str, id_col: str, user_col: str,
+                  ts_col: str) -> DataFrame:
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .option("batchId", 0)
+            .load(ck)
+        )
+        return st.select(
+            F.lit(label).alias("side"),
+            F.col(f"value.{id_col}").cast("long").alias("event_id"),
+            F.col(f"value.{user_col}").cast("long").alias("user_id"),
+            F.date_format(F.col(f"value.{ts_col}"), _FMT).alias("buffered_ts"),
+        )
+
+    left = side_read("left", "purchase", "purchase_id", "p_user", "p_ts")
+    right = side_read("right", "error", "error_id", "e_user", "e_ts")
+    return (
+        left.unionByName(right)
+        .where(F.col("user_id") >= 0)
+        .orderBy("side", "event_id")
+    )
+
+
 def state_evolution_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Historical state reads (time travel over the state store): the
     per-user totals AS OF batch 0 (option("batchId", 0) — even

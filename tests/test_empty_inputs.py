@@ -242,6 +242,10 @@ EMPTY_OK_ZERO_ROWS = [
     "state_evolution_snapshots",
     "dynamic_gap_sessions",
     "polymorphic_split_udtf",
+    # round-10 operators: the join-state drain of an empty fixture still
+    # commits its (zero-row) data batch, so the batch-0 state read
+    # returns cleanly with zero buffered rows on both sides
+    "join_state_buffered_sides",
 ]
 
 

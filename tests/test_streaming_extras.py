@@ -478,3 +478,52 @@ def test_state_reader_agrees_with_sink_path_and_snapshots(spark):
         if r.snapshot_batch == 1
     }
     assert latest_snap == from_state
+
+
+def test_join_state_final_eviction_leaves_only_sentinels(spark):
+    """Eviction proof for join_state_buffered_sides: after the
+    availableNow NO-DATA batch runs eviction under the sentinel-advanced
+    watermark, the FINAL join state (no batchId option) holds ONLY
+    far-future sentinel rows (user_id -1) on each side — every real
+    event's buffered row was released.  The registered query reads
+    batch 0 (pre-eviction, oracle-gated); this pins the post-eviction
+    half that sentinels make non-SQL-expressible."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.streaming.state_reader import (
+        _outer_join_state_checkpoint,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ck = _outer_join_state_checkpoint(spark, SF)
+    for side, user_col in (("left", "p_user"), ("right", "e_user")):
+        final = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(ck)
+            .select(F.col(f"value.{user_col}").alias("u"))
+        )
+        rows = [r.u for r in final.collect()]
+        assert rows, f"{side} final state unexpectedly empty"
+        assert all(u == -1 for u in rows), (
+            f"{side} side retained real buffered rows: "
+            f"{[u for u in rows if u != -1][:5]}"
+        )
+
+
+def test_join_state_batch0_matches_drained_inputs(spark):
+    """Batch-0 join state == each side's full filtered input (nothing
+    evicts under the previous watermark during the data batch): row
+    counts per side equal the fixture's purchase/error counts."""
+    from mini_pandas_spark.queries import queries
+    from mini_pandas_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    got = queries()["join_state_buffered_sides"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").groupBy("event_type").count()
+    counts = {r["event_type"]: r["count"] for r in ev.collect()}
+    by_side = got.groupby("side").size().to_dict()
+    assert by_side.get("purchase", 0) == counts.get("purchase", 0)
+    assert by_side.get("error", 0) == counts.get("error", 0)
+    # the state read must not leak sentinel rows into the product
+    assert (got.user_id >= 0).all()

@@ -38,8 +38,11 @@ def main() -> int:
 
     print("entry rows:", entrymod.entry(spark).count())
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[1:])  # optional name subset, like check_correctness
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
             srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
