@@ -4567,3 +4567,99 @@ def polymorphic_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __part_for_split, LATERAL split_first_words(p_name, 4) s
         """
     )
+
+
+def sql_script_trimmed_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 ``BEGIN ... END`` compound with DECLAREd
+    local variables and a WHILE loop): the iterative 2x-mean trim — a
+    DATA-DEPENDENT-iteration-count computation no single SELECT can
+    express.  In exact integer cents (invariant 3):
+
+        t_0     = 2 * floor_mean(cents of ALL orders)
+        t_{k+1} = 2 * floor_mean(cents <= t_k)
+
+    rebinding while the threshold strictly decreases (monotone, so it
+    reaches an integer fixpoint; capped at 8 rebinds).  Returns the
+    rebind count, the fixpoint threshold, and the surviving order
+    count/sum — the classic outlier-trim loop every data-quality sweep
+    runs, here executed entirely inside the SQL-scripting interpreter
+    (variables + control flow server-side, no driver round-trips per
+    statement result).
+
+    At 100 TB: each loop step is ONE set-based scan+aggregate (a scalar
+    subquery Catalyst plans like any other agg, parquet-pruned to the
+    single money column); the cap bounds the whole query at <= 10
+    scans.  The oracle replays the identical recurrence as a DuckDB
+    recursive CTE.
+
+    The scripting conf is flipped on for the call and restored (the
+    grading driver's session arrives bare — invariant 2).
+    """
+    load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).createOrReplaceTempView("scriptv_order_cents")
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE t BIGINT DEFAULT NULL;
+              DECLARE nt BIGINT DEFAULT NULL;
+              DECLARE i INT DEFAULT 0;
+              SET t = (SELECT 2 * (SUM(cents) DIV NULLIF(COUNT(*), 0))
+                       FROM scriptv_order_cents);
+              SET nt = (SELECT 2 * (SUM(cents) DIV NULLIF(COUNT(*), 0))
+                        FROM scriptv_order_cents WHERE cents <= t);
+              WHILE i < 8 AND nt < t DO
+                SET t = nt;
+                SET i = i + 1;
+                SET nt = (SELECT 2 * (SUM(cents) DIV NULLIF(COUNT(*), 0))
+                          FROM scriptv_order_cents WHERE cents <= t);
+              END WHILE;
+              SELECT CAST(i AS BIGINT) AS n_iters,
+                     COALESCE(t, -1) AS threshold_cents,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM scriptv_order_cents WHERE cents <= t)
+                         AS n_survivors,
+                     (SELECT COALESCE(CAST(SUM(cents) AS BIGINT), 0)
+                      FROM scriptv_order_cents WHERE cents <= t)
+                         AS survivor_cents_sum;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def execute_immediate_brand_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4.0 dynamic SQL): the statement text
+    lives in a session VARIABLE and positional ``?`` markers bind via
+    ``USING`` — the late-bound templated-report shape, one step more
+    dynamic than parameterized_sql_brand_stats (whose text is fixed at
+    call site and parameters bind as ``args=``).  Top-N brands by exact
+    retail cents among parts under a size cap; the bound literals
+    constant-fold, so the p_size cap still reaches the parquet scan as
+    a pushed filter.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("execv_part")
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt_text STRING")
+    spark.sql(
+        """
+        SET VAR stmt_text =
+          'SELECT p_brand,
+                  CAST(COUNT(*) AS BIGINT) AS n_parts,
+                  CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents_sum
+           FROM execv_part
+           WHERE p_size <= ?
+           GROUP BY p_brand
+           ORDER BY cents_sum DESC, p_brand
+           LIMIT ?'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt_text USING 25, 10")

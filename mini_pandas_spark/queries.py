@@ -7944,3 +7944,57 @@ register(
     ORDER BY side, event_id
     """,
 )
+
+
+# SQL scripting (BEGIN..END WHILE loop): iterative 2x-mean trim with a
+# data-dependent rebind count — the oracle replays the identical
+# integer recurrence as a recursive CTE (casts mirror Spark's BIGINT
+# DIV; NULLIF guards the empty fixture on both engines).
+register(
+    "sql_script_trimmed_threshold",
+    relational.sql_script_trimmed_threshold,
+    """
+    WITH RECURSIVE o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), it(i, t) AS (
+        SELECT 0, (SELECT CAST(2 * (SUM(cents) // NULLIF(COUNT(*), 0))
+                        AS BIGINT) FROM o)
+        UNION ALL
+        SELECT i + 1,
+               (SELECT CAST(2 * (SUM(cents) // NULLIF(COUNT(*), 0))
+                       AS BIGINT) FROM o WHERE cents <= t)
+        FROM it
+        WHERE i < 8
+          AND (SELECT CAST(2 * (SUM(cents) // NULLIF(COUNT(*), 0))
+                      AS BIGINT) FROM o WHERE cents <= t) < t
+    ), fin AS (
+        SELECT i, t FROM it ORDER BY i DESC LIMIT 1
+    )
+    SELECT CAST(fin.i AS BIGINT) AS n_iters,
+           CAST(COALESCE(fin.t, -1) AS BIGINT) AS threshold_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM o WHERE cents <= fin.t)
+               AS n_survivors,
+           (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+            FROM o WHERE cents <= fin.t) AS survivor_cents_sum
+    FROM fin
+    """,
+)
+
+
+# EXECUTE IMMEDIATE over a session-variable statement text with
+# positional USING binds — the dynamic-SQL frontend; plain GROUP BY
+# oracle with the literals inlined.
+register(
+    "execute_immediate_brand_topn",
+    relational.execute_immediate_brand_topn,
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM part WHERE p_size <= 25
+    GROUP BY p_brand
+    ORDER BY cents_sum DESC, p_brand
+    LIMIT 10
+    """,
+)

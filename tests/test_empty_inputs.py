@@ -246,6 +246,10 @@ EMPTY_OK_ZERO_ROWS = [
     # commits its (zero-row) data batch, so the batch-0 state read
     # returns cleanly with zero buffered rows on both sides
     "join_state_buffered_sides",
+    # NULLIF-guarded loop seed: zero orders -> NULL threshold, 0 rebinds,
+    # one all-empty summary row on both engines
+    "sql_script_trimmed_threshold",
+    "execute_immediate_brand_topn",
 ]
 
 

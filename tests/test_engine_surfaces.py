@@ -455,3 +455,58 @@ def test_epoch_log_sink_first_commit_sweeps_stale_staged(spark, tmp_path):
     leftovers = [p.name for p in root.iterdir() if p.name.startswith(".staged-")]
     assert leftovers == [], leftovers
     assert len(committed_epoch_shards(str(root))) >= 1
+
+
+def test_sql_script_iterates_and_restores_conf(spark):
+    """The scripting loop must actually REBIND (n_iters >= 1 on real
+    data — a single SELECT could fake n_iters=0), converge within the
+    cap, satisfy the fixpoint property (threshold == 2*floor-mean of
+    survivors), and leave the bare session's scripting conf untouched
+    (invariant 2)."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.operators.relational import (
+        sql_script_trimmed_threshold,
+    )
+    from mini_pandas_spark.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.scripting.enabled", None)
+    row = sql_script_trimmed_threshold(spark, SF).collect()[0]
+    assert spark.conf.get("spark.sql.scripting.enabled", None) == before
+    assert 1 <= row.n_iters <= 8
+    cents = load_table(spark, SF, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    surv = cents.where(F.col("cents") <= row.threshold_cents)
+    agg = surv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    ).collect()[0]
+    assert agg.n == row.n_survivors
+    assert agg.s == row.survivor_cents_sum
+    nxt = 2 * (agg.s // agg.n)
+    if row.n_iters < 8:
+        # converged: one more rebind would not shrink the threshold
+        assert nxt >= row.threshold_cents
+    else:
+        # capped: the sequence was still strictly decreasing when the
+        # 8-rebind bound stopped it (the oracle replays the same cap)
+        assert nxt < row.threshold_cents
+
+
+def test_execute_immediate_pushes_size_filter(spark):
+    """The USING-bound p_size literal must reach the parquet scan as a
+    pushed filter (the bind is a constant at plan time)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mini_pandas_spark.operators.relational import (
+        execute_immediate_brand_topn,
+    )
+
+    df = execute_immediate_brand_topn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LessThanOrEqual(p_size,25)" in plan, plan
