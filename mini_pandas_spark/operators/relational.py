@@ -4663,3 +4663,72 @@ def execute_immediate_brand_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("EXECUTE IMMEDIATE stmt_text USING 25, 10")
+
+
+def identifier_clause_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` clause (Spark 3.5+): table AND column
+    names bound from parameters as identifiers, not strings — the
+    injection-safe form of "pick the table/group-column at runtime"
+    that string-concatenated SQL gets wrong.  Completes the dynamic-SQL
+    family: parameterized_sql_brand_stats binds VALUES,
+    execute_immediate_brand_topn binds whole statements, this binds
+    IDENTIFIERS.  The rollup itself is a plain count/exact-cents
+    group-by over the parameter-chosen orders table and priority
+    column, so Catalyst plans it exactly like the literal query
+    (constant-folded at parse time — same scan, same agg).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("identv_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(IDENTIFIER(:vcol) * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:gcol)
+        ORDER BY o_orderpriority
+        """,
+        args={
+            "tbl": "identv_orders",
+            "gcol": "o_orderpriority",
+            "vcol": "o_totalprice",
+        },
+    )
+
+
+def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (infer grouping keys from the select list,
+    Spark 3.4+ / DuckDB-mirrorable verbatim) with the EXACT ordered-set
+    percentile aggregates ``percentile_cont``/``percentile_disc``
+    (``WITHIN GROUP`` syntax) and ``median`` over integer cents.
+
+    Determinism (invariant 3): inputs are exact bigint cents, and the
+    continuous percentiles use only quarter fractions (0.25/0.5/0.75) —
+    lower + (upper-lower)*frac on integers at dyadic fractions is
+    binary-exact in ANY evaluation order, so both engines produce the
+    identical double with no rounding step.  percentile_disc picks an
+    actual data value (exact by construction).
+
+    At 100 TB: exact percentiles sort within each group — the
+    registered form's groups are the 3 return flags, each a bounded
+    sort; a corpus-global exact percentile would swap to
+    approx_percentile (documented trade, events.py:409).
+    """
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("gballv_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               median(cents) AS median_cents,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75_cents,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p90_disc_cents
+        FROM gballv_lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag
+        """
+    )

@@ -7998,3 +7998,73 @@ register(
     LIMIT 10
     """,
 )
+
+
+# state-metadata reads: every value is fixed by the drain mechanics
+# (store layout per operator, the two sizing constants, committed batch
+# range), so the oracle is a VALUES literal — if BOUNDED_KEY_PARTITIONS
+# or OUTER_JOIN_STATE_PARTITIONS changes, this goes loudly red by design.
+register(
+    "state_metadata_overview",
+    _state_reader.state_metadata_overview,
+    """
+    SELECT * FROM (VALUES
+        ('agg', 'stateStoreSave', 'default',
+         CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        ('join', 'symmetricHashJoin', 'left-keyToNumValues',
+         CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        ('join', 'symmetricHashJoin', 'left-keyWithIndexToValue',
+         CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        ('join', 'symmetricHashJoin', 'right-keyToNumValues',
+         CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        ('join', 'symmetricHashJoin', 'right-keyWithIndexToValue',
+         CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(checkpoint, operator_name, store_name,
+           num_partitions, min_batch_id, max_batch_id)
+    ORDER BY checkpoint, store_name
+    """,
+)
+
+
+# IDENTIFIER(:param) dynamic identifiers — plan identical to the
+# literal query, so the oracle is the literal query.
+register(
+    "identifier_clause_rollup",
+    relational.identifier_clause_rollup,
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+
+# GROUP BY ALL + exact ordered-set percentiles over integer cents;
+# quarter fractions keep percentile_cont binary-exact on both engines
+# (lower + (upper-lower)*dyadic on bigints), percentile_disc picks a
+# data value. DuckDB mirrors GROUP BY ALL verbatim.
+register(
+    "group_by_all_percentiles",
+    relational.group_by_all_percentiles,
+    """
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           median(cents) AS median_cents,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75_cents,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                AS BIGINT) AS p90_disc_cents
+    FROM c
+    GROUP BY ALL
+    ORDER BY l_returnflag
+    """,
+)

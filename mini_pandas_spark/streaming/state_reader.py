@@ -380,3 +380,52 @@ def state_evolution_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(snap(None, 1))
         .orderBy("snapshot_batch", "user_id")
     )
+
+
+def state_metadata_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("state-metadata")`` — the state source's catalog half:
+    per-operator/per-store metadata (operator name, store name, state
+    partition count, committed batch range) decoded from checkpoint
+    metadata files, for BOTH memoized checkpoints (the unwatermarked
+    per-user agg and the outer stream-stream join).  One frame answers
+    "what stateful operators live in this checkpoint, over how many
+    partitions, and through which batch" — the first question of every
+    state-debug session, before any key is read.
+
+    Every value is fixed by the drain mechanics, so the oracle is a
+    VALUES literal: the join topology holds 4 stores (2 sides ×
+    keyToNumValues/keyWithIndexToValue) × OUTER_JOIN_STATE_PARTITIONS
+    partitions, committed through batch 1 (data batch + no-data
+    eviction batch); the agg holds one 'default' store ×
+    BOUNDED_KEY_PARTITIONS partitions, committed at batch 0.  If either
+    sizing constant changes, this query goes loudly red — by design.
+
+    At 100 TB the read is metadata-file-only (no state rows touched):
+    cost is O(operators × partitions) metadata decoding, input-free.
+    """
+    agg_ck = _user_totals_state_checkpoint(spark, sf_dir)
+    join_ck = _outer_join_state_checkpoint(spark, sf_dir)
+    empty = spark.createDataFrame(
+        [],
+        "checkpoint string, operator_name string, store_name string,"
+        " num_partitions long, min_batch_id long, max_batch_id long",
+    )
+    out = empty
+    for label, ck in (("agg", agg_ck), ("join", join_ck)):
+        commits = os.path.join(ck, "commits")
+        if not os.path.isdir(commits) or not any(
+            not f.startswith(".") for f in os.listdir(commits)
+        ):
+            continue
+        md = spark.read.format("state-metadata").load(ck)
+        out = out.unionByName(
+            md.select(
+                F.lit(label).alias("checkpoint"),
+                F.col("operatorName").alias("operator_name"),
+                F.col("stateStoreName").alias("store_name"),
+                F.col("numPartitions").cast("long").alias("num_partitions"),
+                F.col("minBatchId").cast("long").alias("min_batch_id"),
+                F.col("maxBatchId").cast("long").alias("max_batch_id"),
+            )
+        )
+    return out.orderBy("checkpoint", "store_name")
