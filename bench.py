@@ -177,6 +177,14 @@ HEADLINE = [
     "rocksdb_daily_type_rollup",
     "dynamic_gap_sessions",
     "streaming_table_sink_daily",
+    # round-10 additions
+    "join_state_buffered_sides",
+    "sql_script_trimmed_threshold",
+    "execute_immediate_brand_topn",
+    "state_metadata_overview",
+    "identifier_clause_rollup",
+    "group_by_all_percentiles",
+    "zorder_box_pruning",
 ]
 
 

@@ -21,7 +21,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, relational, similarity, sketches, text, tpch
+from .operators import (
+    dedup,
+    events,
+    layout,
+    relational,
+    similarity,
+    sketches,
+    text,
+    tpch,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -8067,4 +8076,16 @@ register(
     GROUP BY ALL
     ORDER BY l_returnflag
     """,
+)
+
+
+# Z-order (Morton) clustered layout: the 2-D box answered from the
+# z-clustered stage table; min/max z in the output value-gates the
+# 32-term interleave (one shared formula generator feeds both engines);
+# the row-group pruning the layout buys is pinned in
+# tests/test_scale_techniques.py.
+register(
+    "zorder_box_pruning",
+    layout.zorder_box_pruning,
+    layout.zorder_box_oracle_sql(),
 )

@@ -255,6 +255,8 @@ EMPTY_OK_ZERO_ROWS = [
     "state_metadata_overview",
     "identifier_clause_rollup",
     "group_by_all_percentiles",
+    # empty layout table -> one all-zero/-1 summary row on both engines
+    "zorder_box_pruning",
 ]
 
 
