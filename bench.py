@@ -184,6 +184,7 @@ HEADLINE = [
     "state_metadata_overview",
     "identifier_clause_rollup",
     "group_by_all_percentiles",
+    "state_change_feed_user_totals",
     "zorder_box_pruning",
 ]
 

@@ -8079,6 +8079,32 @@ register(
 )
 
 
+# State change feed over the two-batch evolution checkpoint: batch 0's
+# 'update' changes are the even-half totals, batch 1's are the full
+# totals for users the odd half touched — two filtered GROUP BY branches.
+register(
+    "state_change_feed_user_totals",
+    _state_reader.state_change_feed_user_totals,
+    """
+    SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+           user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS batch_id, 'update' AS change_type,
+           user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    HAVING SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY batch_id, user_id
+    """,
+)
+
+
 # Z-order (Morton) clustered layout: the 2-D box answered from the
 # z-clustered stage table; min/max z in the output value-gates the
 # 32-term interleave (one shared formula generator feeds both engines);

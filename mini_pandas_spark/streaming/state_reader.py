@@ -429,3 +429,48 @@ def state_metadata_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out.orderBy("checkpoint", "store_name")
+
+
+def state_change_feed_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State CHANGE FEED (``option("readChangeFeed", "true")``): the
+    per-batch change log of the two-batch evolution checkpoint — which
+    keys each micro-batch wrote, with the buffer value as of that
+    batch.  Third leg of the state-reader family after point-in-time
+    snapshots (state_evolution_snapshots) and join-side reads: the
+    snapshot answers "what was the state", the change feed answers
+    "WHO moved it and WHEN" — the state-regression bisect primitive.
+
+    Oracle mechanics: batch 0 drains the even-event_id half, so its
+    'update' changes are the even-half totals per user; batch 1 drains
+    the odd half, so its changes are the FULL totals — but only for
+    users the odd half actually touched (a key with no odd events is
+    not rewritten, hence absent from batch 1's feed).  Both branches
+    are plain filtered GROUP BYs.
+
+    At 100 TB the feed reads only changelog files batch-by-batch (one
+    split per state partition per batch) — input-data-free like every
+    state-source read.
+    """
+    ck = _evolution_checkpoint(spark, sf_dir)
+    commits = os.path.join(ck, "commits")
+    if not os.path.isdir(commits) or not any(
+        not f.startswith(".") for f in os.listdir(commits)
+    ):
+        return spark.createDataFrame(
+            [],
+            "batch_id long, change_type string, user_id long,"
+            " cents_sum long, n_events long",
+        )
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ck)
+    )
+    return cf.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("change_type").cast("string").alias("change_type"),
+        F.col("key.user_id").cast("long").alias("user_id"),
+        F.col("value.sum").cast("long").alias("cents_sum"),
+        F.col("value.count").cast("long").alias("n_events"),
+    ).orderBy("batch_id", "user_id")

@@ -257,6 +257,8 @@ EMPTY_OK_ZERO_ROWS = [
     "group_by_all_percentiles",
     # empty layout table -> one all-zero/-1 summary row on both engines
     "zorder_box_pruning",
+    # commit-guarded change feed of two zero-row batches -> zero changes
+    "state_change_feed_user_totals",
 ]
 
 

@@ -334,3 +334,38 @@ def test_manifest_source_roundtrip_trust_and_checksum(spark, tmp_path):
 
     with _pytest.raises(Exception, match="verification|crc|manifest_source"):
         read_manifest(spark, out, ddl).count()
+
+
+def test_hidden_file_metadata_column(spark):
+    """The parquet source's hidden ``_metadata`` struct (file_path,
+    file_name, file_size, file_modification_time, row_index) must be
+    selectable alongside data columns and internally consistent: paths
+    end in .parquet, sizes are positive and match os.stat, per-file
+    row_index is dense 0..n-1, and per-file row counts sum to the
+    table count.  At 100 TB this column is how a pipeline attributes
+    bad rows back to their source file without a join against any
+    manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.file_size").alias("fs"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    per_file = df.groupBy("fp", "fn", "fs").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ri").alias("ri_min"),
+        F.max("ri").alias("ri_max"),
+    ).collect()
+    assert sum(r.n for r in per_file) == total
+    for r in per_file:
+        assert r.fn.endswith(".parquet")
+        local = r.fp.removeprefix("file://").removeprefix("file:")
+        assert os.path.getsize(local) == r.fs > 0
+        assert (r.ri_min, r.ri_max) == (0, r.n - 1)  # dense per file
