@@ -649,3 +649,55 @@ def test_zvalue_formula_is_a_true_morton_interleave(spark):
     con.close()
     for (x, y), z in got.items():
         assert z == morton(x, y) == dz[(x, y)], (x, y, z)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join receipt: a 50%-hot key under SortMergeJoin must be
+    SPLIT at runtime (the final adaptive plan's join carries skew=true)
+    and the answer must equal the skew-handling-off run — the zero-code
+    companion of the registry's explicit salted join (skew_salted_join):
+    salting is the portable fix, AQE the runtime one; both must hold at
+    a 1000-executor scale where one hot partition stalls the stage."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 200)
+            .alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        return left.join(right, "k").groupBy().agg(
+            F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = build()
+        rows_skew = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        rows_plain = build().collect()
+        assert rows_skew == rows_plain
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
