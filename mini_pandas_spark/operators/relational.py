@@ -4709,18 +4709,21 @@ def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double with no rounding step.  percentile_disc picks an
     actual data value (exact by construction).
 
-    At 100 TB: exact percentiles sort within each group — the
-    registered form's groups are the 3 return flags, each a bounded
-    sort; a corpus-global exact percentile would swap to
-    approx_percentile (documented trade, events.py:409).
+    At 100 TB: ordered-set aggregates BUFFER each group's values, so
+    the grouping key must be high-cardinality — per PART here (group
+    count scales with the data, group size stays a bounded handful of
+    lineitems), never per return flag (3 corpus-sized buffers, the
+    low-cardinality-partition anti-pattern the window lint bans;
+    measured 4.8s vs 1.7s at sf0.1).  A corpus-global exact percentile
+    would swap to approx_percentile (documented trade, events.py:409).
     """
     load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
+        "l_partkey",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     ).createOrReplaceTempView("gballv_lineitem")
     return spark.sql(
         """
-        SELECT l_returnflag,
+        SELECT l_partkey,
                CAST(COUNT(*) AS BIGINT) AS n_items,
                median(cents) AS median_cents,
                percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
@@ -4729,6 +4732,6 @@ def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS p90_disc_cents
         FROM gballv_lineitem
         GROUP BY ALL
-        ORDER BY l_returnflag
+        ORDER BY l_partkey
         """
     )

@@ -8061,11 +8061,11 @@ register(
     relational.group_by_all_percentiles,
     """
     WITH c AS (
-        SELECT l_returnflag,
+        SELECT l_partkey,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         FROM lineitem
     )
-    SELECT l_returnflag,
+    SELECT l_partkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            median(cents) AS median_cents,
            percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
@@ -8074,7 +8074,7 @@ register(
                 AS BIGINT) AS p90_disc_cents
     FROM c
     GROUP BY ALL
-    ORDER BY l_returnflag
+    ORDER BY l_partkey
     """,
 )
 
