@@ -186,6 +186,8 @@ HEADLINE = [
     "group_by_all_percentiles",
     "state_change_feed_user_totals",
     "zorder_box_pruning",
+    "pii_redaction_counts",
+    "merge_schema_evolution_read",
 ]
 
 

@@ -4735,3 +4735,79 @@ def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_partkey
         """
     )
+
+
+_MERGE_SCHEMA_MEMO: OrderedDict = OrderedDict()
+_MERGE_SCHEMA_MEMO_MAX = 4
+
+
+def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-generation parquet directory derived from orders:
+    generation v1 (odd order keys) has columns (o_orderkey, cents);
+    generation v2 (even keys) adds o_orderpriority — the lake layout
+    every long-lived dataset grows into as writers evolve.  Memoized
+    per (session, fixture), LRU-evicted with rmtree (invariant 9)."""
+    import os
+    import shutil
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _table_fingerprint(sf_dir, "orders"),
+    )
+    hit = _MERGE_SCHEMA_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        _MERGE_SCHEMA_MEMO.move_to_end(key)
+        return hit[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    o.where(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority").coalesce(
+        2
+    ).write.parquet(os.path.join(root, "gen=v1"))
+    o.where(F.col("o_orderkey") % 2 == 0).coalesce(2).write.parquet(
+        os.path.join(root, "gen=v2")
+    )
+    _MERGE_SCHEMA_MEMO[key] = (root,)
+    while len(_MERGE_SCHEMA_MEMO) > _MERGE_SCHEMA_MEMO_MAX:
+        _, old = _MERGE_SCHEMA_MEMO.popitem(last=False)
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+    return root
+
+
+def merge_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-on-READ (``option("mergeSchema", "true")``): one
+    scan over a two-generation parquet directory whose older files lack
+    a column — the parquet source reconciles footers into the union
+    schema and fills the missing column with NULL, which the query
+    rolls up per (generation, priority) with 'unknown' for pre-schema
+    rows.  The source-level twin of union_schema_evolution (which
+    merges two FRAMES via unionByName(allowMissingColumns)); here the
+    merge happens inside ONE FileScan, the partition column `gen`
+    carrying which generation each row came from.
+
+    At 100 TB: mergeSchema prices as one footer read per file at
+    planning time — fine for thousands of files, a reason to keep
+    schema registries beyond that; the scan itself stays a single
+    pruned pass.
+    """
+    root = _schema_evolution_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        df.groupBy(
+            "gen",
+            F.coalesce(F.col("o_orderpriority"), F.lit("unknown")).alias(
+                "priority"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("gen", "priority")
+    )

@@ -3758,3 +3758,98 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# PII regexes shared verbatim by the Spark expressions and the DuckDB
+# oracle (mirror-operations rule): conservative syntax valid in both
+# Java regex and RE2 — no \b, no backrefs, no lookaround.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _pii_feed_sql(text_col: str, id_col: str) -> str:
+    """Deterministic PII-bearing feed derived from the documents table
+    (the fixture corpus carries no PII of its own): every 7th doc gains
+    an email, every 11th an IPv4, every 13th a phone — one SQL
+    expression shared verbatim by both engines."""
+    return (
+        f"concat({text_col}, "
+        f"CASE WHEN {id_col} % 7 = 0 THEN concat(' contact user', "
+        f"CAST({id_col} AS STRING), '@example.com now') ELSE '' END, "
+        f"CASE WHEN {id_col} % 11 = 0 THEN concat(' from 10.2.', "
+        f"CAST({id_col} % 256 AS STRING), '.', "
+        f"CAST(({id_col} * 7) % 256 AS STRING)) ELSE '' END, "
+        f"CASE WHEN {id_col} % 13 = 0 THEN concat(' call 555-', "
+        f"CAST(1000 + {id_col} % 9000 AS STRING)) ELSE '' END)"
+    )
+
+
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub-before-training pass every LLM data
+    pipeline runs: detect emails / IPv4s / phone patterns, count them
+    per source, replace each with a typed placeholder, and emit an
+    order-independent checksum of the REDACTED corpus (md5-prefix ints
+    summed mod 2^31) proving both engines produced byte-identical
+    redacted text — not just equal counts.
+
+    The fixture corpus is synthetic words with no PII, so the operator
+    first derives a deterministic PII-bearing feed (every 7th doc an
+    email, 11th an IPv4, 13th a phone — one expression shared with the
+    oracle).  Counts are taken on the pre-redaction feed; replacements
+    apply email → IP → phone in that fixed order (the placeholders
+    contain no digits or @, so earlier replacements cannot create or
+    destroy later matches).
+
+    At 100 TB: pure regexp_count/regexp_replace column expressions in
+    one corpus scan + a |sources|-row rollup — codegen'd JVM regex,
+    no UDF, no extra shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feed = d.select(
+        "doc_id",
+        "source",
+        F.expr(_pii_feed_sql("text", "doc_id")).alias("t"),
+    )
+    red = feed.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(PII_IPV4_RE)).alias("n_ip"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE,
+                "<IP>",
+            ),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+            F.sum("n_email").cast("bigint").alias("emails"),
+            F.sum("n_ip").cast("bigint").alias("ips"),
+            F.sum("n_phone").cast("bigint").alias("phones"),
+            (
+                F.sum(
+                    F.conv(F.substring(F.md5("redacted"), 1, 7), 16, 10).cast(
+                        "long"
+                    )
+                )
+                % F.lit(2147483647)
+            )
+            .cast("bigint")
+            .alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )

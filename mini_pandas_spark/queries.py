@@ -8115,3 +8115,64 @@ register(
     layout.zorder_box_pruning,
     layout.zorder_box_oracle_sql(),
 )
+
+
+# PII redaction: detect/count/replace emails/IPv4s/phones in a derived
+# deterministic PII-bearing feed (shared feed expression + shared
+# regexes), with an order-independent md5 checksum of the REDACTED text
+# proving byte-identical redaction across engines.  DuckDB needs the
+# 'g' flag for replace-all (Spark's regexp_replace is global by default)
+# and length(regexp_extract_all()) for match counts.
+register(
+    "pii_redaction_counts",
+    text.pii_redaction_counts,
+    f"""
+    WITH feed AS (
+        SELECT source, {text._pii_feed_sql("text", "doc_id")} AS t
+        FROM documents
+    ), red AS (
+        SELECT source,
+               length(regexp_extract_all(t, '{text.PII_EMAIL_RE}'))
+                   AS n_email,
+               length(regexp_extract_all(t, '{text.PII_IPV4_RE}')) AS n_ip,
+               length(regexp_extract_all(t, '{text.PII_PHONE_RE}'))
+                   AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(
+                   t, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{text.PII_IPV4_RE}', '<IP>', 'g'),
+                   '{text.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM feed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ip) AS BIGINT) AS ips,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(CAST(CONCAT('0x', substr(md5(redacted), 1, 7))
+                         AS BIGINT)) % 2147483647 AS BIGINT)
+               AS redacted_checksum
+    FROM red GROUP BY source ORDER BY source
+    """,
+)
+
+
+# mergeSchema evolution read: v1 files (odd keys) lack o_orderpriority,
+# so their rows roll up under 'unknown'; the oracle replays the parity
+# split.
+register(
+    "merge_schema_evolution_read",
+    relational.merge_schema_evolution_read,
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'v1' ELSE 'v2' END AS gen,
+           CASE WHEN o_orderkey % 2 = 1 THEN 'unknown'
+                ELSE o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY gen, priority
+    """,
+)

@@ -259,6 +259,10 @@ EMPTY_OK_ZERO_ROWS = [
     "zorder_box_pruning",
     # commit-guarded change feed of two zero-row batches -> zero changes
     "state_change_feed_user_totals",
+    # zero docs -> zero redaction rollup rows
+    "pii_redaction_counts",
+    # two empty generations -> zero rollup rows
+    "merge_schema_evolution_read",
 ]
 
 

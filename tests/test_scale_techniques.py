@@ -701,3 +701,52 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_pruning_reads_one_bucket_for_point_lookup(spark):
+    """Bucket PRUNING (the read-side half of the bucketed warehouse
+    layout — bucketed_colocated_join pins the join-side shuffle
+    elimination): an equality predicate on the bucketing key must scan
+    ONLY that key's bucket (`SelectedBucketsCount: 1 out of 8` on the
+    scan) and return the same rows as the plain parquet read.  At
+    100 TB this is the free index: point lookups on the warehouse key
+    touch 1/n_buckets of the files with zero extra metadata."""
+    from pyspark.sql import functions as F
+
+    from mini_pandas_spark.operators.relational import (
+        _bucketed_order_tables,
+    )
+    from mini_pandas_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders_tbl, _ = _bucketed_order_tables(spark, sf)
+    key = load_table(spark, sf, "orders").agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+
+    # DisableUnnecessaryBucketedScan turns bucketed reading off when no
+    # operator needs the distribution — it does not account for bucket
+    # FILTER pruning, so pin with the auto-disable off (the production
+    # point-lookup path sets the same conf)
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, None)
+    spark.conf.set(auto_key, "false")
+    try:
+        pointq = spark.table(orders_tbl).where(F.col("o_orderkey") == key)
+        got = sorted(
+            (r.o_orderkey, r.o_orderpriority) for r in pointq.collect()
+        )
+        plan = pointq._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(auto_key)
+        else:
+            spark.conf.set(auto_key, prev)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    expect = sorted(
+        (r.o_orderkey, r.o_orderpriority)
+        for r in load_table(spark, sf, "orders")
+        .where(F.col("o_orderkey") == key)
+        .collect()
+    )
+    assert got == expect and got
