@@ -188,6 +188,7 @@ HEADLINE = [
     "zorder_box_pruning",
     "pii_redaction_counts",
     "merge_schema_evolution_read",
+    "lsh_parameter_planner",
 ]
 
 

@@ -1358,3 +1358,74 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= t)
         .select("doc_small", "doc_big", "containment")
     )
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (b, r) planning table: the detection S-curve
+    P(candidate) = 1 - (1 - s^r)^b over a (bands, rows-per-band,
+    similarity) grid, plus each configuration's crossover similarity
+    (smallest grid s with P >= 0.5).  This is the table a dedup
+    deployment reads BEFORE choosing the banding for a target Jaccard
+    threshold — the planning half of minhash_lsh_pairs, which fixes one
+    (b, r) and runs it.
+
+    Cross-engine determinism (invariant 3): every power uses an exact
+    MULTIPLICATION CHAIN (b and r are powers of two, so s^r and q^b are
+    repeated squarings — each step one IEEE multiply on bit-identical
+    inputs), never pow() (libm implementations differ at 1 ulp for
+    non-integer paths); s itself is the single divide s100/100.0; the
+    final 6-dp round is scaled-integer (round_scaled).  The grid is
+    generated data (228 rows) — sf_dir is unused, like any planner.
+
+    At 100 TB this never touches data at all; it exists so banding
+    choices are recorded, reviewable engine output instead of folklore.
+    """
+    b_vals = [4, 8, 16, 32]
+    r_vals = [2, 4, 8]
+    s_vals = list(range(5, 100, 5))
+    grid = spark.createDataFrame(
+        [(b, r, s) for b in b_vals for r in r_vals for s in s_vals],
+        "b long, r long, s100 long",
+    )
+    s = F.col("s100").cast("double") / F.lit(100.0)
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    sr = (
+        F.when(F.col("r") == 2, s2)
+        .when(F.col("r") == 4, s4)
+        .otherwise(s8)
+    )
+    q = F.lit(1.0) - sr
+    q2 = q * q
+    q4 = q2 * q2
+    q8 = q4 * q4
+    q16 = q8 * q8
+    q32 = q16 * q16
+    qb = (
+        F.when(F.col("b") == 4, q4)
+        .when(F.col("b") == 8, q8)
+        .when(F.col("b") == 16, q16)
+        .otherwise(q32)
+    )
+    p = round_scaled(F.lit(1.0) - qb, 6)
+    curve = grid.select("b", "r", "s100", p.alias("p_detect"))
+    w = Window.partitionBy("b", "r")
+    return (
+        curve.withColumn(
+            "crossover_s100",
+            F.min(
+                F.when(F.col("p_detect") >= 0.5, F.col("s100"))
+            ).over(w),
+        )
+        .select(
+            "b",
+            "r",
+            "s100",
+            "p_detect",
+            F.coalesce(F.col("crossover_s100"), F.lit(-1))
+            .cast("long")
+            .alias("crossover_s100"),
+        )
+        .orderBy("b", "r", "s100")
+    )

@@ -44,9 +44,11 @@ def zvalue_sql(xcol: str, ycol: str, bits: int = Z_BITS) -> str:
     BOTH Spark SQL and DuckDB (``>> << & |`` with full parenthesization):
     bit i of x lands at position 2i, bit i of y at 2i+1.  Inputs are
     masked to ``bits`` bits first so the formula is total at any key
-    scale (SF 1000 partkeys exceed 16 bits)."""
-    x = f"({xcol} & {(1 << bits) - 1})"
-    y = f"({ycol} & {(1 << bits) - 1})"
+    scale (SF 1000 partkeys exceed 16 bits), and CAST to BIGINT so the
+    shifts are 64-bit even for INT32 inputs/literals (DuckDB types bare
+    int literals INT32 and errors on ``1 << 31``)."""
+    x = f"(CAST({xcol} AS BIGINT) & {(1 << bits) - 1})"
+    y = f"(CAST({ycol} AS BIGINT) & {(1 << bits) - 1})"
     terms = []
     for i in range(bits):
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")

@@ -8176,3 +8176,55 @@ register(
     ORDER BY gen, priority
     """,
 )
+
+
+# LSH (b, r) planning S-curve: every power is an exact multiplication
+# chain (b, r are powers of two), never pow() — libm-free, bit-identical
+# across engines; 6-dp scaled-integer round; crossover = smallest grid
+# s with P >= 0.5.
+register(
+    "lsh_parameter_planner",
+    dedup.lsh_parameter_planner,
+    """
+    WITH b(b) AS (VALUES (4), (8), (16), (32)),
+    r(r) AS (VALUES (2), (4), (8)),
+    s(s100) AS (SELECT UNNEST(range(5, 100, 5))),
+    g AS (
+        SELECT b, r, s100, CAST(s100 AS DOUBLE) / 100.0 AS sv
+        FROM b CROSS JOIN r CROSS JOIN s
+    ), powed AS (
+        SELECT b, r, s100,
+               CASE WHEN r = 2 THEN (sv * sv)
+                    WHEN r = 4 THEN (sv * sv) * (sv * sv)
+                    ELSE ((sv * sv) * (sv * sv)) * ((sv * sv) * (sv * sv))
+               END AS sr
+        FROM g
+    ), qd AS (
+        SELECT b, r, s100, 1.0 - sr AS q FROM powed
+    ), qb AS (
+        SELECT b, r, s100,
+               CASE WHEN b = 4 THEN (q * q) * (q * q)
+                    WHEN b = 8 THEN ((q * q) * (q * q)) * ((q * q) * (q * q))
+                    WHEN b = 16 THEN (((q * q) * (q * q)) * ((q * q) * (q * q)))
+                                   * (((q * q) * (q * q)) * ((q * q) * (q * q)))
+                    ELSE ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                          * (((q * q) * (q * q)) * ((q * q) * (q * q))))
+                       * ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                          * (((q * q) * (q * q)) * ((q * q) * (q * q))))
+               END AS qb
+        FROM qd
+    ), curve AS (
+        SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+               CAST(s100 AS BIGINT) AS s100,
+               CAST(round((1.0 - qb) * 1000000.0) AS BIGINT) / 1000000.0
+                   AS p_detect
+        FROM qb
+    )
+    SELECT b, r, s100, p_detect,
+           CAST(COALESCE(MIN(CASE WHEN p_detect >= 0.5 THEN s100 END)
+                         OVER (PARTITION BY b, r), -1) AS BIGINT)
+               AS crossover_s100
+    FROM curve
+    ORDER BY b, r, s100
+    """,
+)

@@ -263,6 +263,8 @@ EMPTY_OK_ZERO_ROWS = [
     "pii_redaction_counts",
     # two empty generations -> zero rollup rows
     "merge_schema_evolution_read",
+    # generated planning grid: input-free, 228 rows at any SF
+    "lsh_parameter_planner",
 ]
 
 
