@@ -158,3 +158,129 @@ def zorder_box_oracle_sql() -> str:
            CAST(COALESCE(MAX(z), -1) AS BIGINT) AS max_z
     FROM b
     """
+
+
+def hilbert_sql(
+    xcol: str, ycol: str, passthrough: tuple, bits: int = Z_BITS
+) -> str:
+    """Hilbert curve index xy→d as ONE nested-projection SQL fragment
+    valid verbatim in both Spark SQL and DuckDB (integer CASE exprs
+    only — no pow, no xor operator, whose dialects differ).  The
+    standard per-level rotation is unrolled ``bits`` times; validated
+    bijective and grid-contiguous against a pure-Python reference in
+    tests/test_scale_techniques.py.  ``passthrough`` columns are
+    carried explicitly (DuckDB's ``* EXCLUDE`` is not Spark syntax).
+    Replace ``__HSRC__`` with the source relation."""
+    keep = ", ".join(passthrough)
+    inner = (
+        f"SELECT CAST({xcol} AS BIGINT) & {(1 << bits) - 1} AS hx, "
+        f"CAST({ycol} AS BIGINT) & {(1 << bits) - 1} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd, {keep} FROM __HSRC__"
+    )
+    for lvl in range(bits):
+        s = 1 << (bits - 1 - lvl)
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        newx = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hy ELSE hy END) ELSE hx END)"
+        )
+        newy = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hx ELSE hx END) ELSE hy END)"
+        )
+        inner = (
+            f"SELECT {newx} AS hx, {newy} AS hy, "
+            f"hd + {s * s} * {quad} AS hd, {keep} FROM ({inner})"
+        )
+    return inner
+
+
+def hilbert_layout_table(spark: SparkSession, sf_dir: str) -> str:
+    """Hilbert twin of :func:`zorder_layout_table`: same columns, same
+    file count, clustered by the Hilbert index instead of Morton.
+    Hilbert guarantees consecutive curve positions are grid-ADJACENT
+    (Morton takes long diagonal jumps at power-of-two boundaries), so
+    row-group bounding boxes are tighter on average — measured against
+    z-order in tests/test_scale_techniques.py and SCALE.md §6o."""
+    key = (
+        "hilbert",
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _lineitem_fingerprint(sf_dir),
+    )
+    hit = _LAYOUT_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        _LAYOUT_MEMO.move_to_end(key)
+        return hit[0]
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("__hilbert_src")
+    frag = hilbert_sql(
+        "l_partkey", "l_suppkey", ("l_partkey", "l_suppkey", "cents")
+    ).replace("__HSRC__", "__hilbert_src")
+    li = spark.sql(
+        f"SELECT l_partkey, l_suppkey, cents, hd AS h FROM ({frag})"
+    )
+    out = tempfile.mkdtemp(prefix="hilbert_layout_")
+    (
+        li.repartitionByRange(Z_FILES, "h")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _LAYOUT_MEMO[key] = (out,)
+    while len(_LAYOUT_MEMO) > _LAYOUT_MEMO_MAX:
+        _, old = _LAYOUT_MEMO.popitem(last=False)
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def hilbert_box_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 2-D box answered FROM the Hilbert-clustered
+    layout: same box and output shape as zorder_box_pruning with
+    min/max CURVE POSITION in the output — forcing the oracle to replay
+    the full unrolled rotation recurrence, value-gating the Hilbert
+    index itself (the two queries' n_rows/cents_sum agree by
+    construction; their min/max index columns gate two different
+    curves)."""
+    path = hilbert_layout_table(spark, sf_dir)
+    lay = spark.read.parquet(path)
+    box = lay.where(
+        (F.col("l_partkey").between(BOX_PART_LO, BOX_PART_HI))
+        & (F.col("l_suppkey").between(BOX_SUPP_LO, BOX_SUPP_HI))
+    )
+    return box.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents_sum"),
+        F.coalesce(F.min("h"), F.lit(-1)).cast("bigint").alias("min_h"),
+        F.coalesce(F.max("h"), F.lit(-1)).cast("bigint").alias("max_h"),
+    )
+
+
+def hilbert_box_oracle_sql() -> str:
+    """DuckDB oracle: the same unrolled Hilbert recurrence over the box."""
+    frag = hilbert_sql(
+        "l_partkey", "l_suppkey", ("cents",)
+    ).replace(
+        "__HSRC__",
+        "(SELECT l_partkey, l_suppkey,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+        f" FROM lineitem WHERE l_partkey BETWEEN {BOX_PART_LO} AND"
+        f" {BOX_PART_HI} AND l_suppkey BETWEEN {BOX_SUPP_LO} AND"
+        f" {BOX_SUPP_HI})",
+    )
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+           CAST(COALESCE(MIN(hd), -1) AS BIGINT) AS min_h,
+           CAST(COALESCE(MAX(hd), -1) AS BIGINT) AS max_h
+    FROM ({frag})
+    """

@@ -8228,3 +8228,13 @@ register(
     ORDER BY b, r, s100
     """,
 )
+
+
+# Hilbert-curve layout twin of zorder_box_pruning: same box, min/max
+# CURVE POSITION value-gates the unrolled rotation recurrence (one
+# shared 16-level generator feeds both engines).
+register(
+    "hilbert_box_pruning",
+    layout.hilbert_box_pruning,
+    layout.hilbert_box_oracle_sql(),
+)

@@ -651,58 +651,6 @@ def test_zvalue_formula_is_a_true_morton_interleave(spark):
         assert z == morton(x, y) == dz[(x, y)], (x, y, z)
 
 
-def test_aqe_splits_skewed_join_partitions(spark):
-    """AQE skew-join receipt: a 50%-hot key under SortMergeJoin must be
-    SPLIT at runtime (the final adaptive plan's join carries skew=true)
-    and the answer must equal the skew-handling-off run — the zero-code
-    companion of the registry's explicit salted join (skew_salted_join):
-    salting is the portable fix, AQE the runtime one; both must hold at
-    a 1000-executor scale where one hot partition stalls the stage."""
-    from pyspark.sql import functions as F
-
-    confs = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    prev = {k: spark.conf.get(k, None) for k in confs}
-
-    def build():
-        left = spark.range(400000).select(
-            F.when(F.col("id") % 2 == 0, 0)
-            .otherwise(F.col("id") % 200)
-            .alias("k"),
-            (F.col("id") * 7 % 1000).alias("v"),
-            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
-        )
-        right = spark.range(200).select(
-            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
-        )
-        return left.join(right, "k").groupBy().agg(
-            F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
-        )
-
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        j = build()
-        rows_skew = j.collect()
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan, plan
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        rows_plain = build().collect()
-        assert rows_skew == rows_plain
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-
-
 def test_bucket_pruning_reads_one_bucket_for_point_lookup(spark):
     """Bucket PRUNING (the read-side half of the bucketed warehouse
     layout — bucketed_colocated_join pins the join-side shuffle
@@ -750,3 +698,95 @@ def test_bucket_pruning_reads_one_bucket_for_point_lookup(spark):
         .collect()
     )
     assert got == expect and got
+
+
+def test_hilbert_formula_is_bijective_contiguous_and_cross_engine(spark):
+    """The unrolled Hilbert SQL must (a) be a bijection on the 16x16
+    grid, (b) place consecutive curve positions on grid-ADJACENT cells
+    (the property Morton lacks — its locality advantage), and (c)
+    produce identical values in Spark and DuckDB."""
+    import duckdb
+
+    from mini_pandas_spark.operators.layout import hilbert_sql
+
+    frag = hilbert_sql("x", "y", ("x", "y"), bits=4)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT a AS x, b AS y FROM range(16) t(a),"
+        " range(16) u(b)"
+    )
+    duck = {
+        (r[3], r[4]): r[2]
+        for r in con.execute(
+            "SELECT * FROM (" + frag.replace("__HSRC__", "pts") + ")"
+        ).fetchall()
+    }
+    con.close()
+    spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    ).createOrReplaceTempView("__hpts")
+    got = {
+        (r.x, r.y): r.hd
+        for r in spark.sql(
+            "SELECT hd, x, y FROM ("
+            + frag.replace("__HSRC__", "__hpts")
+            + ")"
+        ).collect()
+    }
+    assert got == duck
+    assert sorted(got.values()) == list(range(256))  # bijection
+    pos = {v: k for k, v in got.items()}
+    for i in range(255):  # contiguity: each step moves one grid cell
+        (x0, y0), (x1, y1) = pos[i], pos[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (i, pos[i], pos[i + 1])
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    """Measured z-vs-Hilbert: for the same tight 2-D box, the
+    Hilbert-clustered layout's scan-output rows must also beat the
+    unclustered control by the z-order pin's margin, and both curves'
+    box answers must agree.  (Hilbert's adjacency guarantee gives
+    tighter row-group boxes on average; at this grid size the two are
+    comparable — the measured values are recorded in SCALE.md §6o.)"""
+    from mini_pandas_spark.operators.layout import (
+        Z_FILES,
+        hilbert_layout_table,
+        zorder_layout_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    zpath = zorder_layout_table(spark, sf)
+    hpath = hilbert_layout_table(spark, sf)
+    control = str(tmp_path / "unclustered")
+    spark.read.parquet(zpath).repartition(Z_FILES).write.parquet(control)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+        try:
+            yield from walk(node.finalPhysicalPlan())
+        except Exception:
+            pass
+
+    def box_scan(path):
+        df = spark.read.parquet(path).where(
+            (F.col("l_partkey").between(0, 24))
+            & (F.col("l_suppkey").between(0, 4))
+        ).select("l_partkey", "l_suppkey", "cents")
+        rows = df.collect()
+        scan_out = None
+        for nd in walk(df._jdf.queryExecution().executedPlan()):
+            if "FileSourceScan" in nd.getClass().getSimpleName():
+                scan_out = nd.metrics().apply("numOutputRows").value()
+        assert scan_out, "scan metric not populated"
+        return sorted(map(tuple, rows)), scan_out
+
+    rows_z, scan_z = box_scan(zpath)
+    rows_h, scan_h = box_scan(hpath)
+    rows_c, scan_c = box_scan(control)
+    assert rows_z == rows_h == rows_c and rows_z
+    assert scan_h is not None and scan_h <= 0.35 * scan_c, (scan_h, scan_c)
+    # record both for SCALE.md §6o (informational print under -s)
+    print(f"box scan rows: z={scan_z} hilbert={scan_h} control={scan_c}")
