@@ -189,6 +189,7 @@ HEADLINE = [
     "pii_redaction_counts",
     "merge_schema_evolution_read",
     "lsh_parameter_planner",
+    "hilbert_box_pruning",
 ]
 
 

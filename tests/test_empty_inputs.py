@@ -265,6 +265,8 @@ EMPTY_OK_ZERO_ROWS = [
     "merge_schema_evolution_read",
     # generated planning grid: input-free, 228 rows at any SF
     "lsh_parameter_planner",
+    # empty hilbert layout -> one all-zero/-1 summary row
+    "hilbert_box_pruning",
 ]
 
 
