@@ -3772,9 +3772,12 @@ def _pii_feed_sql(text_col: str, id_col: str) -> str:
     """Deterministic PII-bearing feed derived from the documents table
     (the fixture corpus carries no PII of its own): every 7th doc gains
     an email, every 11th an IPv4, every 13th a phone — one SQL
-    expression shared verbatim by both engines."""
+    expression shared verbatim by both engines.  The text column is
+    COALESCE-guarded: Spark's concat NULLs out on any NULL argument
+    while DuckDB's skips NULLs, so an unguarded NULL text would split
+    the engines on a regenerated fixture."""
     return (
-        f"concat({text_col}, "
+        f"concat(COALESCE({text_col}, ''), "
         f"CASE WHEN {id_col} % 7 = 0 THEN concat(' contact user', "
         f"CAST({id_col} AS STRING), '@example.com now') ELSE '' END, "
         f"CASE WHEN {id_col} % 11 = 0 THEN concat(' from 10.2.', "
