@@ -217,17 +217,46 @@ def hilbert_layout_table(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None and os.path.isdir(hit[0]):
         _LAYOUT_MEMO.move_to_end(key)
         return hit[0]
-    load_table(spark, sf_dir, "lineitem").select(
+    src = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-    ).createOrReplaceTempView("__hilbert_src")
-    frag = hilbert_sql(
-        "l_partkey", "l_suppkey", ("l_partkey", "l_suppkey", "cents")
-    ).replace("__HSRC__", "__hilbert_src")
-    li = spark.sql(
-        f"SELECT l_partkey, l_suppkey, cents, hd AS h FROM ({frag})"
     )
+
+    # The BUILD path computes the index with Arrow-batched numpy: the
+    # 16-level Catalyst chain is the ORACLE mirror (and stays pinned
+    # equal to this in tests), but as generated code it exceeds the
+    # huge-method limit and falls back to interpreted projection —
+    # measured 8 µs/row vs ~0.1 µs/row vectorized (sf0.1 layout build
+    # 11.8s -> ~2s).  Same recurrence, exact int64 ops, bit-identical.
+    bits = Z_BITS
+
+    def add_h(batches):
+        import numpy as np
+
+        for pdf in batches:
+            hx = pdf["l_partkey"].to_numpy(np.int64) & ((1 << bits) - 1)
+            hy = pdf["l_suppkey"].to_numpy(np.int64) & ((1 << bits) - 1)
+            d = np.zeros_like(hx)
+            for lvl in range(bits):
+                s = 1 << (bits - 1 - lvl)
+                rx = ((hx & s) > 0).astype(np.int64)
+                ry = ((hy & s) > 0).astype(np.int64)
+                d += s * s * np.where(
+                    (rx == 1) & (ry == 1),
+                    2,
+                    np.where(rx == 1, 3, np.where(ry == 1, 1, 0)),
+                )
+                nx = np.where(ry == 0, np.where(rx == 1, s - 1 - hy, hy), hx)
+                ny = np.where(ry == 0, np.where(rx == 1, s - 1 - hx, hx), hy)
+                hx, hy = nx, ny
+            out_pdf = pdf.copy()
+            out_pdf["h"] = d
+            yield out_pdf
+
+    li = src.mapInPandas(
+        add_h, "l_partkey long, l_suppkey long, cents long, h long"
+    ).localCheckpoint(eager=False)
     out = tempfile.mkdtemp(prefix="hilbert_layout_")
     (
         li.repartitionByRange(Z_FILES, "h")

@@ -740,6 +740,25 @@ def test_hilbert_formula_is_bijective_contiguous_and_cross_engine(spark):
         (x0, y0), (x1, y1) = pos[i], pos[i + 1]
         assert abs(x0 - x1) + abs(y0 - y1) == 1, (i, pos[i], pos[i + 1])
 
+    # the vectorized numpy BUILD path (hilbert_layout_table's
+    # mapInPandas) must agree with the SQL recurrence bit-for-bit
+    import numpy as np
+
+    hx = np.array([x for x, _ in got], dtype=np.int64) & 15
+    hy = np.array([y for _, y in got], dtype=np.int64) & 15
+    d = np.zeros_like(hx)
+    for lvl in range(4):
+        s = 1 << (3 - lvl)
+        rx = ((hx & s) > 0).astype(np.int64)
+        ry = ((hy & s) > 0).astype(np.int64)
+        d += s * s * np.where(
+            (rx == 1) & (ry == 1), 2, np.where(rx == 1, 3, np.where(ry == 1, 1, 0))
+        )
+        nx = np.where(ry == 0, np.where(rx == 1, s - 1 - hy, hy), hx)
+        ny = np.where(ry == 0, np.where(rx == 1, s - 1 - hx, hx), hy)
+        hx, hy = nx, ny
+    assert list(d) == [got[k] for k in got]
+
 
 def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
     """Measured z-vs-Hilbert: for the same tight 2-D box, the
