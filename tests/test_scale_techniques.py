@@ -809,3 +809,48 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
     assert scan_h is not None and scan_h <= 0.35 * scan_c, (scan_h, scan_c)
     # record both for SCALE.md §6o (informational print under -s)
     print(f"box scan rows: z={scan_z} hilbert={scan_h} control={scan_c}")
+
+
+def test_rebalance_hint_splits_output_partitions(spark):
+    """The REBALANCE hint (AQE-optimized rebalance) — the output-file
+    sizing tool for writes: unlike REPARTITION(n) it lets AQE split or
+    coalesce post-shuffle partitions to the advisory size, so a skewed
+    write neither produces one giant file nor thousands of tiny ones.
+    Pin: the hint plants RebalancePartitions in the plan, AQE executes
+    it, and with a small advisory size a skewed key's rows end up
+    SPLIT across multiple partitions (impossible under plain
+    REPARTITION(col), which maps one key to one partition)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor": "0.2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.range(200_000).select(
+            F.when(F.col("id") % 4 < 3, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        reb = spark.sql(
+            "SELECT /*+ REBALANCE(k) */ k, pad FROM {df}", df=df
+        )
+        assert "RebalancePartitions" in reb._jdf.queryExecution().optimizedPlan().toString()
+        # keep the payload in the measured projection: pruning pad out
+        # of the shuffle shrinks every partition under the advisory
+        # size and nothing needs splitting
+        rows = reb.select(
+            "k", F.spark_partition_id().alias("pid"), "pad"
+        ).collect()
+        parts = len({r.pid for r in rows if r.k == 0})
+        assert parts > 1, f"hot key not split across partitions (got {parts})"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
