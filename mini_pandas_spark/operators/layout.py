@@ -12,8 +12,16 @@ pure Catalyst integer expressions (no UDF anywhere).
 
 The z-value formula is generated ONCE by :func:`zvalue_sql` and shared
 verbatim between the Spark expression and the DuckDB oracle (CLAUDE.md
-invariant 3's mirror-operations rule, applied to 32 bit-ops).  With 16
-interleaved bits per key the z-value stays < 2^32 — no overflow band.
+invariant 3's mirror-operations rule, applied to 40 bit-ops).  With 20
+interleaved bits per key the z-value stays < 2^40 — no overflow band.
+
+DOMAIN CAP: a fixed-width curve masks each key to Z_BITS bits, and a
+key past the mask WRAPS back into low curve positions, silently
+destroying pruning (measured in tools/scale_stress_layout.py).  20 bits
+covers a 1,048,575-value domain per dimension — partkeys through SF ~50
+here; an unbounded-domain deployment quantizes keys to range-partition
+RANKS first (the equi-depth planner's boundaries) so the curve always
+runs over a dense bounded grid.
 
 Layout tables are session-memoized stage tables (invariant 9): keyed on
 applicationId + fixture fingerprint, LRU-bounded, directory rmtree'd on
@@ -23,16 +31,16 @@ eviction.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..memo import evict_lru_dirs, table_fingerprint
 from ..sources import load_table
 
-Z_BITS = 16
+Z_BITS = 20
 Z_FILES = 16
 
 _LAYOUT_MEMO: OrderedDict = OrderedDict()
@@ -56,22 +64,6 @@ def zvalue_sql(xcol: str, ycol: str, bits: int = Z_BITS) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
-def _lineitem_fingerprint(sf_dir: str):
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            parts = [
-                os.stat(os.path.join(path, f))
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            ]
-            return tuple((p.st_mtime_ns, p.st_size) for p in parts)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
-
-
 def zorder_layout_table(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per session+fixture) the lineitem box-query columns
     clustered by z-value: ``repartitionByRange(Z_FILES, z)`` makes each
@@ -84,7 +76,7 @@ def zorder_layout_table(spark: SparkSession, sf_dir: str) -> str:
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
-        _lineitem_fingerprint(sf_dir),
+        table_fingerprint(sf_dir, "lineitem"),
     )
     hit = _LAYOUT_MEMO.get(key)
     if hit is not None and os.path.isdir(hit[0]):
@@ -104,10 +96,7 @@ def zorder_layout_table(spark: SparkSession, sf_dir: str) -> str:
         .parquet(out)
     )
     _LAYOUT_MEMO[key] = (out,)
-    while len(_LAYOUT_MEMO) > _LAYOUT_MEMO_MAX:
-        _, old = _LAYOUT_MEMO.popitem(last=False)
-        for d in old:
-            shutil.rmtree(d, ignore_errors=True)
+    evict_lru_dirs(_LAYOUT_MEMO, _LAYOUT_MEMO_MAX)
     return out
 
 
@@ -122,7 +111,7 @@ def zorder_box_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Answer a 2-D box query (partkey × suppkey) FROM the z-clustered
     layout table: exact row count, exact cents sum, and the min/max
     z-value inside the box (the z columns force the oracle to mirror
-    the full 32-term Morton formula, value-gating the interleave
+    the full 40-term Morton formula, value-gating the interleave
     itself).  The result is layout-independent — the layout buys the
     SCAN shape (row groups outside the box's z-region are skipped via
     plain parquet min/max stats, pinned in
@@ -211,7 +200,7 @@ def hilbert_layout_table(spark: SparkSession, sf_dir: str) -> str:
         "hilbert",
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
-        _lineitem_fingerprint(sf_dir),
+        table_fingerprint(sf_dir, "lineitem"),
     )
     hit = _LAYOUT_MEMO.get(key)
     if hit is not None and os.path.isdir(hit[0]):
@@ -265,10 +254,7 @@ def hilbert_layout_table(spark: SparkSession, sf_dir: str) -> str:
         .parquet(out)
     )
     _LAYOUT_MEMO[key] = (out,)
-    while len(_LAYOUT_MEMO) > _LAYOUT_MEMO_MAX:
-        _, old = _LAYOUT_MEMO.popitem(last=False)
-        for d in old:
-            shutil.rmtree(d, ignore_errors=True)
+    evict_lru_dirs(_LAYOUT_MEMO, _LAYOUT_MEMO_MAX)
     return out
 
 

@@ -4773,10 +4773,9 @@ def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(root, "gen=v2")
     )
     _MERGE_SCHEMA_MEMO[key] = (root,)
-    while len(_MERGE_SCHEMA_MEMO) > _MERGE_SCHEMA_MEMO_MAX:
-        _, old = _MERGE_SCHEMA_MEMO.popitem(last=False)
-        for d in old:
-            shutil.rmtree(d, ignore_errors=True)
+    from ..memo import evict_lru_dirs
+
+    evict_lru_dirs(_MERGE_SCHEMA_MEMO, _MERGE_SCHEMA_MEMO_MAX)
     return root
 
 

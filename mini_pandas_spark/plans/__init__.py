@@ -2,6 +2,8 @@
 
 from .inspect import (
     broadcast_join_count,
+    iter_executed_nodes,
+    scan_output_rows,
     codegen_stage_count,
     executed_plan,
     has_cartesian_product,
@@ -13,6 +15,8 @@ from .inspect import (
 
 __all__ = [
     "executed_plan",
+    "iter_executed_nodes",
+    "scan_output_rows",
     "shuffle_count",
     "broadcast_join_count",
     "has_pushed_filters",

@@ -69,3 +69,35 @@ def uses_take_ordered(df: DataFrame) -> bool:
     """True if top-k runs as TakeOrderedAndProject (heap per task) rather
     than a global sort."""
     return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def iter_executed_nodes(df: DataFrame):
+    """Walk every node of the EXECUTED physical plan, descending into
+    AdaptiveSparkPlan's final plan — the one place scan metrics live
+    after an AQE query runs.  The frame must already have been executed
+    via THIS DataFrame object (a re-built or parent frame reports
+    zeroed metrics)."""
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+        try:
+            yield from walk(node.finalPhysicalPlan())
+        except Exception:
+            pass
+
+    yield from walk(df._jdf.queryExecution().executedPlan())
+
+
+def scan_output_rows(df: DataFrame):
+    """The file scan's ``numOutputRows`` metric — rows surviving
+    row-group stats pruning — of an ALREADY-EXECUTED frame; the pruning
+    receipt the z-order/Hilbert layout pins and stress tools read.
+    Returns None if no FileSourceScan is present."""
+    out = None
+    for nd in iter_executed_nodes(df):
+        if "FileSourceScan" in nd.getClass().getSimpleName():
+            out = nd.metrics().apply("numOutputRows").value()
+    return out

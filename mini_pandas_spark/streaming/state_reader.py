@@ -400,6 +400,14 @@ def state_metadata_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDED_KEY_PARTITIONS partitions, committed at batch 0.  If either
     sizing constant changes, this query goes loudly red — by design.
 
+    Oracle precondition: the VALUES literal presumes every drain
+    COMMITS at least one batch, which holds whenever events.parquet
+    exists — an availableNow drain commits even a zero-ROW batch (the
+    empty-fixture suite exercises exactly that).  The commit guard
+    below covers only a checkpoint whose commits dir was externally
+    removed; in that pathological case Spark under-returns rows vs the
+    static oracle rather than raising STDS_COMMITTED_BATCH_UNAVAILABLE.
+
     At 100 TB the read is metadata-file-only (no state rows touched):
     cost is O(operators × partitions) metadata decoding, input-free.
     """

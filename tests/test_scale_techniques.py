@@ -582,15 +582,7 @@ def test_zorder_layout_prunes_row_groups_in_both_dimensions(spark, tmp_path):
     control = str(tmp_path / "unclustered")
     spark.read.parquet(zpath).repartition(Z_FILES).write.parquet(control)
 
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.length()):
-            yield from walk(ch.apply(i))
-        try:
-            yield from walk(node.finalPhysicalPlan())
-        except Exception:
-            pass
+    from mini_pandas_spark.plans import scan_output_rows
 
     def box_rows_and_scan_rows(path):
         df = spark.read.parquet(path).where(
@@ -598,11 +590,7 @@ def test_zorder_layout_prunes_row_groups_in_both_dimensions(spark, tmp_path):
             & (F.col("l_suppkey").between(0, 4))
         )
         n = len(df.collect())
-        scan_out = None
-        for nd in walk(df._jdf.queryExecution().executedPlan()):
-            if "FileSourceScan" in nd.getClass().getSimpleName():
-                scan_out = nd.metrics().apply("numOutputRows").value()
-        return n, scan_out
+        return n, scan_output_rows(df)
 
     n_z, scan_z = box_rows_and_scan_rows(zpath)
     n_c, scan_c = box_rows_and_scan_rows(control)
@@ -622,33 +610,38 @@ def test_zvalue_formula_is_a_true_morton_interleave(spark):
     max 16-bit, above-mask values)."""
     from mini_pandas_spark.operators.layout import zvalue_sql
 
-    def morton(x, y):
-        x &= 0xFFFF
-        y &= 0xFFFF
+    from mini_pandas_spark.operators.layout import Z_BITS
+
+    def morton(x, y, bits):
+        x &= (1 << bits) - 1
+        y &= (1 << bits) - 1
         z = 0
-        for i in range(16):
+        for i in range(bits):
             z |= ((x >> i) & 1) << (2 * i)
             z |= ((y >> i) & 1) << (2 * i + 1)
         return z
 
-    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0xFFFF, 0x10000, 123456, 65535]
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0xFFFF, 0x10000, 123456, 65535,
+            (1 << Z_BITS) - 1, 1 << Z_BITS]
     rows = [(x, y) for x in vals for y in vals]
-    df = spark.createDataFrame(rows, "x long, y long").withColumn(
-        "z", F.expr(zvalue_sql("x", "y")).cast("long")
-    )
-    got = {(r.x, r.y): r.z for r in df.collect()}
     import duckdb
 
     con = duckdb.connect()
-    dz = {
-        (x, y): con.execute(
-            f"SELECT CAST({zvalue_sql(str(x), str(y))} AS BIGINT)"
-        ).fetchone()[0]
-        for x, y in rows
-    }
+    for bits in (16, Z_BITS):
+        df = spark.createDataFrame(rows, "x long, y long").withColumn(
+            "z", F.expr(zvalue_sql("x", "y", bits=bits)).cast("long")
+        )
+        got = {(r.x, r.y): r.z for r in df.collect()}
+        dz = {
+            (x, y): con.execute(
+                f"SELECT CAST({zvalue_sql(str(x), str(y), bits=bits)}"
+                " AS BIGINT)"
+            ).fetchone()[0]
+            for x, y in rows
+        }
+        for (x, y), z in got.items():
+            assert z == morton(x, y, bits) == dz[(x, y)], (bits, x, y, z)
     con.close()
-    for (x, y), z in got.items():
-        assert z == morton(x, y) == dz[(x, y)], (x, y, z)
 
 
 def test_bucket_pruning_reads_one_bucket_for_point_lookup(spark):
@@ -779,15 +772,7 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
     control = str(tmp_path / "unclustered")
     spark.read.parquet(zpath).repartition(Z_FILES).write.parquet(control)
 
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.length()):
-            yield from walk(ch.apply(i))
-        try:
-            yield from walk(node.finalPhysicalPlan())
-        except Exception:
-            pass
+    from mini_pandas_spark.plans import scan_output_rows
 
     def box_scan(path):
         df = spark.read.parquet(path).where(
@@ -795,10 +780,7 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
             & (F.col("l_suppkey").between(0, 4))
         ).select("l_partkey", "l_suppkey", "cents")
         rows = df.collect()
-        scan_out = None
-        for nd in walk(df._jdf.queryExecution().executedPlan()):
-            if "FileSourceScan" in nd.getClass().getSimpleName():
-                scan_out = nd.metrics().apply("numOutputRows").value()
+        scan_out = scan_output_rows(df)
         assert scan_out, "scan metric not populated"
         return sorted(map(tuple, rows)), scan_out
 

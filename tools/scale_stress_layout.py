@@ -5,11 +5,11 @@ OUTPUT-bound (scan rows ~constant) while the corpus grows 16x?
 Corpus: sf0.1 lineitem (600k rows) replicated m in {1, 4, 16}; copy c
 shifts l_partkey by c * 20_000, so the key DOMAIN grows with the data
 (the TPC-H scaling shape) and the fixed box (partkey 0-99 x suppkey
-0-4) keeps a constant result set.  The interleave runs at 18 bits per
-dimension here — the 16-bit registered default would WRAP partkeys
-past 65k back into the box's z-region and silently destroy pruning
+0-4) keeps a constant result set.  The registered 20-bit interleave
+covers the 16x shifted domain; widths below the domain WRAP shifted
+partkeys back into the box's z-region and silently destroy pruning
 (the documented domain cap of a fixed-width curve; at 100 TB you size
-bits to the key domain, or quantize keys to ranks first).
+Z_BITS to the key domain, or quantize keys to ranks first).
 
 Per m it writes the z-clustered layout (16*m files — constant file
 size) and an identically-partitioned unclustered control, runs the box
@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from mini_pandas_spark.plans import scan_output_rows  # noqa: E402
 from mini_pandas_spark.operators.layout import (
     BOX_PART_HI,
     BOX_PART_LO,
@@ -47,7 +48,7 @@ from mini_pandas_spark.operators.layout import (
 )
 
 BASE = "/root/testdata/sf0.1"
-STRESS_BITS = 18  # domain cap 262k per dim: covers 16x partkey shifts
+# Z_BITS (20) covers the 16x shifted domain (320k < 1,048,576)
 PART_SHIFT = 20_000
 
 
@@ -72,17 +73,6 @@ def build_corpus(spark: SparkSession, m: int):
     return df
 
 
-def walk(node):
-    yield node
-    ch = node.children()
-    for i in range(ch.length()):
-        yield from walk(ch.apply(i))
-    try:
-        yield from walk(node.finalPhysicalPlan())
-    except Exception:
-        pass
-
-
 def box_scan(spark: SparkSession, path: str):
     t0 = time.time()
     df = (
@@ -95,11 +85,7 @@ def box_scan(spark: SparkSession, path: str):
     )
     n = len(df.collect())
     wall = time.time() - t0
-    scan = None
-    for nd in walk(df._jdf.queryExecution().executedPlan()):
-        if "FileSourceScan" in nd.getClass().getSimpleName():
-            scan = nd.metrics().apply("numOutputRows").value()
-    return n, scan, wall
+    return n, scan_output_rows(df), wall
 
 
 def main() -> int:
@@ -128,9 +114,7 @@ def main() -> int:
     for m in mults:
         corpus = build_corpus(spark, m)
         n_files = 16 * m
-        z = F.expr(
-            zvalue_sql("l_partkey", "l_suppkey", bits=STRESS_BITS)
-        ).cast("bigint")
+        z = F.expr(zvalue_sql("l_partkey", "l_suppkey")).cast("bigint")
         zdir = tempfile.mkdtemp(prefix=f"stress_z_{m}x_")
         (
             corpus.withColumn("z", z)
