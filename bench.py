@@ -190,6 +190,7 @@ HEADLINE = [
     "merge_schema_evolution_read",
     "lsh_parameter_planner",
     "hilbert_box_pruning",
+    "ansi_try_arithmetic_audit",
 ]
 
 

@@ -4810,3 +4810,53 @@ def merge_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen", "priority")
     )
+
+
+def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` function family under ANSI mode (the session runs
+    ANSI-on, so plain ``/ 0`` and bad casts RAISE): ``try_divide``
+    yields NULL on a zero denominator and ``try_cast`` yields NULL on a
+    malformed number — the per-row error-quarantine primitive a
+    production pipeline uses where one poison row must not kill a 100
+    TB job.  Per order priority: rows whose derived denominator
+    (o_custkey % 5) is zero are counted as quarantined, the surviving
+    exact-cents/denominator quotients are 6-dp scaled-integer rounded
+    and summed, and a malformed-suffix try_cast proves the NULL (not
+    raise) path.
+
+    Determinism (invariant 3): the quotient divides two exact integers
+    (one IEEE divide, bit-identical across engines), each quotient is
+    quantized to a BIGINT of 1e-6 units BEFORE the sum (round_scaled's
+    rule: sums of rounded doubles drift, sums of ints do not), and the
+    DuckDB oracle mirrors try_divide as x / NULLIF(d, 0) and try_cast
+    as TRY_CAST.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_custkey") % 5).cast("bigint").alias("den"),
+        F.concat(F.col("o_totalprice").cast("string"), F.lit("x")).alias(
+            "malformed"
+        ),
+    )
+    ratio_units = F.expr(
+        "CAST(round(try_divide(cents, den) * 1000000.0) AS BIGINT)"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("den") == 0).cast("long"))
+            .cast("bigint")
+            .alias("n_quarantined"),
+            F.coalesce(F.sum(ratio_units), F.lit(0))
+            .cast("bigint")
+            .alias("ratio_millionths_sum"),
+            F.sum(
+                F.expr("try_cast(malformed AS DOUBLE)").isNull().cast("long")
+            )
+            .cast("bigint")
+            .alias("n_cast_nulls"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -8238,3 +8238,31 @@ register(
     layout.hilbert_box_pruning,
     layout.hilbert_box_oracle_sql(),
 )
+
+
+# ANSI try_* family: try_divide -> NULL on zero denominators (counted
+# as quarantined), try_cast -> NULL on malformed numbers; quotients of
+# exact integers quantized to bigint millionths BEFORE summing.
+register(
+    "ansi_try_arithmetic_audit",
+    relational.ansi_try_arithmetic_audit,
+    """
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_custkey % 5 AS BIGINT) AS den,
+               CONCAT(CAST(o_totalprice AS VARCHAR), 'x') AS malformed
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN den = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(COALESCE(SUM(CAST(round((cents * 1.0 / NULLIF(den, 0))
+                                        * 1000000.0) AS BIGINT)), 0)
+                AS BIGINT) AS ratio_millionths_sum,
+           CAST(SUM(CASE WHEN TRY_CAST(malformed AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_nulls
+    FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)

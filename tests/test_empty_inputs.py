@@ -267,6 +267,8 @@ EMPTY_OK_ZERO_ROWS = [
     "lsh_parameter_planner",
     # empty hilbert layout -> one all-zero/-1 summary row
     "hilbert_box_pruning",
+    # zero orders -> zero audit rows
+    "ansi_try_arithmetic_audit",
 ]
 
 
