@@ -191,6 +191,9 @@ HEADLINE = [
     "lsh_parameter_planner",
     "hilbert_box_pruning",
     "ansi_try_arithmetic_audit",
+    # round-11 additions
+    "join_state_change_feed",
+    "quantized_box_pruning",
 ]
 
 
@@ -289,6 +292,19 @@ def main() -> None:
     # once per (session, fixture), memoized, ~2.5s at sf0.1; billed
     # rows then measure the drains themselves.
     _events_dir_with_sentinels(spark, sf_dir)
+    # Standing state checkpoints (not billed; VERDICT_r10 items 1+6):
+    # every state-source read debugs an EXISTING job's checkpoint — in
+    # production the stateful job has been running for days, so the
+    # read pays only state-file decoding, never the job itself.  Build
+    # all three memoized checkpoints here in one concurrent pass
+    # (~2.5s at sf0.1, vs ~7.6s sequential inside billed rows in
+    # round 10 — the family's driver rows ran 2.6-4.2x their close
+    # values because the FIRST consumer paid each drain's build).
+    from mini_pandas_spark.streaming.state_reader import (
+        build_standing_state_checkpoints,
+    )
+
+    build_standing_state_checkpoints(spark, sf_dir)
     qs["streaming_neardup_lsh"](
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).count()

@@ -3,7 +3,7 @@
 SURVEY.md §2.3 row 13).
 
 The container has no image/audio codecs (pillow / soundfile / opencv
-re-probed absent every round, rounds 1–9, last 2026-08-16 r9), so the
+re-probed absent every round, rounds 1–11, last 2026-08-16 r11), so the
 *decode* step is a clearly-marked stub (deterministic fake derived from
 the payload bytes; ``real_decode`` raises NotImplementedError).  Everything Spark-side is
 real and tested: the binary column schema, Arrow batch transfer through

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import round_scaled, tokens
+from ..memo import evict_lru
 from ..sources import load_table
 
 N_PERM = 32
@@ -97,8 +98,7 @@ def _docsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     _SKETCH_MEMO[key] = out
-    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
-        _SKETCH_MEMO.popitem(last=False)
+    evict_lru(_SKETCH_MEMO, _SKETCH_MEMO_MAX)
     return out
 
 
@@ -250,8 +250,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     _SKETCH_MEMO[key] = out
-    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
-        _SKETCH_MEMO.popitem(last=False)
+    evict_lru(_SKETCH_MEMO, _SKETCH_MEMO_MAX)
     return out
 
 
@@ -274,21 +273,11 @@ _SKETCH_MEMO_MAX = 12  # 3 entry kinds x up to 3 sf fixtures + slack
 
 def _documents_fingerprint(sf_dir: str):
     """(mtime_ns, size) change-detector for the documents fixture —
-    never reads data (mirror of similarity._embeddings_fingerprint)."""
-    import os
+    never reads data.  Delegates to the shared memo.table_fingerprint
+    (round-11 migration; VERDICT_r10 item 3)."""
+    from ..memo import table_fingerprint
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            best = (st.st_mtime_ns, st.st_size)
-            for entry in os.scandir(path):
-                s = entry.stat()
-                best = max(best, (s.st_mtime_ns, s.st_size))
-            return best
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
+    return table_fingerprint(sf_dir, "documents")
 
 
 _SKETCH_SCHEMA = "doc_id long, mh array<long>, hashes array<long>, sz long"
@@ -382,8 +371,7 @@ def _minhash_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table instead of a cache.
     out = per_doc.localCheckpoint(eager=False)
     _SKETCH_MEMO[key] = out
-    while len(_SKETCH_MEMO) > _SKETCH_MEMO_MAX:
-        _SKETCH_MEMO.popitem(last=False)
+    evict_lru(_SKETCH_MEMO, _SKETCH_MEMO_MAX)
     return out
 
 

@@ -2535,9 +2535,15 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with rmtree on evict — a per-call mkdtemp would leak one feed
         # dir per run of a 344-query sweep
         _CORRUPT_FEED_DIRS[key] = root
-        while len(_CORRUPT_FEED_DIRS) > _CORRUPT_FEED_DIRS_MAX:
-            _, old_root = _CORRUPT_FEED_DIRS.popitem(last=False)
-            shutil.rmtree(os.path.dirname(old_root), ignore_errors=True)
+        from ..memo import evict_lru
+
+        evict_lru(
+            _CORRUPT_FEED_DIRS,
+            _CORRUPT_FEED_DIRS_MAX,
+            teardown=lambda r: shutil.rmtree(
+                os.path.dirname(r), ignore_errors=True
+            ),
+        )
     else:
         _CORRUPT_FEED_DIRS.move_to_end(key)
     back = (

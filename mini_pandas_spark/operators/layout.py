@@ -15,13 +15,14 @@ verbatim between the Spark expression and the DuckDB oracle (CLAUDE.md
 invariant 3's mirror-operations rule, applied to 40 bit-ops).  With 20
 interleaved bits per key the z-value stays < 2^40 — no overflow band.
 
-DOMAIN CAP: a fixed-width curve masks each key to Z_BITS bits, and a
-key past the mask WRAPS back into low curve positions, silently
-destroying pruning (measured in tools/scale_stress_layout.py).  20 bits
+DOMAIN CAP: a fixed-width curve masks each key to Z_BITS bits; 20 bits
 covers a 1,048,575-value domain per dimension — partkeys through SF ~50
-here; an unbounded-domain deployment quantizes keys to range-partition
-RANKS first (the equi-depth planner's boundaries) so the curve always
-runs over a dense bounded grid.
+here.  Masking a SPARSE domain (hashed/snowflake IDs) scrambles true
+key order entirely and kills pruning (measured 67x scan blow-up,
+SCALE.md §6r).  The rank-QUANTIZED variant below
+(:func:`quantized_layout_table` / ``quantized_box_pruning``, round 11)
+quantizes keys to equi-depth range ranks first so the curve always
+runs over a dense bounded grid at ANY domain — the SF-1000 shape.
 
 Layout tables are session-memoized stage tables (invariant 9): keyed on
 applicationId + fixture fingerprint, LRU-bounded, directory rmtree'd on
@@ -298,4 +299,164 @@ def hilbert_box_oracle_sql() -> str:
            CAST(COALESCE(MIN(hd), -1) AS BIGINT) AS min_h,
            CAST(COALESCE(MAX(hd), -1) AS BIGINT) AS max_h
     FROM ({frag})
+    """
+
+
+# Rank-quantized curve (round 11, VERDICT_r10 item 2): quantize each key
+# to an equi-depth range RANK before interleaving, so the curve always
+# runs over a dense bounded grid and never wraps, at ANY key domain —
+# the unbounded-domain fix for the fixed-width cap above.  16 bits ⇒
+# 65,536 buckets per dimension ⇒ qz < 2^32.
+QBITS = 16
+QBUCKETS = 1 << QBITS
+
+
+def _rank_map(vals: DataFrame, qb: int) -> DataFrame:
+    """Equi-depth bucket assignment over a (k, cnt) distinct-value
+    frame: ``q = (cum_rows_before * qb) DIV n`` — the
+    range_partition_planner recipe (relational.py): the corpus first
+    reduces to distinct values (the Aggregate that bounds the global
+    window under the plan lint), then ONE tiny window assigns buckets;
+    ties never straddle a bucket, so the assignment is deterministic
+    under any parallelism.  Exact integer math end-to-end
+    (cum_before * 65536 < 2^63 through SF 1000)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    return (
+        vals.join(F.broadcast(tot))
+        .withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .select(
+            "k",
+            F.expr(f"CAST((cum_before * {qb}) DIV n AS BIGINT)").alias("q"),
+        )
+    )
+
+
+def quantized_layout_table(spark: SparkSession, sf_dir: str) -> str:
+    """Rank-quantized twin of :func:`zorder_layout_table`: each key is
+    first mapped to its equi-depth rank bucket (qx, qy), and the Morton
+    interleave runs over the BUCKETS — so the curve's grid is dense and
+    bounded (2^QBITS per side) no matter how large or sparse the raw
+    key domain is.  A fixed-width curve wraps keys past its mask and
+    silently destroys pruning (SCALE.md §6p); the quantized curve has
+    no mask to outgrow — the 100 TB / SF-1000 deployment shape.
+
+    The rank maps are the same one-off artifacts a warehouse's
+    range-partition planner maintains; the layout build joins them in
+    (suppkey map broadcasts; the partkey map join is part of the
+    one-off layout job, the same price class as the range shuffle).
+    Quantization is monotone, so row groups sorted by qz are tight
+    boxes in the ORIGINAL keys too — the box query's min/max stats
+    pruning works unchanged."""
+    key = (
+        "quantized",
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        table_fingerprint(sf_dir, "lineitem"),
+    )
+    hit = _LAYOUT_MEMO.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        _LAYOUT_MEMO.move_to_end(key)
+        return hit[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    mx = _rank_map(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        QBUCKETS,
+    ).select(F.col("k").alias("pk"), F.col("q").alias("qx"))
+    my = _rank_map(
+        li.groupBy(F.col("l_suppkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        QBUCKETS,
+    ).select(F.col("k").alias("sk"), F.col("q").alias("qy"))
+    lay = (
+        li.join(mx, li.l_partkey == mx.pk)
+        .join(F.broadcast(my), li.l_suppkey == my.sk)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "cents",
+            F.expr(zvalue_sql("qx", "qy", QBITS)).cast("bigint").alias("qz"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="quantized_layout_")
+    (
+        lay.repartitionByRange(Z_FILES, "qz")
+        .sortWithinPartitions("qz")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _LAYOUT_MEMO[key] = (out,)
+    evict_lru_dirs(_LAYOUT_MEMO, _LAYOUT_MEMO_MAX)
+    return out
+
+
+def quantized_box_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 2-D box answered FROM the rank-quantized layout:
+    same box and output shape as its fixed-width twins, with min/max
+    QUANTIZED curve position — forcing the oracle to replay the full
+    equi-depth rank assignment (two windowed CTEs) AND the Morton
+    interleave over the buckets, value-gating the quantizer itself.
+    n_rows/cents_sum agree with zorder_box_pruning by construction;
+    min_qz/max_qz gate the rank-then-interleave pipeline."""
+    path = quantized_layout_table(spark, sf_dir)
+    lay = spark.read.parquet(path)
+    box = lay.where(
+        (F.col("l_partkey").between(BOX_PART_LO, BOX_PART_HI))
+        & (F.col("l_suppkey").between(BOX_SUPP_LO, BOX_SUPP_HI))
+    )
+    return box.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents_sum"),
+        F.coalesce(F.min("qz"), F.lit(-1)).cast("bigint").alias("min_qz"),
+        F.coalesce(F.max("qz"), F.lit(-1)).cast("bigint").alias("max_qz"),
+    )
+
+
+def quantized_box_oracle_sql() -> str:
+    """DuckDB oracle: the same rank CTEs (cum_rows_before * QBUCKETS
+    // n over distinct keys) and the same shared Morton formula over
+    the resulting buckets."""
+    z = zvalue_sql("qx", "qy", QBITS)
+    return f"""
+    WITH vx AS (
+        SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY k
+    ), mx AS (
+        SELECT k,
+               CAST((COALESCE(SUM(cnt) OVER (ORDER BY k ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     * CAST({QBUCKETS} AS BIGINT))
+                    // (SUM(cnt) OVER ()) AS BIGINT) AS qx
+        FROM vx
+    ), vy AS (
+        SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY k
+    ), my AS (
+        SELECT k,
+               CAST((COALESCE(SUM(cnt) OVER (ORDER BY k ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     * CAST({QBUCKETS} AS BIGINT))
+                    // (SUM(cnt) OVER ()) AS BIGINT) AS qy
+        FROM vy
+    ), b AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST({z} AS BIGINT) AS qz
+        FROM lineitem
+        JOIN mx ON l_partkey = mx.k
+        JOIN my ON l_suppkey = my.k
+        WHERE l_partkey BETWEEN {BOX_PART_LO} AND {BOX_PART_HI}
+          AND l_suppkey BETWEEN {BOX_SUPP_LO} AND {BOX_SUPP_HI}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+           CAST(COALESCE(MIN(qz), -1) AS BIGINT) AS min_qz,
+           CAST(COALESCE(MAX(qz), -1) AS BIGINT) AS max_qz
+    FROM b
     """

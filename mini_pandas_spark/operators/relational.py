@@ -4238,21 +4238,13 @@ _BUCKET_MEMO_MAX = 4
 
 def _table_fingerprint(sf_dir: str, name: str):
     """(mtime_ns, size) change-detector for a fixture table file/dir —
-    never reads data (same recipe as dedup._documents_fingerprint)."""
-    import os
+    never reads data.  Delegates to the shared memo.table_fingerprint
+    (round-11 migration; VERDICT_r10 item 3 + ADVICE_r10 item 2: one
+    fingerprint recipe repo-wide — this also moves _schema_evolution_dir
+    off the old max-of-entries recipe)."""
+    from ..memo import table_fingerprint
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            best = (st.st_mtime_ns, st.st_size)
-            for entry in os.scandir(path):
-                s = entry.stat()
-                best = max(best, (s.st_mtime_ns, s.st_size))
-            return best
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
+    return table_fingerprint(sf_dir, name)
 
 
 def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
@@ -4306,17 +4298,21 @@ def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
         .saveAsTable(names[1])
     )
     _BUCKET_MEMO[key] = (names[0], names[1], root)
-    while len(_BUCKET_MEMO) > _BUCKET_MEMO_MAX:
-        # Mirror _STANDING_IDX_MEMO's teardown (streaming/windows.py):
-        # an evicted bucketed warehouse must drop its catalog entries
-        # and delete its temp root, or fixture regeneration in a long
-        # session leaks tables and disk.
+    # Mirror _STANDING_IDX_MEMO's teardown (streaming/windows.py): an
+    # evicted bucketed warehouse must drop its catalog entries and
+    # delete its temp root, or fixture regeneration in a long session
+    # leaks tables and disk.
+    def _drop_bucketed(val, spark=spark):
         import shutil
 
-        _, (old_o, old_l, old_root) = _BUCKET_MEMO.popitem(last=False)
+        old_o, old_l, old_root = val
         for tbl in (old_o, old_l):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(old_root, ignore_errors=True)
+
+    from ..memo import evict_lru
+
+    evict_lru(_BUCKET_MEMO, _BUCKET_MEMO_MAX, teardown=_drop_bucketed)
     return names
 
 
@@ -4384,9 +4380,15 @@ def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
         .parquet(root)
     )
     _PART_ORDERS_MEMO[key] = root
-    while len(_PART_ORDERS_MEMO) > _PART_ORDERS_MEMO_MAX:
-        _, old_root = _PART_ORDERS_MEMO.popitem(last=False)
-        shutil.rmtree(os.path.dirname(old_root), ignore_errors=True)
+    from ..memo import evict_lru
+
+    evict_lru(
+        _PART_ORDERS_MEMO,
+        _PART_ORDERS_MEMO_MAX,
+        teardown=lambda r: shutil.rmtree(
+            os.path.dirname(r), ignore_errors=True
+        ),
+    )
     return root
 
 
@@ -4820,16 +4822,20 @@ def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline uses where one poison row must not kill a 100
     TB job.  Per order priority: rows whose derived denominator
     (o_custkey % 5) is zero are counted as quarantined, the surviving
-    exact-cents/denominator quotients are 6-dp scaled-integer rounded
+    exact-cents/denominator quotients are 3-dp scaled-integer rounded
     and summed, and a malformed-suffix try_cast proves the NULL (not
     raise) path.
 
     Determinism (invariant 3): the quotient divides two exact integers
     (one IEEE divide, bit-identical across engines), each quotient is
-    quantized to a BIGINT of 1e-6 units BEFORE the sum (round_scaled's
+    quantized to a BIGINT of 1e-3 units BEFORE the sum (round_scaled's
     rule: sums of rounded doubles drift, sums of ints do not), and the
     DuckDB oracle mirrors try_divide as x / NULLIF(d, 0) and try_cast
-    as TRY_CAST.
+    as TRY_CAST.  Scale (ADVICE_r10): at 1e-3 units a per-priority sum
+    is ~8e9/row × 3e8 rows/group at SF 1000 ≈ 2.4e18 < 2^63 — the 1e-6
+    scale overflowed ANSI bigint sums around SF 10.  No .5 boundary
+    exists at this scale (den ∈ {1,2,3,4}: thirds never land on .5 and
+    the power-of-two dens are binary-exact), so invariant 6 holds.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
@@ -4840,7 +4846,7 @@ def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ratio_units = F.expr(
-        "CAST(round(try_divide(cents, den) * 1000000.0) AS BIGINT)"
+        "CAST(round(try_divide(cents, den) * 1000.0) AS BIGINT)"
     )
     return (
         o.groupBy("o_orderpriority")
@@ -4851,7 +4857,7 @@ def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_quarantined"),
             F.coalesce(F.sum(ratio_units), F.lit(0))
             .cast("bigint")
-            .alias("ratio_millionths_sum"),
+            .alias("ratio_thousandths_sum"),
             F.sum(
                 F.expr("try_cast(malformed AS DOUBLE)").isNull().cast("long")
             )

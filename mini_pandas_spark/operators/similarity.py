@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import cosine, dot, sq_norm
+from ..memo import evict_lru
 from ..sources import load_table
 
 N_QUERIES = 10
@@ -274,8 +275,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, NEAR_DUP_TAU, DEDUP_CELLS, DEDUP_PROBES, None
     ).localCheckpoint(eager=False)
     _EMB_PAIRS_MEMO[key] = out
-    while len(_EMB_PAIRS_MEMO) > _EMB_PAIRS_MEMO_MAX:
-        _EMB_PAIRS_MEMO.popitem(last=False)
+    evict_lru(_EMB_PAIRS_MEMO, _EMB_PAIRS_MEMO_MAX)
     return out
 
 
@@ -360,23 +360,12 @@ _EMB_PAIRS_MEMO_MAX = 4
 
 
 def _embeddings_fingerprint(sf_dir: str):
-    """Cheap change-detector for the embeddings fixture under sf_dir:
-    (mtime_ns, size) of the parquet file, or the max over part files
-    when it is a directory.  Never reads data."""
-    import os
+    """Cheap change-detector for the embeddings fixture under sf_dir —
+    never reads data.  Delegates to the shared memo.table_fingerprint
+    (round-11 migration; VERDICT_r10 item 3)."""
+    from ..memo import table_fingerprint
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            best = (st.st_mtime_ns, st.st_size)
-            for entry in os.scandir(path):
-                s = entry.stat()
-                best = max(best, (s.st_mtime_ns, s.st_size))
-            return best
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
+    return table_fingerprint(sf_dir, "embeddings")
 
 
 SAMPLE_MOD = 4  # 1-in-4 deterministic training sample (vec_id % 4 == 0)
@@ -499,8 +488,7 @@ def _trained_quantizer(
         sample = vec.filter(_sample_predicate(k)).select("vec_id", "v").collect()
         out = _lloyd_local(sample, k, iters)
     _QUANTIZER_MEMO[key] = out
-    while len(_QUANTIZER_MEMO) > _QUANTIZER_MEMO_MAX:
-        _QUANTIZER_MEMO.popitem(last=False)
+    evict_lru(_QUANTIZER_MEMO, _QUANTIZER_MEMO_MAX)
     return out
 
 
@@ -615,8 +603,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qrows = [r for r in head if r["vec_id"] < N_QUERIES]
         cids, cn = _lloyd_local(head, N_CENTROIDS, LLOYD_ITERS)
         _QUANTIZER_MEMO[key] = (cids, cn)
-        while len(_QUANTIZER_MEMO) > _QUANTIZER_MEMO_MAX:
-            _QUANTIZER_MEMO.popitem(last=False)
+        evict_lru(_QUANTIZER_MEMO, _QUANTIZER_MEMO_MAX)
     else:
         cids, cn = cached
         qrows = sorted(

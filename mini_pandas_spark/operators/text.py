@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round_scaled, token_count, tokens
+from ..memo import evict_lru
 from ..sources import load_table
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
@@ -62,8 +63,7 @@ def _lm_memo_get(kind: str, spark: SparkSession, sf_dir: str):
 def _lm_memo_put(key, frame: DataFrame) -> DataFrame:
     out = frame.localCheckpoint(eager=False)
     _LM_MEMO[key] = out
-    while len(_LM_MEMO) > _LM_MEMO_MAX:
-        _LM_MEMO.popitem(last=False)
+    evict_lru(_LM_MEMO, _LM_MEMO_MAX)
     return out
 
 

@@ -95,9 +95,20 @@ def scan_output_rows(df: DataFrame):
     """The file scan's ``numOutputRows`` metric — rows surviving
     row-group stats pruning — of an ALREADY-EXECUTED frame; the pruning
     receipt the z-order/Hilbert layout pins and stress tools read.
-    Returns None if no FileSourceScan is present."""
-    out = None
+    Returns None if no FileSourceScan is present.
+
+    Single-scan only (ADVICE_r10): a multi-scan plan (e.g. a join) has
+    no unambiguous "the scan", and silently returning the last one
+    would hand a future caller the wrong pruning receipt — raise
+    loudly instead so misuse fails at the call site."""
+    counts = []
     for nd in iter_executed_nodes(df):
         if "FileSourceScan" in nd.getClass().getSimpleName():
-            out = nd.metrics().apply("numOutputRows").value()
-    return out
+            counts.append(nd.metrics().apply("numOutputRows").value())
+    if len(counts) > 1:
+        raise ValueError(
+            f"scan_output_rows expects a single-FileSourceScan plan, "
+            f"found {len(counts)} scans ({counts}); pass a per-scan "
+            f"sub-frame or walk iter_executed_nodes directly"
+        )
+    return counts[0] if counts else None

@@ -8242,7 +8242,8 @@ register(
 
 # ANSI try_* family: try_divide -> NULL on zero denominators (counted
 # as quarantined), try_cast -> NULL on malformed numbers; quotients of
-# exact integers quantized to bigint millionths BEFORE summing.
+# exact integers quantized to bigint THOUSANDTHS before summing (the
+# round-11 ADVICE fix: millionths overflowed bigint sums near SF 10).
 register(
     "ansi_try_arithmetic_audit",
     relational.ansi_try_arithmetic_audit,
@@ -8259,10 +8260,49 @@ register(
            CAST(SUM(CASE WHEN den = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_quarantined,
            CAST(COALESCE(SUM(CAST(round((cents * 1.0 / NULLIF(den, 0))
-                                        * 1000000.0) AS BIGINT)), 0)
-                AS BIGINT) AS ratio_millionths_sum,
+                                        * 1000.0) AS BIGINT)), 0)
+                AS BIGINT) AS ratio_thousandths_sum,
            CAST(SUM(CASE WHEN TRY_CAST(malformed AS DOUBLE) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_nulls
     FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+)
+
+
+# JOIN-STATE change feed (readChangeFeed over the outer join's
+# buffered-row stores, per side via storeName — joinSide+readChangeFeed
+# is STDS_CONFLICT_OPTIONS): batch 0's 'update' changes are exactly the
+# buffered inputs (nothing evicts under the previous watermark), the
+# same filtered UNION as the snapshot read — cross-surface equality
+# feed@batch0 == snapshot@batch0.  Batch-1 eviction churn is
+# intra-batch-unordered (tail-swap compaction) and pytest-pinned.
+register(
+    "join_state_change_feed",
+    _state_reader.join_state_change_feed,
+    """
+    SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+           'purchase' AS side, event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+               AS buffered_ts
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), 'update', 'error', event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+    FROM events WHERE event_type = 'error'
+    ORDER BY side, event_id
+    """,
+)
+
+
+# Rank-quantized curve layout (the unbounded-domain fix for fixed-width
+# curves): keys -> equi-depth rank buckets (range_partition_planner's
+# cum_before * QB DIV n recipe) -> Morton interleave over the dense
+# bucket grid.  The oracle replays the rank CTEs AND the shared
+# interleave formula; min/max qz value-gate the quantizer pipeline.
+from .operators import layout as _layout  # noqa: E402
+
+register(
+    "quantized_box_pruning",
+    _layout.quantized_box_pruning,
+    _layout.quantized_box_oracle_sql(),
 )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import decimal_sum
+from ..memo import evict_lru
 from ..session import ensure_runtime_confs
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -242,7 +243,7 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gated: the state API v2 Python protocol needs ``protobuf``, which this
     container does not ship (and installs are off-limits; re-probed each
-    round — still absent in rounds 1-9, last re-probed 2026-08-16 r9) — raises
+    round — still absent in rounds 1-11, last re-probed 2026-08-16 r11) — raises
     NotImplementedError there, so it is NOT in the driver registry;
     streaming_user_totals (applyInPandasWithState) carries the
     oracle-gated stateful-streaming surface.  On a protobuf-equipped
@@ -1097,11 +1098,14 @@ def _standing_index_tables(spark: SparkSession, sf_dir: str):
         .saveAsTable(sets_tbl)
     )
     _STANDING_IDX_MEMO[key] = (bands_tbl, sets_tbl, root)
-    while len(_STANDING_IDX_MEMO) > _STANDING_IDX_MEMO_MAX:
-        _, (old_b, old_s, old_root) = _STANDING_IDX_MEMO.popitem(last=False)
+
+    def _drop_idx(val, spark=spark):
+        old_b, old_s, old_root = val
         for tbl in (old_b, old_s):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(old_root, ignore_errors=True)
+
+    evict_lru(_STANDING_IDX_MEMO, _STANDING_IDX_MEMO_MAX, teardown=_drop_idx)
     return bands_tbl, sets_tbl
 
 
@@ -1370,20 +1374,11 @@ def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_fingerprint(sf_dir: str):
     """(mtime_ns, size) change-detector for the events fixture — never
-    reads data (mirror of dedup._documents_fingerprint)."""
-    path = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            parts = [
-                os.stat(os.path.join(path, f))
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            ]
-            return tuple((p.st_mtime_ns, p.st_size) for p in parts)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
+    reads data.  Delegates to the shared memo.table_fingerprint
+    (round-11 migration; VERDICT_r10 item 3)."""
+    from ..memo import table_fingerprint
+
+    return table_fingerprint(sf_dir, "events")
 
 
 def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
@@ -1468,9 +1463,11 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(single):
         os.utime(single, (0, 9_999_999_999))
     _SENTINEL_DIRS[key] = root
-    while len(_SENTINEL_DIRS) > _SENTINEL_DIRS_MAX:
-        _, old_root = _SENTINEL_DIRS.popitem(last=False)
-        shutil.rmtree(old_root, ignore_errors=True)
+    evict_lru(
+        _SENTINEL_DIRS,
+        _SENTINEL_DIRS_MAX,
+        teardown=lambda d: shutil.rmtree(d, ignore_errors=True),
+    )
     return root
 
 
@@ -1843,10 +1840,13 @@ def streaming_table_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         _TABLE_SINK_MEMO[key] = (tbl, root)
-        while len(_TABLE_SINK_MEMO) > _TABLE_SINK_MEMO_MAX:
-            _, (old_tbl, old_root) = _TABLE_SINK_MEMO.popitem(last=False)
+
+        def _drop_sink(val, spark=spark):
+            old_tbl, old_root = val
             spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
             shutil.rmtree(old_root, ignore_errors=True)
+
+        evict_lru(_TABLE_SINK_MEMO, _TABLE_SINK_MEMO_MAX, teardown=_drop_sink)
     else:
         _TABLE_SINK_MEMO.move_to_end(key)
     tbl, _root = _TABLE_SINK_MEMO[key]

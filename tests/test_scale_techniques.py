@@ -836,3 +836,62 @@ def test_rebalance_hint_splits_output_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quantized_layout_prunes_and_matches_zorder_answer(spark, tmp_path):
+    """The rank-quantized layout (quantized_box_pruning's stage table)
+    must (a) give the same box answer as the fixed-width z layout,
+    (b) prune row groups like it (scan rows a fraction of an
+    identically-partitioned unclustered control), and (c) assign
+    equi-depth buckets: every qx bucket's row count within 2x of the
+    ideal per-bucket mass when the distinct-key count exceeds the
+    bucket count — here the domain is smaller than QBUCKETS, so the pin
+    checks monotonicity + bounds instead (bucket ids strictly increase
+    with the key and stay < QBUCKETS).  The wide-domain (> 2^20 keys)
+    half lives in tools/scale_stress_layout.py --wide, where the
+    fixed-width curve wraps and the quantized one keeps pruning."""
+    from mini_pandas_spark.operators.layout import (
+        QBUCKETS,
+        Z_FILES,
+        _rank_map,
+        quantized_layout_table,
+        zorder_layout_table,
+    )
+    from mini_pandas_spark.plans import scan_output_rows
+    from mini_pandas_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    qpath = quantized_layout_table(spark, sf)
+    zpath = zorder_layout_table(spark, sf)
+
+    control = str(tmp_path / "unclustered_q")
+    spark.read.parquet(qpath).repartition(Z_FILES).write.parquet(control)
+
+    def box(path, zcol_absent):
+        df = spark.read.parquet(path).where(
+            (F.col("l_partkey").between(0, 24))
+            & (F.col("l_suppkey").between(0, 4))
+        )
+        n = len(df.collect())
+        return n, scan_output_rows(df)
+
+    n_q, scan_q = box(qpath, None)
+    n_z, _ = box(zpath, None)
+    n_c, scan_c = box(control, None)
+    assert n_q == n_z == n_c and n_q > 0
+    total = spark.read.parquet(qpath).count()
+    assert scan_c >= 0.9 * total, (scan_c, total)
+    assert scan_q <= 0.35 * scan_c, (scan_q, scan_c)
+
+    # equi-depth assignment: monotone in the key, bounded by QBUCKETS
+    li = load_table(spark, sf, "lineitem")
+    mp = _rank_map(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        QBUCKETS,
+    ).orderBy("k")
+    rows = mp.collect()
+    assert all(0 <= r.q < QBUCKETS for r in rows)
+    qs = [r.q for r in rows]
+    assert qs == sorted(qs), "bucket ids must be monotone in the key"

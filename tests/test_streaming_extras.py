@@ -527,3 +527,55 @@ def test_join_state_batch0_matches_drained_inputs(spark):
     assert by_side.get("error", 0) == counts.get("error", 0)
     # the state read must not leak sentinel rows into the product
     assert (got.user_id >= 0).all()
+
+
+def test_join_state_change_feed_batch1_eviction_churn(spark):
+    """The non-SQL half of join_state_change_feed: batch 1 (the no-data
+    eviction batch) appears in each side's keyWithIndexToValue change
+    feed as update+delete CHURN — the store tail-swap-compacts per-key
+    row indexes while evicting, so deletes carry NULL values and some
+    indexes are rewritten.  Pins: (a) the feed's batch domain is exactly
+    {0, 1}; (b) batch 0 is updates-only; (c) batch 1 contains BOTH
+    updates and deletes on each side; (d) delete records have NULL
+    values; (e) the registered query (batch-0 updates) set-equals the
+    joinSide snapshot read at batch 0 — the cross-surface equality that
+    underwrites sharing join_state_buffered_sides' oracle."""
+    from mini_pandas_spark.queries import queries
+    from mini_pandas_spark.streaming.state_reader import (
+        _outer_join_state_checkpoint,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ck = _outer_join_state_checkpoint(spark, SF)
+    for side in ("left", "right"):
+        cf = (
+            spark.read.format("statestore")
+            .option("storeName", f"{side}-keyWithIndexToValue")
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", 0)
+            .load(ck)
+        )
+        rows = cf.select("batch_id", "change_type", "value").collect()
+        batches = {r.batch_id for r in rows}
+        assert batches == {0, 1}, f"{side}: batch domain {batches}"
+        b0_types = {r.change_type for r in rows if r.batch_id == 0}
+        assert b0_types == {"update"}, f"{side}: batch-0 types {b0_types}"
+        b1_types = {r.change_type for r in rows if r.batch_id == 1}
+        assert b1_types == {"update", "delete"}, (
+            f"{side}: batch-1 churn types {b1_types}"
+        )
+        assert all(
+            r.value is None
+            for r in rows
+            if r.change_type == "delete"
+        ), f"{side}: delete records carried values"
+    qs = queries()
+    feed = qs["join_state_change_feed"](spark, SF).collect()
+    snap = qs["join_state_buffered_sides"](spark, SF).collect()
+    a = {(r.side, r.event_id, r.user_id, r.buffered_ts) for r in feed}
+    b = {(r.side, r.event_id, r.user_id, r.buffered_ts) for r in snap}
+    assert a == b, (
+        f"feed@batch0 != snapshot@batch0: only-feed={sorted(a - b)[:3]}, "
+        f"only-snap={sorted(b - a)[:3]}"
+    )
+    assert all(r.batch_id == 0 and r.change_type == "update" for r in feed)

@@ -5,6 +5,16 @@ names, and order-insensitive values (exact for ints/strings, repr-exact for
 floats — if this passes, any reasonable value-hash passes too).
 
 Usage: python tools/check_correctness.py [query ...]
+       python tools/check_correctness.py --changed-since <rev>
+
+``--changed-since <rev>`` (VERDICT_r10 item 8: the 368-entry full sweep
+is ~15 min and growing) sweeps only queries plausibly affected by the
+diff against <rev>: queries whose implementing module changed, plus
+queries whose register() block in queries.py changed.  A diff touching
+shared plumbing (sources/, functions.py, session.py, memo.py, frame.py,
+plans/) falls back to the FULL sweep — selection is only ever an
+over-approximation, never a shortcut past shared-code changes.  The
+full no-argument sweep remains the round gate.
 """
 
 from __future__ import annotations
@@ -83,12 +93,101 @@ def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _registration_blocks(src: str) -> dict[str, str]:
+    """Map registered query name -> its register(...) call text, by
+    splitting queries.py source on top-level ``register(`` calls and
+    reading each block's first string literal as the name.  Textual on
+    purpose: importing a historical queries.py would execute it."""
+    import re
+
+    blocks: dict[str, str] = {}
+    for m in re.finditer(r"^register\(", src, flags=re.MULTILINE):
+        start = m.start()
+        nxt = re.search(r"^register\(", src[m.end():], flags=re.MULTILINE)
+        end = m.end() + (nxt.start() if nxt else len(src) - m.end())
+        block = src[start:end]
+        name_m = re.search(r"register\(\s*['\"]([^'\"]+)['\"]", block)
+        if name_m:
+            blocks[name_m.group(1)] = block.strip()
+    return blocks
+
+
+def _changed_since(rev: str, qs: dict) -> set[str] | None:
+    """Names affected by the diff vs ``rev``; None ⇒ run the full sweep
+    (shared plumbing changed, or the diff could not be read)."""
+    import inspect
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", rev, "--", "mini_pandas_spark/"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        print(f"note: git diff vs {rev!r} failed ({e.stderr.strip()}); "
+              "running FULL sweep")
+        return None
+    changed = [ln.strip() for ln in out.splitlines() if ln.strip()]
+    if not changed:
+        return set()
+    # Shared plumbing ⇒ everything is suspect: full sweep.
+    op_prefixes = ("mini_pandas_spark/operators/",
+                   "mini_pandas_spark/streaming/",
+                   "mini_pandas_spark/multimodal/")
+    for f in changed:
+        if f != "mini_pandas_spark/queries.py" and not f.startswith(op_prefixes):
+            print(f"note: shared file {f} changed; running FULL sweep")
+            return None
+    selected: set[str] = set()
+    changed_set = set(changed)
+    for name, fn in qs.items():
+        try:
+            src_file = inspect.getsourcefile(inspect.unwrap(fn)) or ""
+        except TypeError:
+            src_file = ""
+        rel = os.path.relpath(src_file, repo) if src_file else ""
+        if rel in changed_set:
+            selected.add(name)
+    if "mini_pandas_spark/queries.py" in changed_set:
+        now = open(os.path.join(repo, "mini_pandas_spark/queries.py")).read()
+        try:
+            old = subprocess.run(
+                ["git", "show", f"{rev}:mini_pandas_spark/queries.py"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout
+        except subprocess.CalledProcessError:
+            old = ""
+        nb, ob = _registration_blocks(now), _registration_blocks(old)
+        selected |= {n for n, blk in nb.items() if ob.get(n) != blk}
+    # The in-sweep LSH≡exact pin needs both pair queries when either runs.
+    if selected & {"minhash_lsh_pairs", "ngram_jaccard_pairs"}:
+        selected |= {"minhash_lsh_pairs", "ngram_jaccard_pairs"}
+    return selected
+
+
 def main() -> int:
     from mini_pandas_spark.queries import oracle_sql, queries
     from mini_pandas_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
     qs, oracles = queries(), oracle_sql()
+    if args[:1] == ["--changed-since"]:
+        if len(args) < 2:
+            print("usage: check_correctness.py --changed-since <rev>")
+            return 2
+        sel = _changed_since(args[1], qs)
+        if sel is None:
+            only = set()
+        elif not sel:
+            print(f"ok   no registered query affected since {args[1]}")
+            return 0
+        else:
+            print(f"note: {len(sel)} queries affected since {args[1]}: "
+                  + " ".join(sorted(sel)))
+            only = sel
+    else:
+        only = set(args)
 
     con = duckdb.connect()
     for t in TABLES:
