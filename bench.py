@@ -194,6 +194,8 @@ HEADLINE = [
     # round-11 additions
     "join_state_change_feed",
     "quantized_box_pruning",
+    "incremental_ingest_totals",
+    "tablesample_priority_profile",
 ]
 
 
@@ -305,6 +307,11 @@ def main() -> None:
     )
 
     build_standing_state_checkpoints(spark, sf_dir)
+    # Incremental-ingest artifacts (not billed, same class): the sink a
+    # scheduled landing-zone ingest maintains; the billed row reads it.
+    from mini_pandas_spark.streaming.ingest import _ingest_artifacts
+
+    _ingest_artifacts(spark, sf_dir)
     qs["streaming_neardup_lsh"](
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).count()
@@ -331,11 +338,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Full record to disk (survives any stdout truncation).
-    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # Full record to disk (survives any stdout truncation).  A tagged
+    # copy (SPARK_GRAFT_BENCH_TAG=close_r11_run1 ...) keeps close-run
+    # records distinct — round 10's review lost a cross-check because
+    # the driver's run overwrote the builder's close record.
+    here = os.path.dirname(os.path.abspath(__file__))
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
     with open(local_path, "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
         fh.write("\n")
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        with open(os.path.join(here, f"BENCH_LOCAL_{tag}.json"), "w") as fh:
+            json.dump(result, fh, indent=2, sort_keys=True)
+            fh.write("\n")
 
     sys.stdout.flush()
     print(final_line(result), flush=True)

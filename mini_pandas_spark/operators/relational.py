@@ -4866,3 +4866,41 @@ def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def tablesample_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TABLESAMPLE (10 PERCENT) REPEATABLE(42)`` — SQL-standard
+    Bernoulli sampling pushed INTO the scan (the plan shows ``Sample``
+    directly over the FileScan, before any shuffle): per-priority
+    sampled counts plus the exact sampling fraction realized, the
+    profile a 100 TB EDA pass runs instead of a full aggregate.
+
+    REPEATABLE(seed) makes the sample a pure function of (seed,
+    partition layout): the row-level RNG is seeded per scan partition
+    as seed + partitionIndex, so with the fixture file and runtime
+    confs pinned (load_table/ensure_runtime_confs), repeated runs in
+    any session return the SAME rows — pinned by the twin-run test in
+    tests/test_streaming_ingest.py.  No DuckDB oracle: DuckDB's
+    BERNOULLI sampler draws from a different RNG, so the exact sampled
+    set is engine-specific by design (rows-only driver check).
+
+    Scale: sampling is evaluated scan-side (no data movement beyond
+    the sampled rows); the aggregate then moves per-priority partials
+    only.  At 100 TB a 10 PERCENT profile reads every row group but
+    ships 10% of rows into the agg — for block-level economy use
+    ``TABLESAMPLE (n ROWS)`` or partition sampling instead.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tsample_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM tsample_orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

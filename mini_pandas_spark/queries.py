@@ -8306,3 +8306,32 @@ register(
     _layout.quantized_box_pruning,
     _layout.quantized_box_oracle_sql(),
 )
+
+
+# Incremental file ingest with restart-resume (foreachBatch +
+# AvailableNow over one checkpoint; second drain sees ONLY the newly
+# arrived file — pinned in tests/test_streaming_ingest.py): the sink's
+# union equals a plain GROUP BY over the whole fixture.
+from .streaming import ingest as _ingest  # noqa: E402
+
+register(
+    "incremental_ingest_totals",
+    _ingest.incremental_ingest_totals,
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+# TABLESAMPLE (10 PERCENT) REPEATABLE(42): scan-side Bernoulli sample.
+# Rows-only by design — DuckDB's BERNOULLI sampler uses a different
+# RNG, so the exact sampled set is engine-specific; in-session
+# determinism is pinned in tests/test_streaming_ingest.py.
+register(
+    "tablesample_priority_profile",
+    relational.tablesample_priority_profile,
+    None,
+)
