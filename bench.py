@@ -196,6 +196,8 @@ HEADLINE = [
     "quantized_box_pruning",
     "incremental_ingest_totals",
     "tablesample_priority_profile",
+    "rrf_hybrid_retrieval",
+    "url_canonical_dedup",
 ]
 
 

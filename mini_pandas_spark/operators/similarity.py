@@ -1998,3 +1998,107 @@ def _kmeans_integer_lloyd_core(emb: DataFrame) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): fuse the LEXICAL ranking (the BM25 arm shared with
+    bm25_search, same fixed query) with a SEMANTIC ranking (cosine
+    against a pseudo-relevance-feedback centroid — the exact-integer
+    average of the lexical top-3 docs' embeddings, the classic
+    "expand the query from its best lexical hits" shape), with
+    rrf = 1/(60+rank_lex) + 1/(60+rank_sem) over the union of both
+    top-20 lists.  This is the standard RAG retrieval stack — sparse +
+    dense arms fused rank-wise so neither score scale dominates.
+
+    Determinism (invariant 3): each arm's ranks carry doc_id
+    tiebreaks over 6-dp-rounded scores; the centroid averages in
+    scaled-INTEGER space (sum of round(x*1e9) bigints, then
+    /count/1e9 — two IEEE ops mirrored verbatim); dot products fold
+    left-to-right (matching DuckDB's list_dot_product — the
+    cosine_topk precedent); the RRF sum is two exact divisions added
+    in written order.  embeddings.vec_id ↔ documents.doc_id is the
+    fixture's 1:1 key (the semantic_decontamination precedent).
+
+    Scale: the lexical arm shuffles O(matching postings) like
+    bm25_search; both top-20s are TakeOrderedAndProject heaps (rank
+    windows run over ≤20 rows); the centroid is a 1-row broadcast; the
+    semantic scan streams the corpus once.  The fused window covers
+    ≤40 rows.  No corpus-sized window anywhere.
+    """
+    from .text import _bm25_scored
+
+    scored = _bm25_scored(spark, sf_dir)
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+        # rank BEFORE the checkpoint: the window must sit directly over
+        # the GlobalLimit so the plan (and the registry lint) can see
+        # it is 20-row-bounded, not corpus-global
+        .withColumn("lex_rank", F.row_number().over(wlex).cast("long"))
+        .select("doc_id", "lex_rank")
+        .localCheckpoint(eager=False)  # reused by top-3 AND the fusion
+    )
+    if not lex.take(1):
+        # empty corpus (or zero query-term matches): no lexical seed,
+        # no centroid — the typed empty answer, not a NaN ordering
+        return spark.createDataFrame(
+            [],
+            "fused_rank long, doc_id long, lex_rank long,"
+            " sem_rank long, rrf_score double",
+        )
+    top3 = lex.where(F.col("lex_rank") <= 3).select("doc_id")
+    vec = _vectors_with_norm(spark, sf_dir)
+    cent_parts = (
+        vec.join(F.broadcast(top3), vec.vec_id == top3.doc_id)
+        .select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e9).cast("bigint")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cv = (
+        cent_parts.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        ((F.col("sx").cast("double") / F.col("n")) / F.lit(1e9)).alias("c"),
+                    )
+                )
+            ).alias("ps")
+        )
+        .select(F.expr("transform(ps, s -> s.c)").alias("cv"))
+        .withColumn("cnrm", F.sqrt(sq_norm(F.col("cv"))))
+    )
+    sem_scored = vec.join(F.broadcast(cv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("cv"), F.col("v")) / (F.col("cnrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    sem20 = sem_scored.orderBy(F.col("sim").desc(), F.col("doc_id")).limit(20)
+    wsem = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    sem = sem20.withColumn(
+        "sem_rank", F.row_number().over(wsem).cast("long")
+    ).select("doc_id", "sem_rank")
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0))
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rrf_score", F.round(rrf, 9))
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "fused_rank",
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(-1)).cast("long").alias("sem_rank"),
+            "rrf_score",
+        )
+        .orderBy("fused_rank")
+    )

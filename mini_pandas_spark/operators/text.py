@@ -1346,6 +1346,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    scored = _bm25_scored(spark, sf_dir)
+    top10 = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        top10.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("rk", "doc_id", "score", "n_terms_hit")
+        .orderBy("rk")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored corpus frame (doc_id, score, n_terms_hit) for the
+    fixed query — shared by bm25_search (top-10) and
+    similarity.rrf_hybrid_retrieval (lexical arm of the fusion)."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select("doc_id", token_count("text").alias("dl"))
     stats = dl.agg(
@@ -1379,13 +1393,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
-    top10 = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        top10.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .select("rk", "doc_id", "score", "n_terms_hit")
-        .orderBy("rk")
-    )
+    return scored
 
 
 def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3855,4 +3863,95 @@ def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("redacted_checksum"),
         )
         .orderBy("source")
+    )
+
+
+def url_feed_sql(dialect: str) -> str:
+    """Deterministic derived-URL feed over documents (the fixture ships
+    no URL column — same derived-feed pattern as pii_redaction_counts):
+    six variants per (source, doc_id DIV 6) page id exercising every
+    canonicalization rule — upper-cased scheme/host, explicit default
+    port, trailing slash, utm_* tracking params, a fragment, and a
+    significant query param that must SURVIVE.  One generator feeds
+    both engines; only integer-div / string-type spellings differ
+    (``dialect`` in {'spark', 'duckdb'})."""
+    div = "doc_id DIV 6" if dialect == "spark" else "doc_id // 6"
+    stype = "STRING" if dialect == "spark" else "VARCHAR"
+    # page identity is doc_id DIV 6 ONLY — six consecutive doc_ids are
+    # six spellings of the SAME page, so canonicalization genuinely
+    # collapses them (a source-dependent host would make every doc its
+    # own page and the dedup vacuous)
+    page = f"('/articles/p' || CAST({div} AS {stype}))"
+    host = "'cdn.example.com'"
+    return f"""CASE CAST(doc_id % 6 AS INTEGER)
+        WHEN 0 THEN 'https://' || {host} || {page}
+        WHEN 1 THEN 'HTTPS://' || upper({host}) || ':443' || {page} || '/'
+        WHEN 2 THEN 'https://' || {host} || {page} || '?utm_source=feed&utm_medium=rss'
+        WHEN 3 THEN 'https://' || {host} || {page} || '#section-2'
+        WHEN 4 THEN 'https://' || {host} || {page} || '?id=7&utm_campaign=x'
+        ELSE 'https://' || {host} || {page} || '?id=7'
+        END"""
+
+
+def url_canon_sql(url: str, dialect: str) -> str:
+    """URL canonicalization as one nested expression valid in both
+    engines: lowercase scheme+host, strip default :443/:80 ports, strip
+    trailing path slashes, drop the fragment, remove utm_* tracking
+    params while KEEPING significant ones.  DuckDB's regexp_replace
+    replaces only the first match without the 'g' flag (CLAUDE.md
+    invariant 3) and its regexp_extract yields NULL where Spark yields
+    '' — both mirrored here, which is why this is a generator and not
+    one verbatim string."""
+    g = "" if dialect == "spark" else ", 'g'"
+    co = lambda e: f"COALESCE({e}, '')"
+    scheme = co(f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))")
+    host = co(f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1))")
+    host = f"regexp_replace({host}, ':(443|80)$', ''{g})"
+    path = co(f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)")
+    path = f"regexp_replace({path}, '/+$', ''{g})"
+    # Spark SQL string literals process backslash escapes (the literal
+    # must be \\? to mean the regex \?); DuckDB strings are escape-free
+    qmark = "'\\\\?([^#]*)'" if dialect == "spark" else "'\\?([^#]*)'"
+    query = co(f"regexp_extract({url}, {qmark}, 1)")
+    query = f"regexp_replace({query}, '(^|&)utm_[^&]*', ''{g})"
+    query = f"regexp_replace({query}, '^&', ''{g})"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END))"
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier/page-dedup
+    primitive every web-scale corpus pipeline runs before content
+    dedup: scheme/host case, default ports, trailing slashes,
+    fragments, and utm_* tracking params are NOT distinct pages, while
+    significant query params ARE.  Per canonical URL: how many raw
+    URLs collapsed into it, how many distinct raw spellings, and the
+    canonical (min) doc_id — the survivorship rule shared with
+    dedup_exact.
+
+    The entire feed + canonicalization is JVM-side regexp codegen (no
+    UDF); the one generator emits both engines' expressions (dialect
+    differences: DuckDB needs the 'g' replace-all flag and NULL-guarded
+    regexp_extract — invariant 3).  Scale: one projection + one
+    groupBy(canonical) shuffle, O(distinct canonical URLs) output —
+    the same shape as dedup_exact's hash-key groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    feed = d.select(
+        "doc_id", F.expr(url_feed_sql("spark")).alias("url")
+    )
+    canon = feed.select(
+        "doc_id",
+        "url",
+        F.expr(url_canon_sql("url", "spark")).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_spellings"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_url")
     )

@@ -8335,3 +8335,128 @@ register(
     relational.tablesample_priority_profile,
     None,
 )
+
+
+# Reciprocal Rank Fusion hybrid retrieval: BM25 lexical top-20 (shared
+# CTEs with bm25_search) fused with cosine-vs-PRF-centroid semantic
+# top-20; rrf = 1/(60+r_lex) + 1/(60+r_sem).  Centroid averaged in
+# scaled-integer space; dot products via list_dot_product (the
+# cosine_topk fold-order precedent); doc_id tiebreaks everywhere.
+register(
+    "rrf_hybrid_retrieval",
+    similarity.rrf_hybrid_retrieval,
+    r"""
+    WITH dl AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        ) WHERE token IN ('scan', 'column', 'filter')
+        GROUP BY 1, 2
+    ),
+    df_ AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    bm25 AS (
+        SELECT tf.doc_id,
+               round(CAST(SUM(CAST(round(
+                   ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+                   * (tf * 2.2e0)
+                   / (tf + 1.2e0 * (0.25e0 + 0.75e0
+                       * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+                   9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df_ ON tf.token = df_.token
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, rk AS lex_rank FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM bm25
+        ) WHERE rk <= 20
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ),
+    top3v AS (
+        SELECT ve FROM v JOIN lex ON v.vec_id = lex.doc_id
+        WHERE lex.lex_rank <= 3
+    ),
+    cent AS (
+        SELECT ord,
+               (CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+                / COUNT(*)) / 1e9 AS c
+        FROM (
+            SELECT unnest(ve) AS x, generate_subscripts(ve, 1) AS ord
+            FROM top3v
+        )
+        GROUP BY ord
+    ),
+    carr AS (SELECT list(c ORDER BY ord) AS cv FROM cent),
+    sem AS (
+        SELECT doc_id, rk AS sem_rank FROM (
+            SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+                        AS BIGINT) AS rk
+            FROM (
+                SELECT vec_id,
+                       round(list_dot_product(cv, ve)
+                             / (sqrt(list_dot_product(cv, cv))
+                                * sqrt(list_dot_product(ve, ve))), 6) AS sim
+                FROM v CROSS JOIN carr
+            )
+        ) WHERE rk <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               round(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                     + COALESCE(1.0 / (60 + sem_rank), 0.0), 9) AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT fused_rank, doc_id,
+           CAST(COALESCE(lex_rank, -1) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(sem_rank, -1) AS BIGINT) AS sem_rank,
+           rrf_score
+    FROM (
+        SELECT doc_id, lex_rank, sem_rank, rrf_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 10 ORDER BY fused_rank
+    """,
+)
+
+
+# URL canonicalization + dedup: derived 6-variant URL feed (case/port/
+# slash/fragment/utm variants per page id); one expression generator
+# feeds both engines (DuckDB gets the 'g' replace-all flag and
+# NULL-guarded extracts).  Hash-key groupBy on the canonical form.
+register(
+    "url_canonical_dedup",
+    text.url_canonical_dedup,
+    (
+        lambda feed, canon: f"""
+    WITH feed AS (
+        SELECT doc_id, {feed} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url, {canon} AS canonical_url FROM feed
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """
+    )(text.url_feed_sql("duckdb"), text.url_canon_sql("url", "duckdb")),
+)

@@ -269,6 +269,16 @@ EMPTY_OK_ZERO_ROWS = [
     "hilbert_box_pruning",
     # zero orders -> zero audit rows
     "ansi_try_arithmetic_audit",
+    # round-11 operators: guarded empty-lexical-seed fusion; zero-row
+    # aggs over empty feeds; empty quantized layout summary row
+    "rrf_hybrid_retrieval",
+    "url_canonical_dedup",
+    "quantized_box_pruning",
+    "tablesample_priority_profile",
+    # commit-guarded: zero-row drains still commit, reads return typed
+    # empty / zero-row frames
+    "join_state_change_feed",
+    "incremental_ingest_totals",
 ]
 
 
