@@ -14,8 +14,30 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 from collections import OrderedDict
 from typing import Callable, Optional
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp on the fastest ephemeral filesystem available — the home
+    of every session-scoped artifact this engine writes and reads back
+    (streaming checkpoints/sinks, layout stage tables, staged sources).
+
+    Order: $SPARK_GRAFT_SCRATCH if set (cluster deployments point this
+    at local NVMe / ramdisk scratch), else /dev/shm when present and
+    writable (micro-batch checkpoints are fsync-heavy many-small-file
+    workloads; tmpfs removes that latency — measured ~0.5 s per
+    multi-batch drain at sf0.1), else the tempfile default.  All
+    artifacts remain session-ephemeral and LRU-evicted via the memos —
+    nothing here changes what persists, only where scratch lives."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not base and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 def table_fingerprint(sf_dir: str, name: str):

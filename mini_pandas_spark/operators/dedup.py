@@ -558,13 +558,6 @@ def _cc_alternating_stars(pairs: DataFrame) -> tuple[DataFrame, int]:
     bound raises instead of returning wrong labels.
     """
     sym0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    nodes = (
-        sym0.select("a")
-        .union(sym0.select(F.col("b").alias("a")))
-        .distinct()
-        .select(F.col("a").alias("doc_id"))
-        .localCheckpoint(eager=False)
-    )
     # canonical orientation big→small, self-loops dropped.  All loop
     # checkpoints are LAZY: the convergence count() is the job that
     # materializes each round's frame, instead of paying a separate
@@ -574,6 +567,19 @@ def _cc_alternating_stars(pairs: DataFrame) -> tuple[DataFrame, int]:
         sym0.where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Node set from the CANONICAL edge list, not the raw pair frame: every
+    # caller emits strict doc_a < doc_b pairs (pair miners canonicalize),
+    # so the distinct endpoints of `edges` are exactly the paired docs —
+    # and deriving from the post-distinct checkpoint (AQE-coalesced to a
+    # few partitions) avoids re-reading the wide upstream pair frame a
+    # second time (the round-11 job audit billed two full 34-task reads).
+    nodes = (
+        edges.select("a")
+        .union(edges.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("doc_id"))
         .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
@@ -1252,13 +1258,19 @@ def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _cc_min_labels(pairs).localCheckpoint(eager=False)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("k"))
     hist = sizes.groupBy("k").agg(F.count(F.lit(1)).alias("n_clusters"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    n_clustered = labels.count()  # bounded: docs appearing in any pair
+    # singleton count stays IN the plan (two 1-row aggregates crossJoined)
+    # instead of two blocking driver count() jobs — same values, one job
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_clustered = labels.agg(F.count(F.lit(1)).alias("n_clustered"))
     singles = (
-        hist.sparkSession.range(1)
+        n_docs.crossJoin(F.broadcast(n_clustered))
         .select(
             F.lit(1).cast("bigint").alias("k"),
-            F.lit(n_docs - n_clustered).cast("bigint").alias("n_clusters"),
+            (F.col("n_docs") - F.col("n_clustered")).cast("bigint").alias(
+                "n_clusters"
+            ),
         )
     )
     return (

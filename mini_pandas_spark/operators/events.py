@@ -2509,7 +2509,7 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
+    from ..memo import scratch_dir
 
     from ..streaming.windows import _events_fingerprint
 
@@ -2529,7 +2529,7 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(
             F.to_json(F.struct("event_id", "user_id", "event_type", "cents"))
         )
-        root = os.path.join(tempfile.mkdtemp(prefix="corrupt_audit_"), "feed")
+        root = os.path.join(scratch_dir("corrupt_audit_"), "feed")
         ev.select(line.alias("value")).write.mode("overwrite").text(root)
         # invariant 9: keyed on (appId, fixture fingerprint), LRU-bounded
         # with rmtree on evict — a per-call mkdtemp would leak one feed

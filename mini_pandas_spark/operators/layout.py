@@ -32,13 +32,12 @@ eviction.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..memo import evict_lru_dirs, table_fingerprint
+from ..memo import evict_lru_dirs, scratch_dir, table_fingerprint
 from ..sources import load_table
 
 Z_BITS = 20
@@ -89,7 +88,7 @@ def zorder_layout_table(spark: SparkSession, sf_dir: str) -> str:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.expr(zvalue_sql("l_partkey", "l_suppkey")).cast("bigint").alias("z"),
     )
-    out = tempfile.mkdtemp(prefix="zorder_layout_")
+    out = scratch_dir("zorder_layout_")
     (
         li.repartitionByRange(Z_FILES, "z")
         .sortWithinPartitions("z")
@@ -247,7 +246,7 @@ def hilbert_layout_table(spark: SparkSession, sf_dir: str) -> str:
     li = src.mapInPandas(
         add_h, "l_partkey long, l_suppkey long, cents long, h long"
     ).localCheckpoint(eager=False)
-    out = tempfile.mkdtemp(prefix="hilbert_layout_")
+    out = scratch_dir("hilbert_layout_")
     (
         li.repartitionByRange(Z_FILES, "h")
         .sortWithinPartitions("h")
@@ -387,7 +386,7 @@ def quantized_layout_table(spark: SparkSession, sf_dir: str) -> str:
             F.expr(zvalue_sql("qx", "qy", QBITS)).cast("bigint").alias("qz"),
         )
     )
-    out = tempfile.mkdtemp(prefix="quantized_layout_")
+    out = scratch_dir("quantized_layout_")
     (
         lay.repartitionByRange(Z_FILES, "qz")
         .sortWithinPartitions("qz")

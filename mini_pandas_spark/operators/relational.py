@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import cents, decimal_sum, disc_price_sum, money_avg, money_sum
+from ..memo import scratch_dir
 from ..sources import load_table, register_views
 
 
@@ -2581,37 +2582,46 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining primitive behind "customers also bought" (reference has no
     counterpart; this is the §2.3 group-by family applied to pair mining).
 
-    Scale: baskets reduce to DISTINCT (order, brand) first (partial agg
-    before the shuffle), so the per-order self-join is bounded by
-    brands-per-order (small constant), never by line count.  Brand counts
-    are a 25-row aggregate, broadcast to the pair table.  At 100 TB the
-    only large shuffle is the distinct — hash-partitioned on orderkey,
-    map-side combined.
+    Scale: each order collapses to its sorted distinct-brand basket in ONE
+    orderkey groupBy (collect_set partial-aggregates map-side, subsuming
+    the former separate DISTINCT), and brand pairs are generated map-side
+    from the basket array — bounded by brands-per-order² (small constant),
+    never by line count, with no self-join.  Brand counts are a 25-row
+    aggregate, broadcast to the pair table.  At 100 TB the only large
+    shuffle is the basket groupBy — hash-partitioned on orderkey.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = (
-        li.select("l_orderkey", "l_partkey")
-        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-        # four consumers (both pair-join sides, basket count, brand
-        # marginals) — persist once instead of re-running the fact scan
-        # + distinct shuffle 4x; this frame is |orders|x|brands-per-order|,
-        # far under raw line volume
+    items = li.select("l_orderkey", "l_partkey").join(
+        part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+    # One groupBy collapses each order to its sorted distinct-brand basket
+    # (collect_set dedups, so the separate DISTINCT shuffle is gone); the
+    # per-order brand pairs are then generated MAP-SIDE from the array —
+    # bounded by brands-per-order² (small constant), replacing the former
+    # okey self-join (two shuffled sides + join) with zero joins.  The
+    # basket table is checkpointed for its three consumers (pair counts,
+    # basket count, brand marginals).
+    baskets = (
+        items.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
         .localCheckpoint(eager=False)
     )
-    n_orders = items.select("okey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    brand_counts = baskets.select(
+        F.explode("brands").alias("brand")
+    ).groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    # unordered pairs in (asc, asc) order — identical to the former
+    # a.brand < b.brand self-join output because brands is sorted distinct
+    pair_structs = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x as brand_a, y as brand_b))))"
     )
-    brand_counts = items.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
     pairs = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
     )
     ca = brand_counts.select(
@@ -3798,13 +3808,22 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile"
         ),
     )
-    per_class = binned.groupBy("c_mktsegment", "c_nationkey", "decile").agg(
-        F.count(F.lit(1)).alias("n")
+    # per_class is the ONLY consumer of the rank pass; every other
+    # distribution derives from it by re-aggregation.  Checkpointing this
+    # |classes|x|bins| table (bounded by the quasi-id domain) means the
+    # range-sort/rank pipeline runs exactly once — the round-11 plan audit
+    # showed the 32-partition rank pass replayed in 19 of 22 jobs (653
+    # tasks for a 10-bin histogram) because the class and global
+    # histograms each re-derived it.
+    per_class = (
+        binned.groupBy("c_mktsegment", "c_nationkey", "decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     class_tot = per_class.groupBy("c_mktsegment", "c_nationkey").agg(
         F.sum("n").alias("class_n")
     )
-    glob = binned.groupBy("decile").agg(F.count(F.lit(1)).alias("gn"))
+    glob = per_class.groupBy("decile").agg(F.sum("n").alias("gn"))
     gtot = glob.agg(F.sum("gn").alias("g_total"))
     # dense (class × decile) grid so empty cells contribute q=0
     classes = class_tot.select("c_mktsegment", "c_nationkey", "class_n")
@@ -4065,12 +4084,15 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # edge list is a persisted stage table
         .localCheckpoint(eager=False)
     )
-    # undirected degree per node (edges are canonical u<v)
+    # undirected degree per node (edges are canonical u<v); checkpointed —
+    # four consumers (both orientation sides, node count, wedge count)
+    # would each replay the union+groupBy over the edge list otherwise
     deg = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient each edge from lower (deg, id) to higher; reuse one physical
     # edge frame for both the wedge legs and the closing-edge probe
@@ -4094,15 +4116,15 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["x", "y"],
     )
     n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    # node and wedge counts are BOTH aggregates of deg — one pass, one
+    # subtree (they were two separate replays of the degree derivation)
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
-    n_wedges = deg.agg(
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n")
-    ).select("n")
     row = (
-        n_nodes.select(F.col("n").alias("n_nodes"))
-        .crossJoin(F.broadcast(n_edges.select(F.col("n").alias("n_edges"))))
-        .crossJoin(F.broadcast(n_wedges.select(F.col("n").alias("n_wedges"))))
+        deg_stats.crossJoin(F.broadcast(n_edges.select(F.col("n").alias("n_edges"))))
         .crossJoin(F.broadcast(n_tri.select(F.col("n").alias("n_triangles"))))
     )
     from ..functions import round_scaled
@@ -4256,7 +4278,6 @@ def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
     written relative to the driver's unknown cwd."""
     import hashlib
     import os
-    import tempfile
 
     key = (
         spark.sparkContext.applicationId,
@@ -4270,7 +4291,7 @@ def _bucketed_order_tables(spark: SparkSession, sf_dir: str):
         return hit[:2]
     suffix = hashlib.md5(repr(key).encode()).hexdigest()[:10]
     names = (f"mps_bkt_orders_{suffix}", f"mps_bkt_lineitem_{suffix}")
-    root = tempfile.mkdtemp(prefix="mps_bucketed_")
+    root = scratch_dir("mps_bucketed_")
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
@@ -4359,7 +4380,6 @@ def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     temp path; memoized per invariant 9 with rmtree on evict."""
     import os
     import shutil
-    import tempfile
 
     key = (
         spark.sparkContext.applicationId,
@@ -4370,7 +4390,7 @@ def _partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None and os.path.isdir(hit):
         _PART_ORDERS_MEMO.move_to_end(key)
         return hit
-    root = os.path.join(tempfile.mkdtemp(prefix="mps_part_orders_"), "orders")
+    root = os.path.join(scratch_dir("mps_part_orders_"), "orders")
     (
         load_table(spark, sf_dir, "orders")
         .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
@@ -4751,7 +4771,6 @@ def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
     per (session, fixture), LRU-evicted with rmtree (invariant 9)."""
     import os
     import shutil
-    import tempfile
 
     key = (
         spark.sparkContext.applicationId,
@@ -4767,7 +4786,7 @@ def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderpriority",
     )
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = scratch_dir("schema_evo_")
     o.where(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority").coalesce(
         2
     ).write.parquet(os.path.join(root, "gen=v1"))

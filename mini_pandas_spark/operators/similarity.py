@@ -1978,7 +1978,12 @@ def _kmeans_integer_lloyd_core(emb: DataFrame) -> DataFrame:
 
     a1 = assign(c0)
     c1 = update(a1)
-    a2 = assign(c1)
+    # the round-2 assignment feeds BOTH the final membership/inertia
+    # aggregate and the round-2 centroid update (via c2/dim0): without a
+    # checkpoint each consumer replays the whole two-round Lloyd chain
+    # (the round-11 job audit measured 19 jobs / 44 stages, half of them
+    # duplicate re-derivations of a2)
+    a2 = assign(c1).localCheckpoint(eager=False)
     c2 = update(a2)
     dim0 = c2.where(F.col("dim") == 0).select(
         "cid", (F.col("cq") / 100000.0 - 1.0 + F.lit(0.0)).alias("c0_mean")

@@ -887,7 +887,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = deduped.join(d, "doc_id").select(
         "doc_id", "lang", token_count("dedup_text").alias("n_tok")
     )
-    gated = base.where((F.col("n_tok") >= 10) & (F.col("n_tok") <= 500))
+    # the quality-gated frame feeds the per-lang counts AND the rebalance
+    # join — checkpoint it so the dedup + join + tokenize pipeline runs
+    # once (each consumer replayed chunk_dedup's exchanges otherwise)
+    gated = base.where(
+        (F.col("n_tok") >= 10) & (F.col("n_tok") <= 500)
+    ).localCheckpoint(eager=False)
     cnt = gated.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     mn = cnt.agg(F.min("n_lang").alias("min_lang"))
     h = ((F.col("doc_id") % F.lit(_SPLIT_MOD)) * F.lit(_SPLIT_PRIME)) % F.lit(_SPLIT_MOD) % F.lit(
@@ -1366,11 +1371,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
+    # (doc, term) postings feed BOTH the df marginal and the score join —
+    # checkpoint so the corpus tokenize+explode runs once, not per branch
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .filter(F.col("token").isin(*BM25_QUERY))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

@@ -289,7 +289,7 @@ def manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count-independent and the per-row Python serialization cost is
     not worth 5× more fixture rows per gate run.
     """
-    import tempfile
+    from ..memo import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -300,7 +300,7 @@ def manifest_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 5 == 0)
         .select("doc_id", "source", "n_chars")
     )
-    root = tempfile.mkdtemp(prefix="manifest_roundtrip_")
+    root = scratch_dir("manifest_roundtrip_")
     write_manifest(d.repartition(8, "doc_id"), root)
     back = read_manifest(
         spark, root, "doc_id bigint, source string, n_chars bigint"

@@ -28,13 +28,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 import shutil
-import tempfile
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..memo import evict_lru_dirs
+from ..memo import evict_lru_dirs, scratch_dir
 from ..sources.tables import ensure_runtime_confs
 from .windows import (
     BOUNDED_KEY_PARTITIONS,
@@ -61,9 +60,9 @@ def _ingest_artifacts(spark: SparkSession, sf_dir: str):
         return hit
     src_file = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(src_file)
-    src = tempfile.mkdtemp(prefix="ingest_src_")
-    sink = tempfile.mkdtemp(prefix="ingest_sink_")
-    ck = tempfile.mkdtemp(prefix="ingest_ck_")
+    src = scratch_dir("ingest_src_")
+    sink = scratch_dir("ingest_sink_")
+    ck = scratch_dir("ingest_ck_")
 
     def stage_third(mod: int, order: int) -> None:
         stage = os.path.join(src, "_stage")

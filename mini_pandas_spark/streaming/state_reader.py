@@ -36,7 +36,8 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+
+from ..memo import scratch_dir
 import uuid
 from collections import OrderedDict
 
@@ -83,7 +84,7 @@ def _user_totals_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         F.count(F.lit(1)).alias("n"),
         F.max("ts").alias("last"),
     )
-    ck = tempfile.mkdtemp(prefix="state_ckpt_")
+    ck = scratch_dir("state_ckpt_")
     sink = f"state_drain_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
         q = (
@@ -210,7 +211,7 @@ def _evolution_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         return hit[0]
     src = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(src)
-    root = tempfile.mkdtemp(prefix="state_evo_src_")
+    root = scratch_dir("state_evo_src_")
     for i, parity in enumerate((0, 1)):
         stage = os.path.join(root, "_stage")
         (
@@ -235,7 +236,7 @@ def _evolution_checkpoint(spark: SparkSession, sf_dir: str) -> str:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    ck = tempfile.mkdtemp(prefix="state_evo_ck_")
+    ck = scratch_dir("state_evo_ck_")
     sink = f"state_evo_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
         q = (
@@ -321,7 +322,7 @@ def _outer_join_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         F.col("p_user").alias("user_id"),
         F.coalesce(F.col("error_id"), F.lit(-1)).cast("long").alias("error_id"),
     )
-    ck = tempfile.mkdtemp(prefix="join_state_ck_")
+    ck = scratch_dir("join_state_ck_")
     sink = f"join_state_drain_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, OUTER_JOIN_STATE_PARTITIONS):
         q = (

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import decimal_sum
-from ..memo import evict_lru
+from ..memo import evict_lru, scratch_dir
 from ..session import ensure_runtime_confs
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -829,7 +829,6 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain parallel JSONL scan of listed shards.
     """
     import json
-    import tempfile
 
     from ..sources.manifest_sink import write_manifest
 
@@ -850,7 +849,7 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    root = tempfile.mkdtemp(prefix="stream_manifest_")
+    root = scratch_dir("stream_manifest_")
 
     def sink_batch(batch_df, epoch_id):
         write_manifest(batch_df, os.path.join(root, f"epoch={epoch_id}"))
@@ -1053,7 +1052,6 @@ def _standing_index_tables(spark: SparkSession, sf_dir: str):
     the session catalog; LRU-evicted with DROP TABLE + rmtree.
     """
     import shutil
-    import tempfile
 
     from ..operators.dedup import (
         _documents_fingerprint,
@@ -1076,7 +1074,7 @@ def _standing_index_tables(spark: SparkSession, sf_dir: str):
         ~_is_new_doc(F.col("doc_id"))
     )
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="standing_idx_")
+    root = scratch_dir("standing_idx_")
     bands_tbl, sets_tbl = f"neardup_bands_{tag}", f"neardup_sets_{tag}"
     (
         _minhash_bands(corpus)
@@ -1324,7 +1322,6 @@ def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``value`` is quantized to exact integer cents BEFORE the sink so the
     JSONL round trip carries integers only (no float-repr drift).
     """
-    import tempfile
 
     from ..sources.manifest_sink import (
         committed_epoch_shards,
@@ -1337,8 +1334,8 @@ def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
-    root = tempfile.mkdtemp(prefix="epoch_log_sink_")
-    ckpt = tempfile.mkdtemp(prefix="epoch_log_ckpt_")
+    root = scratch_dir("epoch_log_sink_")
+    ckpt = scratch_dir("epoch_log_ckpt_")
     with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
         q = (
             proj.writeStream.format("epoch_log_sink")
@@ -1402,7 +1399,6 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     arrived with (nanos-as-long or micros — the round-2 type flip)."""
     import glob as _glob
     import shutil
-    import tempfile
 
     ensure_runtime_confs(spark)
     key = (
@@ -1417,7 +1413,7 @@ def _events_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(src)
     ts_type = raw.schema["ts"].dataType.simpleString()
-    root = tempfile.mkdtemp(prefix="events_sentinel_")
+    root = scratch_dir("events_sentinel_")
     # The stream reads `root` NON-recursively (pathGlobFilter *.parquet),
     # so a directory-layout fixture (the layout _events_fingerprint
     # already supports) must be FLATTENED into root — one copy per part
@@ -1799,7 +1795,6 @@ def streaming_table_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     import shutil
-    import tempfile
 
     key = (
         spark.sparkContext.applicationId,
@@ -1828,7 +1823,7 @@ def streaming_table_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tag = uuid.uuid4().hex[:8]
         tbl = f"daily_type_sink_{tag}"
-        root = tempfile.mkdtemp(prefix="table_sink_")
+        root = scratch_dir("table_sink_")
         ck = os.path.join(root, "_ck")
         with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
             q = (
