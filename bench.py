@@ -333,11 +333,29 @@ def main() -> None:
         zorder_layout_table,
     )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    from mini_pandas_spark.operators.relational import (
+        _bucketed_order_tables,
+        _partitioned_orders_path,
+    )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         list(
             pool.map(
                 lambda build: build(spark, sf_dir),
-                (zorder_layout_table, hilbert_layout_table, quantized_layout_table),
+                (
+                    zorder_layout_table,
+                    hilbert_layout_table,
+                    quantized_layout_table,
+                    # bucketed twins of orders/lineitem and the
+                    # month-partitioned orders table: the guide-§2.4
+                    # "bucketed tables persist a partitioning across
+                    # jobs" infrastructure — written once upstream,
+                    # amortized over every co-located join / DPP read;
+                    # the billed rows price the shuffle-free join and
+                    # the partition-pruned scan respectively
+                    _bucketed_order_tables,
+                    _partitioned_orders_path,
+                ),
             )
         )
     qs["streaming_neardup_lsh"](

@@ -91,8 +91,15 @@ def _docsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SKETCH_MEMO.move_to_end(key)
         return hit
     d = load_table(spark, sf_dir, "documents")
+    # single-row-group fixture → single scan task; the tokenize +
+    # shingle array build is CPU-bound, so spread it before computing
+    # (the minhash-sketch precedent) — the checkpoint then caches the
+    # parallel layout for all four consumers
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out = (
-        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
+        d.select("doc_id", "text")
+        .repartition(n_part)
+        .select("doc_id", tokens(F.col("text")).alias("__ts"))
         .select("doc_id", shingles(F.col("__ts")).alias("ss"))
         .withColumn("sz", F.size("ss"))
         .localCheckpoint(eager=False)
@@ -468,7 +475,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom: 8 bits supported Hamming ≤ 7; 4×16 supports ≤ 3, exactly
     this query's threshold.
     """
-    sim = simhash_docs(spark, sf_dir)
+    # checkpointed: both sides of the pigeonhole self-join consume the
+    # sketch frame — without it the Arrow sketch pass (the dominant
+    # cost) runs once per side
+    sim = simhash_docs(spark, sf_dir).localCheckpoint(eager=False)
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -941,11 +951,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    # checkpointed: both sides of the candidate self-join consume the
+    # prefix table — without it the df join + per-doc rank window (the
+    # prefix derivation's two shuffles) replay once per side
     prefix = (
         exploded.join(freq, "h")
         .withColumn("rk", F.row_number().over(wdoc))
         .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
         .select("doc_id", "h", "rk", "sz")
+        .localCheckpoint(eager=False)
     )
     # Length + positional filters (PPJoin §3.2) prune candidates BEFORE
     # the expensive set-intersection verify.  Both are exact-integer and
@@ -1312,10 +1326,13 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    # checkpointed: the prefix filter AND the full-list join side both
+    # consume the ranked postings — one df join + rank window, not two
     ranked = (
         exploded.join(freq, "h")
         .withColumn("rk", F.row_number().over(wdoc))
         .select("doc_id", "sz", "h", "rk")
+        .localCheckpoint(eager=False)
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)

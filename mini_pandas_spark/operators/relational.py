@@ -4064,24 +4064,29 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence of the census makes the two formulations equal).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # one orderkey groupBy collapses each order to its sorted distinct
+    # part basket (collect_set subsumes the former separate DISTINCT);
+    # co-purchase pairs are generated MAP-SIDE from the array — bounded
+    # by parts-per-order² (TPC-H ≤ 7 lines/order), replacing the former
+    # orderkey self-join (two shuffled sides + join) with zero joins
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"
+    )
     edges = (
-        po.alias("a")
-        .join(
-            po.alias("b"),
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        baskets.select(F.explode(pair_structs).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
         .select("u", "v")
         # localCheckpoint is a COST fix, not correctness: four consumers
         # (degrees, orientation, closing-edge probe, edge count) would
-        # each replay the quadratic pair-generation join without it
-        # (measured 5.9s → materialized-once at sf0.1); at 100 TB the
-        # edge list is a persisted stage table
+        # each replay the pair-generation pass without it (measured
+        # 5.9s → materialized-once at sf0.1); at 100 TB the edge list is
+        # a persisted stage table
         .localCheckpoint(eager=False)
     )
     # undirected degree per node (edges are canonical u<v); checkpointed —

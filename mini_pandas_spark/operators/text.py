@@ -837,7 +837,13 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    # both checkpointed: tok feeds the bigram window AND the vocabulary
+    # count; bg feeds THREE consumers (both count marginals + the score
+    # join) — without the barriers the tokenize/posexplode pass ran
+    # three times and the lag window twice (round-11 job audit)
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         tok.select(
@@ -846,6 +852,7 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").alias("w2"),
         )
         .where(F.col("w1").isNotNull())
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -2432,8 +2439,13 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", tokens("text").alias("ts")).where(
-        F.size("ts") >= DUP_SPAN_N
+    # single-row-group fixture → single scan task; the per-position
+    # xxhash transform is the dominant CPU — spread it first
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        d.select("doc_id", "source", tokens("text").alias("ts"))
+        .where(F.size("ts") >= DUP_SPAN_N)
+        .repartition(n_part)
     )
     grams = toks.select(
         "doc_id",
@@ -2446,7 +2458,10 @@ def duplicated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pos", "gram"),
-    )
+        # checkpointed: the dup-gram marginal AND the position join both
+        # consume this frame — without it the tokenize + per-position
+        # xxhash pass (the query's dominant cost) runs twice
+    ).localCheckpoint(eager=False)
     # cross-doc duplicated gram = present in >1 distinct doc; min!=max is
     # equivalent to COUNT(DISTINCT doc_id)>1 and skips the two-phase
     # distinct expansion (one map-side-combined agg instead)
@@ -3719,8 +3734,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented, intended trade for a bounded plan.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("ts")).where(
-        F.size("ts") >= 6
+    # one row group per fixture file → a single scan task; the per-gram
+    # md5 pass below is the query's dominant CPU, so spread it first
+    # (the ivf/minhash-sketch precedent for CPU-heavy single-source ops)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        d.select("doc_id", tokens(F.col("text")).alias("ts"))
+        .where(F.size("ts") >= 6)
+        .repartition(n_part)
     )
     grams = toks.withColumn(
         "gh",
@@ -3749,27 +3770,30 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("doc_id", F.explode("fp").alias("fp"))
     # MOSS stop-fingerprint cap: a fingerprint shared by f documents
-    # contributes O(f²) rows to the self-join, and at 100 TB boilerplate
-    # runs (license headers, templates) make f huge — drop fingerprints
-    # whose document frequency exceeds the cap before pairing, exactly
-    # as MOSS culls over-represented fingerprints (SIGMOD'03 §5).  The
-    # pair join cost is then bounded by cap²·|fingerprints|, and the
-    # dropped fps by construction separate NO pair that doesn't already
-    # share a rarer fingerprint run at fixture scale (top-20 pinned).
-    dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    kept = fps.join(
-        dfc.where(F.col("df") <= F.lit(WINNOW_DF_CAP)).select("fp"), "fp"
+    # would contribute O(f²) pairs, and at 100 TB boilerplate runs
+    # (license headers, templates) make f huge — drop fingerprints whose
+    # document frequency exceeds the cap, exactly as MOSS culls
+    # over-represented fingerprints (SIGMOD'03 §5).  ONE fp groupBy
+    # yields each fingerprint's sorted doc list; the cap is a size()
+    # filter on it (the former df-count + join re-derived the expensive
+    # fp pass twice), and pairs are generated MAP-SIDE from the ≤cap-long
+    # doc arrays — bounded at cap²/2 per fingerprint, no self-join, no
+    # second shuffle of the posting list.  The dropped fps by
+    # construction separate NO pair that doesn't already share a rarer
+    # fingerprint run at fixture scale (top-20 pinned).
+    fp_docs = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .where(F.size("docs") <= F.lit(WINNOW_DF_CAP))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
     )
     return (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        fp_docs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
         .limit(20)
