@@ -91,15 +91,12 @@ def _docsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SKETCH_MEMO.move_to_end(key)
         return hit
     d = load_table(spark, sf_dir, "documents")
-    # single-row-group fixture → single scan task; the tokenize +
-    # shingle array build is CPU-bound, so spread it before computing
-    # (the minhash-sketch precedent) — the checkpoint then caches the
-    # parallel layout for all four consumers
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # No pre-compute repartition here (unlike the minhash/simhash sketch
+    # passes): the tokenize+shingle build is cheap enough that shuffling
+    # the raw text first costs more than the parallelism buys — measured
+    # +0.3-0.6s on every docsets consumer at sf0.1 when tried.
     out = (
-        d.select("doc_id", "text")
-        .repartition(n_part)
-        .select("doc_id", tokens(F.col("text")).alias("__ts"))
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
         .select("doc_id", shingles(F.col("__ts")).alias("ss"))
         .withColumn("sz", F.size("ss"))
         .localCheckpoint(eager=False)
@@ -951,15 +948,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
-    # checkpointed: both sides of the candidate self-join consume the
-    # prefix table — without it the df join + per-doc rank window (the
-    # prefix derivation's two shuffles) replay once per side
+    # NOT checkpointed: the candidate self-join's two sides are the
+    # IDENTICAL subtree, so Spark already shares one physical exchange
+    # via ReusedExchange — a checkpoint here replaced that free reuse
+    # with a full materialization pass (measured +1.2s at sf0.1)
     prefix = (
         exploded.join(freq, "h")
         .withColumn("rk", F.row_number().over(wdoc))
         .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1))
         .select("doc_id", "h", "rk", "sz")
-        .localCheckpoint(eager=False)
     )
     # Length + positional filters (PPJoin §3.2) prune candidates BEFORE
     # the expensive set-intersection verify.  Both are exact-integer and
@@ -1326,13 +1323,14 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sz", F.xxhash64(F.col("shingle"), F.lit(42)).alias("h"))
     freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
-    # checkpointed: the prefix filter AND the full-list join side both
-    # consume the ranked postings — one df join + rank window, not two
+    # NOT checkpointed: the prefix side is a filter of the ranked frame,
+    # and Catalyst shares the underlying window exchange between the two
+    # join sides — a checkpoint here measured +1.6s at sf0.1 (it traded
+    # a mostly-reused exchange for a full materialization pass)
     ranked = (
         exploded.join(freq, "h")
         .withColumn("rk", F.row_number().over(wdoc))
         .select("doc_id", "sz", "h", "rk")
-        .localCheckpoint(eager=False)
     )
     prefix = ranked.where(
         F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)

@@ -573,10 +573,15 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # tok checkpointed (two consumers); the corpus total derives from the
+    # term counts (Σcnt == token count exactly) — the tokenize/explode
+    # pass ran three times before (tf, tc, tot each re-derived it)
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).localCheckpoint(eager=False)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    tot = tc.agg(F.sum("cnt").alias("total"))
     logp = F.log(F.col("cnt").cast("double") / F.col("total"))
     out = (
         tf.join(tc, "term")
