@@ -1330,10 +1330,15 @@ def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_epoch_log_sink(spark)
     ev = read_events_stream(spark, sf_dir)
+    # The projection is stateless, so without a repartition the whole
+    # micro-batch flows through ONE Python sink task (the single-file
+    # source yields one scan partition) — spread the per-row JSONL
+    # serialization across the pinned partition count; the manifest
+    # read-back is shard-layout-independent.
     proj = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
-    )
+    ).repartition(BOUNDED_KEY_PARTITIONS)
     root = scratch_dir("epoch_log_sink_")
     ckpt = scratch_dir("epoch_log_ckpt_")
     with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
