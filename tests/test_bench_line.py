@@ -96,3 +96,72 @@ def test_final_line_property_never_overflows():
         assert set(parsed["queries"]) <= set(timings)
 
     check()
+
+
+def test_bench_warmup_imports_match_inventory():
+    """Benchmark-accounting lint (VERDICT_r11 'What's wrong' #1,
+    condition b): bench.py's warmup may pre-build ONLY the standing
+    infrastructure named in BASELINE.md's 'Unbilled warmup inventory'.
+    Any new import inside bench.main() — the warmup + timing body —
+    fails here until a verdict item sanctions it AND the inventory
+    table gains a row for it."""
+    import ast
+    import os
+
+    bench_path = os.path.join(os.path.dirname(bench.__file__), "bench.py")
+    tree = ast.parse(open(bench_path).read())
+    (main_fn,) = [
+        n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "main"
+    ]
+    imported = set()
+    for node in ast.walk(main_fn):
+        if isinstance(node, ast.ImportFrom):
+            for alias in node.names:
+                imported.add(f"{node.module}.{alias.name}")
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                imported.add(alias.name)
+
+    # The frozen inventory: every entry maps to a row in BASELINE.md's
+    # 'Unbilled warmup inventory' table (engine warmups + sanctioned
+    # standing builds).  Additions require a verdict item by name.
+    allowed = {
+        # engine warmups (JVM/codegen/worker-pool/table-scan)
+        "pyspark.sql.functions",
+        "pyspark.sql.functions.pandas_udf",
+        "mini_pandas_spark.sources.TABLE_NAMES",
+        "mini_pandas_spark.sources.load_table",
+        # standing infrastructure, each with an inventory row
+        "mini_pandas_spark.streaming.windows._events_dir_with_sentinels",
+        "mini_pandas_spark.streaming.windows._standing_index_tables",
+        "mini_pandas_spark.streaming.state_reader.build_standing_state_checkpoints",
+        "mini_pandas_spark.streaming.ingest._ingest_artifacts",
+        "mini_pandas_spark.operators.layout.hilbert_layout_table",
+        "mini_pandas_spark.operators.layout.quantized_layout_table",
+        "mini_pandas_spark.operators.layout.zorder_layout_table",
+        "mini_pandas_spark.operators.relational._bucketed_order_tables",
+        "mini_pandas_spark.operators.relational._partitioned_orders_path",
+        # concurrency plumbing for the builds (guide §2.6)
+        "concurrent.futures.ThreadPoolExecutor",
+    }
+    unexpected = imported - allowed
+    assert not unexpected, (
+        "bench.main() imports outside the frozen unbilled-warmup "
+        f"inventory: {sorted(unexpected)} — a new warmup pre-build needs "
+        "a verdict sanction plus a BASELINE.md inventory row first"
+    )
+
+    baseline = open(
+        os.path.join(os.path.dirname(bench_path), "BASELINE.md")
+    ).read()
+    assert "## Unbilled warmup inventory" in baseline
+    for name in (
+        "_standing_index_tables",
+        "_events_dir_with_sentinels",
+        "build_standing_state_checkpoints",
+        "_ingest_artifacts",
+        "zorder_layout_table",
+        "_bucketed_order_tables",
+        "_partitioned_orders_path",
+    ):
+        assert name in baseline, f"inventory table missing {name}"
