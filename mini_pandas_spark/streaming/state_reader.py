@@ -48,6 +48,7 @@ from ..sources.tables import ensure_runtime_confs
 from .windows import (
     BOUNDED_KEY_PARTITIONS,
     _events_fingerprint,
+    _source_schema,
     _stream_partitions,
     read_events_stream,
 )
@@ -278,7 +279,7 @@ def _outer_join_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         _STATE_CKPT_MEMO.move_to_end(key)
         return hit[0]
     root = _events_dir_with_sentinels(spark, sf_dir)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _source_schema(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")

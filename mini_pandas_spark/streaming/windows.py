@@ -55,6 +55,62 @@ OUTER_JOIN_STATE_PARTITIONS = 4
 
 
 @contextmanager
+def _no_data_batch(spark: SparkSession, enabled: bool):
+    """Pin ``noDataMicroBatches.enabled`` for one drain, restoring the
+    caller's setting afterwards (the _stream_partitions recipe).
+
+    The no-data micro-batch exists to run watermark-gated work with no
+    new input: outer-join state eviction EMITS rows there and event-time
+    timeouts FIRE there, so those topologies must keep it.  Drains whose
+    no-data batch provably emits nothing — an INNER stream-stream join
+    (eviction emits no rows) or a complete-mode aggregation (each batch
+    re-emits the full state; the no-data batch rewrites an identical
+    table) — pay a full extra micro-batch of state-store commits for
+    zero output rows; profiled at sf0.1 the inner join's no-data batch
+    costs as much as its data batch (3.5 s at 32 state partitions).
+    Guide §2.1 applied to checkpoint I/O: remove the batch outright.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# Footer-read schema memo for streaming sources: every drain needs an
+# explicit schema, previously via a fresh batch read (driver footer
+# read, ~50-150 ms) per call — ~18 call sites across the family pay it
+# once per billed row.  Keyed on (path, mtime_ns+size fingerprint) per
+# invariant 9; schemas are session-independent, so no applicationId.
+_SOURCE_SCHEMA_MEMO: dict = {}
+_SOURCE_SCHEMA_MEMO_MAX = 16
+
+
+def _source_schema(spark: SparkSession, path: str):
+    """Schema of a parquet fixture file/dir via one memoized footer read."""
+    from ..memo import table_fingerprint
+
+    sf_dir, name = os.path.split(os.path.abspath(path))
+    key = (
+        os.path.abspath(path),
+        table_fingerprint(sf_dir, name.removesuffix(".parquet")),
+    )
+    hit = _SOURCE_SCHEMA_MEMO.get(key)
+    if hit is not None:
+        return hit
+    schema = spark.read.parquet(path).schema
+    while len(_SOURCE_SCHEMA_MEMO) >= _SOURCE_SCHEMA_MEMO_MAX:
+        _SOURCE_SCHEMA_MEMO.pop(next(iter(_SOURCE_SCHEMA_MEMO)))
+    _SOURCE_SCHEMA_MEMO[key] = schema
+    return schema
+
+
+@contextmanager
 def _stream_partitions(spark: SparkSession, nparts: int | None = None):
     """Pin streaming state partitions for the duration of one drain.
 
@@ -98,7 +154,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _source_schema(spark, path)
     # The file-stream source requires a directory: stream the sf dir with a
     # glob filter selecting only the events file.
     raw = (
@@ -361,7 +417,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_user").alias("user_id"),
     )
     sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
+    # Join state is WATERMARK-bounded (1 h delay + 30 min range), not
+    # corpus-bounded — the same sizing argument as the outer topologies
+    # (OUTER_JOIN_STATE_PARTITIONS comment above): profiled at sf0.1 the
+    # defaultParallelism pin ran 32 partitions × 4 near-empty stores ×
+    # 2 batches ≈ 8.0 s/drain; 4 partitions + no no-data batch ≈ 1.2 s.
+    # An INNER join's no-data batch only evicts state and emits NOTHING,
+    # so skipping it cannot change the result (_no_data_batch docstring).
+    with _stream_partitions(spark, OUTER_JOIN_STATE_PARTITIONS), _no_data_batch(
+        spark, False
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -972,7 +1037,7 @@ def streaming_coreset_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _source_schema(spark, path)
     if os.path.isdir(path):
         raw = spark.readStream.schema(schema).format("parquet").load(path)
     else:
@@ -1170,7 +1235,7 @@ def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file names only, so a glob on the dataset name would silently
     # drain zero rows from a directory layout — ADVICE r6 #1).
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _source_schema(spark, path)
     if os.path.isdir(path):
         raw = spark.readStream.schema(schema).format("parquet").load(path)
     else:
@@ -1282,7 +1347,14 @@ def streaming_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").cast("long").alias("last_day"),
     )
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS):
+    # Complete mode re-emits the FULL state every batch, and the 3650-day
+    # delay means the no-data batch's advanced watermark still evicts
+    # nothing — profiled at sf0.1 that batch re-wrote an identical sink
+    # table for ~0.5 s of state-store commits.  Skip it: the drained
+    # result is the data batch's complete emission either way.
+    with _stream_partitions(spark, BOUNDED_KEY_PARTITIONS), _no_data_batch(
+        spark, False
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -1498,7 +1570,7 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     root = _events_dir_with_sentinels(spark, sf_dir)
     # schema from the ORIGINAL fixture path — root holds flattened part
     # files (events_NNNNN.parquet) when the fixture is a directory
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _source_schema(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -1596,7 +1668,7 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
     root = _events_dir_with_sentinels(spark, sf_dir)
     # schema from the ORIGINAL fixture path — root holds flattened part
     # files (events_NNNNN.parquet) when the fixture is a directory
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _source_schema(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
