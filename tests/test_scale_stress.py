@@ -181,3 +181,93 @@ def test_countmin_sketch_is_constant_size_at_20m_rows(spark):
     assert len(est) == 5
     assert all(r["est_n"] >= r["exact_n"] for r in est)
     assert _t.time() - t0 < WALL_CLOCK_BOUND_SEC
+
+
+def test_winnowing_hot_fingerprint_is_culled_before_buffering(spark, tmp_path):
+    """VERDICT_r11 item 2 receipt: the over-cap fingerprint cull happens
+    BEFORE the doc-list aggregation (windowed-count cull riding the same
+    exchange), so no aggregation group ever buffers an over-cap doc
+    list.  Checks both halves on a synthetic corpus with a boilerplate
+    12-token run shared by 3x WINNOW_DF_CAP documents: (a) the physical
+    plan has the Window+Filter below the collect_set aggregate, (b) the
+    result is bit-identical to the old buffer-then-filter formulation
+    (size(docs) <= cap applied AFTER collect_set)."""
+    from mini_pandas_spark.operators.text import (
+        WINNOW_DF_CAP,
+        tokens,
+        winnowing_fingerprints,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rare = "red orange yellow green blue indigo violet umber sepia ochre"
+    rows = [
+        (i, f"{boiler} filler{i} pad{i} tail{i}", "web")
+        for i in range(3 * WINNOW_DF_CAP)
+    ]
+    rows += [
+        (1000, f"{rare} uniqueone extra words here", "web"),
+        (1001, f"{rare} uniquetwo other words there", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    sf_dir = str(tmp_path / "hotfp")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = winnowing_fingerprints(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, "cull must be a windowed count, not a post-agg filter"
+    got = [(r.doc_a, r.doc_b, r.n_shared) for r in out.collect()]
+
+    # buffer-then-filter twin (the pre-round-12 formulation)
+    from mini_pandas_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("ts")).where(
+        F.size("ts") >= 6
+    )
+    grams = toks.withColumn(
+        "gh",
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ts"), i + 1),
+                    F.element_at(F.col("ts"), i + 2),
+                    F.element_at(F.col("ts"), i + 3),
+                )
+            ),
+        ),
+    ).localCheckpoint(eager=False)
+    fps = grams.withColumn(
+        "fp",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("gh") - 4),
+                lambda j: F.array_min(F.slice(F.col("gh"), j + 1, 4)),
+            )
+        ),
+    ).select("doc_id", F.explode("fp").alias("fp"))
+    fp_docs = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .where(F.size("docs") <= F.lit(WINNOW_DF_CAP))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
+    want = [
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in (
+            fp_docs.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+            .limit(20)
+        ).collect()
+    ]
+    assert got == want
