@@ -4743,6 +4743,17 @@ def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality-partition anti-pattern the window lint bans;
     measured 4.8s vs 1.7s at sf0.1).  A corpus-global exact percentile
     would swap to approx_percentile (documented trade, events.py:409).
+
+    Buffer fusion (round 12, guide §1.2 step 2): ``median`` /
+    ``percentile_cont(p)`` each compile to the same ``percentile``
+    aggregate, so three scalar calls maintained THREE identical
+    per-group counts-map buffers (plan receipt: 5 ObjectHashAggregate
+    functions, 4 of them duplicate maps of the same column, all
+    serialized through the exchange).  ``percentile(cents,
+    array(0.25, 0.5, 0.75))`` computes all three from ONE buffer —
+    Spark's Median/PercentileCont ARE Percentile expressions, so the
+    interpolated doubles are bit-identical — and ``percentile_disc``
+    keeps the WITHIN GROUP ordered-set surface the query demonstrates.
     """
     load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -4751,14 +4762,20 @@ def group_by_all_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_partkey,
-               CAST(COUNT(*) AS BIGINT) AS n_items,
-               median(cents) AS median_cents,
-               percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25_cents,
-               percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75_cents,
-               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
-                    AS BIGINT) AS p90_disc_cents
-        FROM gballv_lineitem
-        GROUP BY ALL
+               n_items,
+               pc[1] AS median_cents,
+               pc[0] AS p25_cents,
+               pc[2] AS p75_cents,
+               p90_disc_cents
+        FROM (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   percentile(cents, array(0.25D, 0.5D, 0.75D)) AS pc,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                        AS BIGINT) AS p90_disc_cents
+            FROM gballv_lineitem
+            GROUP BY ALL
+        )
         ORDER BY l_partkey
         """
     )
