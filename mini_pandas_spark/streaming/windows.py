@@ -1245,6 +1245,14 @@ def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "documents.parquet")
             .load(sf_dir)
         )
+    # NOTE (round-12 negative result, kept so it isn't re-tried): the
+    # single-file source yields one scan partition, so the in-stream
+    # sketch looks like the one-Python-worker funnel fixed in
+    # streaming_epoch_log_sink — but a repartition(BOUNDED_KEY_PARTITIONS)
+    # before mapInPandas measured SLOWER (min 1.47→1.68 s, med
+    # 1.78→1.87 s, 4 reps): the arriving split is only ~1/4 of the docs
+    # and shuffling raw text per micro-batch costs more than the sketch
+    # parallelism buys (same verdict as the r11 bpe repartition A/B).
     arriving = raw.where(_is_new_doc(F.col("doc_id"))).select("doc_id", "text")
     sketched = arriving.mapInPandas(_sketch_map_fn(), schema=_SKETCH_SCHEMA)
     # the band melt CARRIES the per-doc hash set so verification never
