@@ -252,6 +252,7 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("mini-pandas-spark-bench")
     qs = queries()
+    t_warmup0 = time.time()
 
     # Warmup (not billed): JVM/codegen, the Python worker pool (several
     # headline queries use Arrow UDFs), and one full scan of every input
@@ -338,6 +339,12 @@ def main() -> None:
         _partitioned_orders_path,
     )
 
+    # conf sets happen once on the main thread; the pooled builders'
+    # own ensure_runtime_confs calls are then idempotent re-sets of the
+    # same values rather than first-writers racing (ADVICE r11)
+    from mini_pandas_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     with ThreadPoolExecutor(max_workers=5) as pool:
         list(
             pool.map(
@@ -369,6 +376,10 @@ def main() -> None:
     qs["manifest_roundtrip_stats"](
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).count()
+    # total unbilled warmup time, surfaced in the on-disk record so the
+    # standing-infrastructure builds are auditable per run (ADVICE r11;
+    # the per-build inventory with one-off costs lives in BASELINE.md)
+    unbilled_warmup_sec = round(time.time() - t_warmup0, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -383,6 +394,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # on-disk only (final_line never includes it): the unbilled
+        # warmup's wall clock, so every run's standing-build cost is
+        # recorded next to the billed rows it amortizes into
+        "unbilled_warmup_sec": unbilled_warmup_sec,
     }
     # Full record to disk (survives any stdout truncation).  A tagged
     # copy (SPARK_GRAFT_BENCH_TAG=close_r11_run1 ...) keeps close-run

@@ -25,15 +25,26 @@ def scratch_dir(prefix: str) -> str:
     (streaming checkpoints/sinks, layout stage tables, staged sources).
 
     Order: $SPARK_GRAFT_SCRATCH if set (cluster deployments point this
-    at local NVMe / ramdisk scratch), else /dev/shm when present and
-    writable (micro-batch checkpoints are fsync-heavy many-small-file
-    workloads; tmpfs removes that latency — measured ~0.5 s per
-    multi-batch drain at sf0.1), else the tempfile default.  All
-    artifacts remain session-ephemeral and LRU-evicted via the memos —
-    nothing here changes what persists, only where scratch lives."""
+    at node-local NVMe scratch for batch stage tables; structured-
+    streaming CHECKPOINTS on a multi-node cluster need a path visible
+    to driver AND executors — a shared/DFS location, never node-local
+    tmpfs/NVMe), else /dev/shm when present, writable AND holding a few
+    GB of headroom (micro-batch checkpoints are fsync-heavy
+    many-small-file workloads; tmpfs removes that latency — measured
+    ~0.5 s per multi-batch drain at sf0.1; the headroom gate matters
+    because containers commonly cap /dev/shm at 64 MB and this path
+    hosts bucketed/layout stage tables — ADVICE r11), else the tempfile
+    default.  All artifacts remain session-ephemeral and LRU-evicted
+    via the memos — nothing here changes what persists, only where
+    scratch lives."""
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
     if not base and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        base = "/dev/shm"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 4 * 1024**3:
+                base = "/dev/shm"
+        except OSError:
+            pass
     if base:
         os.makedirs(base, exist_ok=True)
         return tempfile.mkdtemp(prefix=prefix, dir=base)

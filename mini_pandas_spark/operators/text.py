@@ -2072,8 +2072,16 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("ws") - 4),
+                    # varargs concat_ws of element_at's, not
+                    # concat_ws(slice(...)): the slice form allocates an
+                    # array per position and the interpreted pass goes
+                    # GC-bound at scale (the winnowing least() finding)
                     lambda i: F.concat_ws(
-                        " ", F.slice(F.col("ws"), i + 1, F.lit(4))
+                        " ",
+                        F.element_at(F.col("ws"), i + 1),
+                        F.element_at(F.col("ws"), i + 2),
+                        F.element_at(F.col("ws"), i + 3),
+                        F.element_at(F.col("ws"), i + 4),
                     ),
                 )
             ).alias("shingle"),
@@ -3765,12 +3773,25 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ^ invariant 4: without the barrier CollapseProject inlines the gh
     # transform into EVERY window lambda element — O(tokens^2) md5 per
     # doc (measured 58 s vs 1.2 s at sf0.01)
+    # Window minimum as least() of four element_at's, NOT
+    # array_min(slice(...)): the slice form allocates a 4-element array
+    # per position, and at scale the interpreted higher-order pass
+    # becomes GC-bound — 32 concurrent tasks saturated allocation
+    # instead of scaling (measured on the 40x scale-check fixture:
+    # 2.57 s -> 0.27 s for this projection alone, t8/t32 ratio
+    # 1.15 -> see SCALE.md; bit-identical output, least() over
+    # never-null md5 strings == lexicographic array_min).
     fps = grams.withColumn(
         "fp",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("gh") - 4),
-                lambda j: F.array_min(F.slice(F.col("gh"), j + 1, 4)),
+                lambda j: F.least(
+                    F.element_at(F.col("gh"), j + 1),
+                    F.element_at(F.col("gh"), j + 2),
+                    F.element_at(F.col("gh"), j + 3),
+                    F.element_at(F.col("gh"), j + 4),
+                ),
             )
         ),
     ).select("doc_id", F.explode("fp").alias("fp"))

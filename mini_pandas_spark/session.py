@@ -52,11 +52,15 @@ def get_spark(
     app_name: str = "mini-pandas-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the tuned local session.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores.  On a real
     cluster the same confs apply; only ``master`` changes.
+    ``extra_confs`` are applied at BUILD time — required for static
+    confs (e.g. spark.io.compression.codec) that reject runtime sets;
+    they only take effect when this call actually creates the session.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
@@ -73,6 +77,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

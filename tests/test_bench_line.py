@@ -141,8 +141,11 @@ def test_bench_warmup_imports_match_inventory():
         "mini_pandas_spark.operators.layout.zorder_layout_table",
         "mini_pandas_spark.operators.relational._bucketed_order_tables",
         "mini_pandas_spark.operators.relational._partitioned_orders_path",
-        # concurrency plumbing for the builds (guide §2.6)
+        # concurrency plumbing for the builds (guide §2.6) and the
+        # main-thread conf pre-set that keeps the pooled builders'
+        # conf calls idempotent (ADVICE r11) — not pre-builds
         "concurrent.futures.ThreadPoolExecutor",
+        "mini_pandas_spark.session.ensure_runtime_confs",
     }
     unexpected = imported - allowed
     assert not unexpected, (

@@ -118,15 +118,19 @@ def main() -> None:
             with open(os.path.join(args.plans, f"{name}{suffix}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
         times = []
-        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        # count jobs in a query-unique group, so concurrent streaming /
+        # maintenance jobs (and the --plans explain pass) cannot skew
+        # the metric (ADVICE r11)
+        group = f"profile:{name}"
+        sc.setJobGroup(group, f"profile {name}")
         for rep in range(args.reps):
             sc.setJobDescription(f"profile:{name}:rep{rep}")
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
             times.append(round(time.time() - t0, 3))
         sc.setJobDescription(None)
-        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
-        n_jobs = (jobs_after - jobs_before) / max(args.reps, 1)
+        n_jobs = len(tracker.getJobIdsForGroup(group) or []) / max(args.reps, 1)
+        sc.setLocalProperty("spark.jobGroup.id", None)
         times_sorted = sorted(times)
         results[name] = {
             "min": times_sorted[0],
