@@ -54,6 +54,23 @@ BOUNDED_KEY_PARTITIONS = 8
 OUTER_JOIN_STATE_PARTITIONS = 4
 
 
+def _drained_table(spark: SparkSession, sink: str) -> DataFrame:
+    """Read a drained memory sink and immediately drop its temp view.
+
+    ``spark.table`` analyzes eagerly (Dataset.ofRows asserts analysis),
+    so the returned frame holds the RESOLVED memory-sink relation and
+    stays valid after the catalog entry is gone.  Without the drop,
+    every drain leaks a uniquely-named temp view whose MemorySink
+    retains the drained rows for the rest of the session — across a
+    160-query bench that is dozens of dead sinks' worth of catalog
+    entries and JVM heap (the state-reader drains already dropped
+    theirs).  The rows are freed once the caller discards the frame.
+    """
+    out = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 @contextmanager
 def _no_data_batch(spark: SparkSession, enabled: bool):
     """Pin ``noDataMicroBatches.enabled`` for one drain, restoring the
@@ -206,7 +223,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +300,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +392,7 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev_provider)
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +452,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +481,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +527,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +557,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def stateful_sessionize_stream(
@@ -645,7 +662,7 @@ def stateful_sessionize_stream(
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,7 +701,7 @@ def streaming_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def batch_hourly_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +811,7 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,7 +857,7 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    drained = spark.table(sink)
+    drained = _drained_table(spark, sink)
 
     from pyspark.sql.window import Window
 
@@ -1002,7 +1019,7 @@ def stream_static_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_coreset_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,7 +1106,7 @@ def streaming_coreset_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_coreset_moments: the embedding stream read 0 rows — "
             f"source layout under {sf_dir} no longer matches the reader"
         )
-    drained = spark.table(sink)
+    drained = _drained_table(spark, sink)
     return drained.select(
         "cell",
         "dim",
@@ -1317,7 +1334,7 @@ def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"source layout under {sf_dir} no longer matches the reader "
             "(ADVICE r6 #1: fail loudly instead of draining empty)"
         )
-    return spark.table(sink).orderBy("doc_new", "doc_old")
+    return _drained_table(spark, sink).orderBy("doc_new", "doc_old")
 
 
 def streaming_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,7 +1401,7 @@ def streaming_dedup_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_dedup_user_days: the event stream read 0 rows — "
             f"source layout under {sf_dir} no longer matches the reader"
         )
-    return spark.table(sink)
+    return _drained_table(spark, sink)
 
 
 def streaming_epoch_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,7 +1672,7 @@ def streaming_outer_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).where(F.col("user_id") >= 0)
+    return _drained_table(spark, sink).where(F.col("user_id") >= 0)
 
 
 def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,7 +1750,7 @@ def streaming_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).where(F.col("user_id") >= 0)
+    return _drained_table(spark, sink).where(F.col("user_id") >= 0)
 
 
 _ROCKSDB_PROVIDER = (
@@ -1798,7 +1815,7 @@ def rocksdb_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).orderBy("event_type", "day")
+    return _drained_table(spark, sink).orderBy("event_type", "day")
 
 
 def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
